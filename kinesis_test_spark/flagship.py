@@ -1,0 +1,61 @@
+"""Flagship query — the reference's whole dataflow as one batch plan.
+
+Scan events → JSON-decode props (consumer.py:123) → derive the y/m/d/h
+partition key (consumer.py:221-232) → dedup on event_id (the sequence-number
+gate, consumer.py:292-303) → hourly rollup by event_type → order + limit.
+One query exercising scan→project→filter→dedup→agg→sort→limit end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_test_spark.registry import query
+from kinesis_test_spark.sources import t
+
+
+@query(
+    "q_flagship",
+    oracle="""
+WITH deduped AS (
+  SELECT * FROM (
+    SELECT user_id, event_type, ts, value,
+           row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+    FROM events)
+  WHERE rn = 1
+)
+SELECT 'y=' || CAST(year(ts) AS VARCHAR) || '/m=' || CAST(month(ts) AS VARCHAR)
+       || '/d=' || CAST(day(ts) AS VARCHAR) || '/h=' || CAST(hour(ts) AS VARCHAR)
+       AS hour_key,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM deduped
+GROUP BY hour_key, event_type
+ORDER BY n_events DESC, hour_key, event_type
+LIMIT 500
+""",
+)
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_id").orderBy("ts")
+    deduped = (
+        ev.select("event_id", "user_id", "event_type", "ts", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    hour_key = F.format_string(
+        "y=%d/m=%d/d=%d/h=%d", F.year("ts"), F.month("ts"), F.dayofmonth("ts"), F.hour("ts")
+    )
+    return (
+        deduped.groupBy(hour_key.alias("hour_key"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy(F.col("n_events").desc(), "hour_key", "event_type")
+        .limit(500)
+    )

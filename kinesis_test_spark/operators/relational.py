@@ -1,0 +1,564 @@
+"""Relational core: scans, filters, projections, joins, aggregations, sorts.
+
+Reference grounding (SURVEY.md §2): the reference's scan/project/filter path
+is `get_records` → per-record dict projection → dedup gate
+(`/root/reference/consumer.py:115-130,296-305`); everything else here is the
+north-star full query surface. All operators are stock DataFrame API so
+Catalyst provides pushdown, pruning, join selection, and AQE for free.
+
+Scale notes (100 TB posture), per operator family:
+  * scans — column pruning + predicate pushdown reach the parquet reader
+    (checked in tests/test_plans.py); partition-pruned layouts come from the
+    streaming sink's y/m/d/h partitioning.
+  * joins — dims (region/nation/supplier at any SF) are broadcast; the
+    fact-fact joins (lineitem⋈orders) shuffle on the join key, which is also
+    each table's natural bucketing key; AQE handles skew.
+  * aggregations — all expressible as partial+final hash aggregates
+    (map-side combine), no collect-to-driver anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_test_spark.functions.exact import davg, dsum, sql_davg, sql_dsum
+from kinesis_test_spark.registry import query
+from kinesis_test_spark.sources import t, views
+
+# ---------------------------------------------------------------------------
+# Scans / projection  (reference: consumer.py:115-130 fetch, :239 projection)
+# ---------------------------------------------------------------------------
+
+
+@query("q_scan", oracle="SELECT * FROM lineitem")
+def q_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan, all columns (reference full-batch fetch, consumer.py:115-130)."""
+    return t(spark, sf_dir, "lineitem")
+
+
+@query(
+    "q_scan_prune",
+    oracle="SELECT l_orderkey, l_extendedprice, l_shipdate FROM lineitem",
+)
+def q_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected scan — Catalyst prunes the parquet ReadSchema to 3 columns
+    (reference projects only `data` out of each record, consumer.py:239)."""
+    return t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_shipdate")
+
+
+@query(
+    "q_json_decode",
+    oracle="""
+SELECT event_id,
+       CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) AS k
+FROM events
+""",
+)
+def q_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload decode (reference json.loads per record, consumer.py:123)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+@query(
+    "q_time_partition_key",
+    oracle="""
+SELECT event_id,
+       CAST(year(ts) AS INT) AS y,
+       CAST(month(ts) AS INT) AS m,
+       CAST(day(ts) AS INT) AS d,
+       CAST(hour(ts) AS INT) AS h,
+       'y=' || CAST(year(ts) AS VARCHAR) || '/m=' || CAST(month(ts) AS VARCHAR)
+       || '/d=' || CAST(day(ts) AS VARCHAR) || '/h=' || CAST(hour(ts) AS VARCHAR)
+       AS s3_key_prefix
+FROM events
+""",
+)
+def q_time_partition_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `event_time_to_s3_key` layout — y/m/d/h NOT zero-padded
+    (consumer.py:221-232; golden case test/consumer_test.py:10-12)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.format_string(
+            "y=%d/m=%d/d=%d/h=%d", F.year("ts"), F.month("ts"), F.dayofmonth("ts"), F.hour("ts")
+        ).alias("s3_key_prefix"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates  (reference: dedup gate consumer.py:296-305,
+# checkpoint point-lookup consumer.py:145-147)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_filter_eq",
+    oracle="SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'",
+)
+def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select("event_id", "ts", "user_id", "value")
+
+
+@query(
+    "q_filter_in",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+""",
+)
+def q_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list membership (reference: `checkpoint in sequence_numbers`,
+    consumer.py:301)."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+@query(
+    "q_filter_null",
+    oracle="""
+SELECT event_id, value,
+       CASE WHEN value < 0.2 THEN NULL ELSE event_type END AS et
+FROM events
+WHERE (CASE WHEN value < 0.2 THEN NULL ELSE event_type END) IS NULL
+""",
+)
+def q_filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL predicates — the reference payload is null-riddled (event.py:1-9)."""
+    ev = t(spark, sf_dir, "events")
+    et = F.when(F.col("value") < 0.2, F.lit(None)).otherwise(F.col("event_type"))
+    return ev.select("event_id", "value", et.alias("et")).filter(F.col("et").isNull())
+
+
+@query(
+    "q_filter_range",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_quantity BETWEEN 10 AND 20
+""",
+)
+def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & F.col("l_quantity").between(10, 20)
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+
+
+@query(
+    "q_project_compute",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged,
+       CASE WHEN l_discount > 0.05 THEN 'deep' ELSE 'shallow' END AS disc_band
+FROM lineitem
+""",
+)
+def q_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed projections — pure rowwise IEEE arithmetic is bit-identical
+    across engines (no reassociation), so no decimal detour needed."""
+    li = t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        revenue.alias("revenue"),
+        (revenue * (1 + F.col("l_tax"))).alias("charged"),
+        F.when(F.col("l_discount") > 0.05, "deep").otherwise("shallow").alias("disc_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY.md §2B — none in the single-stream reference; NS mandate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle=f"""
+SELECT r.r_name, n.n_name,
+       {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue", 25, 6)},
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ small dims with explicit broadcast — at 100 TB the lineitem side
+    never shuffles for these joins (map-side broadcast hash join chain)."""
+    li = t(spark, sf_dir, "lineitem")
+    s = F.broadcast(t(spark, sf_dir, "supplier"))
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 25, 6),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_join_left",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name,
+       COUNT(o.o_orderkey) AS n_orders,
+       {sql_dsum("o.o_totalprice", "sum_price")}
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+""",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers (count 0, sum NULL)."""
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+SELECT COALESCE(cn.nk, sn.nk) AS nationkey, cn.n_cust, sn.n_supp
+FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) cn
+FULL JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) sn
+ON cn.nk = sn.nk
+""",
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_cust")
+    )
+    s = t(spark, sf_dir, "supplier").groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_supp")
+    )
+    return c.join(s, "nk", "full").select(
+        F.col("nk").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_cheaper_parts
+FROM supplier s JOIN part p ON p.p_retailprice < s.s_acctbal
+GROUP BY s.s_suppkey, s.s_name
+""",
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi (theta) join → broadcast nested loop on the small side.
+    Scale path: banded theta joins should be rewritten as range-bucketed
+    equi-joins (see operators/asof.py docstring) — BNL is O(n·m)."""
+    s, p = t(spark, sf_dir, "supplier"), t(spark, sf_dir, "part")
+    return (
+        s.join(p, p.p_retailprice < s.s_acctbal)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_cheaper_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations  (reference: batch count consumer.py:288-289; NS full set)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_global",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       {sql_dsum("l_quantity", "sum_qty")},
+       MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+       {sql_davg("l_extendedprice", "avg_price")}
+FROM lineitem
+""",
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity", "sum_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        davg("l_extendedprice", "avg_price"),
+    )
+
+
+@query(
+    "q_agg_group",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum("l_quantity", "sum_qty")},
+       {sql_dsum("l_extendedprice", "sum_base_price")},
+       {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price", 25, 6)},
+       {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge", 25, 6)},
+       {sql_davg("l_quantity", "avg_qty")},
+       {sql_davg("l_discount", "avg_disc", 18, 4)},
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the canonical partial+final hash aggregate: at scale
+    the map-side combine collapses each partition to |groups| rows before the
+    shuffle, so the shuffle is O(groups × partitions), not O(rows)."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(disc_price, "sum_disc_price", 25, 6),
+        dsum(disc_price * (1 + F.col("l_tax")), "sum_charge", 25, 6),
+        davg("l_quantity", "avg_qty"),
+        davg("l_discount", "avg_disc", 18, 4),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+""",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query("q_agg_approx_distinct")  # rows-only: approximate by construction
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch counts — the 100 TB path for distinct-cardinality where
+    exact shuffle-distinct is too expensive. Not oracle-comparable (approx)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle=f"""
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust,
+       {sql_dsum("c_acctbal", "sum_bal")}
+FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+""",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return c.rollup("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("n_cust"), dsum("c_acctbal", "sum_bal")
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_agg_gsets",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       {sql_dsum("o_totalprice", "sum_price")}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_seen,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+""",
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set per group, order-normalized (array_sort) then serialized
+    so the cross-engine hash is stable (reference array fields: event.py:32)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types_seen"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+SELECT event_type,
+       ROUND(stddev_samp(value), 6) AS sd_value,
+       ROUND(var_samp(value), 6) AS var_value,
+       ROUND(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
+       ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50,
+       ROUND(CAST(quantile_cont(value, 0.9) AS DOUBLE), 6) AS p90
+FROM events GROUP BY event_type
+""",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates; rounded to 6dp — variance/corr accumulation
+    order differs across engines, exactness isn't recoverable via decimal."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+        F.round(F.corr("value", F.col("user_id").cast("double")), 6).alias("corr_vu"),
+        F.round(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)"), 6).alias("p50"),
+        F.round(F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY value)"), 6).alias("p90"),
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY user_id
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — never the two-pass inferred form,
+    which at scale adds a full extra scan just to discover headers."""
+    ev = t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "error", "signup", "view"])
+        .count()
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "purchase", "error", "signup", "view"]],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit  (reference: last-record selection consumer.py:179)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sort_limit",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""",
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k — Spark plans TakeOrderedAndProject: per-partition heaps
+    then a k-row merge at the driver; no global sort even at 100 TB."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+@query(
+    "q_sort_multi",
+    oracle="""
+SELECT event_id, event_type, value FROM events
+ORDER BY event_type ASC, value DESC, event_id LIMIT 50
+""",
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("event_type").asc(), F.col("value").desc(), F.col("event_id"))
+        .select("event_id", "event_type", "value")
+        .limit(50)
+    )

@@ -1,0 +1,131 @@
+"""Window functions: rank, lag/lead, frames, top-k per group.
+
+Grounding: sessionization building blocks over the reference's clickstream
+(`tealium_session_id`, /root/reference/record.json:3); rank/frames are NS.
+
+Determinism: every window ORDER BY carries a unique tie-break key
+(event_id / orderkey) — without it row_number/lag results are
+engine- and run-dependent, which breaks both the oracle compare and
+reproducibility on a cluster.
+
+Scale: a window over PARTITION BY k shuffles once on k and sorts within
+partitions; per-user clickstream windows co-partition with the streaming
+sink's layout, so at 100 TB these ride an existing partitioning. Skewed
+power-users are the risk — AQE skew handling plus bounded frames keep
+state per key O(frame), not O(partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_test_spark.registry import query
+from kinesis_test_spark.sources import t
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       row_number() OVER w AS rn,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "q_window_lag",
+    oracle="""
+SELECT event_id, user_id, ts,
+       lag(event_id) OVER w AS prev_event_id,
+       epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS gap_ms,
+       lead(event_id) OVER w AS next_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap per user — the sessionization primitive
+    (consumer.py's clickstream carries session ids, record.json:3)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))).alias("gap_ms"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+@query(
+    "q_window_frame",
+    oracle="""
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+       COUNT(*) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_last3
+FROM events
+""",
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit frames. Running SUM goes through decimal: DuckDB computes
+    windowed sums with a segment tree (different association order than
+    Spark's sequential accumulation) so double bits would diverge."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_value"),
+        F.count("*").over(w.rowsBetween(-2, Window.currentRow)).alias("n_last3"),
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+""",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranked-window filter. Catalyst's
+    InferWindowGroupLimit pushes the rn<=k limit into the window sort, so
+    each partition keeps a k-heap instead of fully sorting — the difference
+    between O(n log k) and O(n log n) per key at scale."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        ).filter(F.col("rn") <= 3)
+    )
