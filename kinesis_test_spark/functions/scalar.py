@@ -1,1 +1,385 @@
-"""Placeholder — filled in a later wave."""
+"""Scalar function families: string / url / date / math / array / map / json,
+plus the reference's nested-schema shapes (flatten, explode of audit arrays).
+
+Grounding (SURVEY.md §2B): user-agent & page_name parsing (event.py:12,22),
+URL-encoded query strings (event.py:23, record.json:15), the datetime
+partition-key function (consumer.py:221-232), decimal checkpoint arithmetic
+(consumer.py:189), array fields (event.py:27-37), JSON payload decode
+(consumer.py:123), nested→flat projection (event.py:10-26 vs record.json:3).
+
+Everything here is built-in `pyspark.sql.functions` — JVM-side, inside
+WholeStageCodegen; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_test_spark.registry import query
+from kinesis_test_spark.sources import t
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+SELECT c_custkey,
+       lower(c_name) AS lname,
+       substr(c_name, 10, 9) AS numpart,
+       CAST(length(c_name) AS INT) AS name_len,
+       split_part(c_name, '#', 2) AS after_hash,
+       CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+       concat(c_mktsegment, '-', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+       replace(c_name, 'Customer', 'cust') AS renamed,
+       trim(lpad(CAST(c_custkey AS VARCHAR), 8, '0')) AS padded,
+       CASE WHEN c_name LIKE 'Customer#%' THEN 1 ELSE 0 END AS is_cust
+FROM customer
+""",
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family (reference parses page names / user agents, event.py:12,22)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lname"),
+        F.substring("c_name", 10, 9).alias("numpart"),
+        F.length("c_name").alias("name_len"),
+        F.element_at(F.split("c_name", "#"), 2).alias("after_hash"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).cast("bigint").alias("name_num"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
+        F.regexp_replace("c_name", "Customer", "cust").alias("renamed"),
+        F.trim(F.lpad(F.col("c_custkey").cast("string"), 8, "0")).alias("padded"),
+        F.when(F.col("c_name").like("Customer#%"), 1).otherwise(0).alias("is_cust"),
+    )
+
+
+@query(
+    "q_fn_url",
+    oracle="""
+SELECT event_id,
+       'example.com' AS host,
+       '/search' AS path,
+       CAST(user_id AS VARCHAR) AS uid_param,
+       event_type AS type_param,
+       'uid=' || CAST(user_id AS VARCHAR) || '&type=' || event_type AS qstring
+FROM events
+""",
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (reference carries URL-encoded query strings,
+    event.py:23-31 / record.json:15). The engine builds a URL then proves
+    parse_url/str_to_map recover the parts the oracle states directly."""
+    ev = t(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://example.com/search?uid="),
+        F.col("user_id").cast("string"),
+        F.lit("&type="),
+        F.col("event_type"),
+    )
+    q = F.parse_url(url, F.lit("QUERY"))
+    return ev.select(
+        "event_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.element_at(F.str_to_map(q, F.lit("&"), F.lit("=")), "uid").alias("uid_param"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("type")).alias("type_param"),
+        q.alias("qstring"),
+    )
+
+
+@query(
+    "q_fn_date",
+    oracle="""
+SELECT event_id,
+       CAST(year(ts) AS INT) AS yy, CAST(month(ts) AS INT) AS mm,
+       CAST(day(ts) AS INT) AS dd, CAST(hour(ts) AS INT) AS hh,
+       CAST(minute(ts) AS INT) AS mi,
+       CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       date_trunc('day', ts) AS day_start,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS formatted,
+       epoch_ms(ts) AS ms,
+       make_timestamp(epoch_ms(ts) * 1000) AS from_ms,
+       datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since,
+       strftime(CAST(ts AS DATE) + 7, '%Y-%m-%d') AS week_later
+FROM events
+""",
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime family (reference: parse+format+extract, consumer.py:221-232;
+    epoch-millis event_time, event.py:6)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("yy"),
+        F.month("ts").alias("mm"),
+        F.dayofmonth("ts").alias("dd"),
+        F.hour("ts").alias("hh"),
+        F.minute("ts").alias("mi"),
+        F.dayofweek("ts").alias("dow"),
+        F.date_trunc("day", "ts").alias("day_start"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("formatted"),
+        F.unix_millis("ts").alias("ms"),
+        F.timestamp_millis(F.unix_millis("ts")).alias("from_ms"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("days_since"),
+        # stringified: DATE columns round-trip as midnight timestamps through
+        # pandas on the DuckDB side, so date-typed outputs are never returned
+        F.date_format(F.date_add(F.to_date("ts"), 7), "yyyy-MM-dd").alias("week_later"),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS price_r2,
+       abs(l_discount - 0.05) AS disc_dev,
+       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+       CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+       ROUND(ln(l_extendedprice), 6) AS log_price,
+       ROUND(sqrt(l_quantity), 6) AS qty_sqrt,
+       l_orderkey % 7 AS key_mod,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_discount, l_tax) AS min_rate,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE)
+         AS exact_product
+FROM lineitem
+""",
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family incl. exact decimal arithmetic (the reference does decimal
+    checkpoint-counter arithmetic, consumer.py:189)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice").cast("decimal(18,4)"), 2).cast("double").alias("price_r2"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.log("l_extendedprice"), 6).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("exact_product"),
+    )
+
+
+@query(
+    "q_fn_cond",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS price_band,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END AS urgent_price,
+       IF(o_orderstatus = 'F', 1, 0) AS is_final
+FROM orders
+""",
+)
+def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: CASE/COALESCE/NULLIF/IF."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")).alias(
+            "urgent_price"
+        ),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_final"),
+    )
+
+
+@query(
+    "q_fn_cast",
+    oracle="""
+SELECT event_id,
+       CAST(value AS VARCHAR) AS value_str,
+       CAST(TRUNC(value) AS BIGINT) AS value_int, -- Spark CAST truncates; DuckDB rounds
+       TRY_CAST(event_type AS DOUBLE) AS bad_cast,
+       CAST(CAST(user_id AS SMALLINT) AS INT) AS uid_small,
+       CAST(value > 1.0 AS BOOLEAN) AS above_one
+FROM events
+""",
+)
+def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts incl. TRY_CAST null-on-failure (the engine's PERMISSIVE stance
+    vs the reference's crash-on-bad-key, SURVEY.md §1.3)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("value").cast("string").alias("value_str"),
+        F.col("value").cast("int").cast("bigint").alias("value_int"),
+        F.col("event_type").try_cast("double").alias("bad_cast"),
+        F.col("user_id").cast("smallint").cast("int").alias("uid_small"),
+        (F.col("value") > 1.0).alias("above_one"),
+    )
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       string_split(text, ' ')[1] AS first_token,
+       string_split(text, ' ')[-1] AS last_token,
+       list_contains(string_split(text, ' '), 'the') AS has_the,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique,
+       array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS first3_sorted
+FROM documents
+""",
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family (reference arrays: message_event_types event.py:32,
+    data_quality event.py:33-37)."""
+    d = t(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(tokens).alias("n_tokens"),
+        F.element_at(tokens, 1).alias("first_token"),
+        F.element_at(tokens, -1).alias("last_token"),
+        F.array_contains(tokens, "the").alias("has_the"),
+        F.size(F.array_distinct(tokens)).alias("n_unique"),
+        F.concat_ws(",", F.slice(F.array_sort(tokens), 1, 3)).alias("first3_sorted"),
+    )
+
+
+@query(
+    "q_fn_map",
+    oracle="""
+SELECT event_id,
+       CAST(user_id AS VARCHAR) AS uid_from_map,
+       event_type AS type_from_map,
+       'type,uid' AS keys_sorted,
+       2 AS n_keys
+FROM events
+""",
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family — kv-array→map is the reference's query_string_array shape
+    (record.json:15: [["catalogId","12975"],...] → map)."""
+    ev = t(spark, sf_dir, "events")
+    kv = F.str_to_map(
+        F.concat(
+            F.lit("uid:"), F.col("user_id").cast("string"), F.lit(",type:"), F.col("event_type")
+        ),
+        F.lit(","),
+        F.lit(":"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(kv, "uid").alias("uid_from_map"),
+        F.element_at(kv, "type").alias("type_from_map"),
+        F.concat_ws(",", F.array_sort(F.map_keys(kv))).alias("keys_sorted"),
+        F.size(kv).alias("n_keys"),
+    )
+
+
+@query(
+    "q_fn_json",
+    oracle="""
+SELECT event_id,
+       regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS k_str,
+       CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) AS k,
+       CAST(NULL AS VARCHAR) AS missing,
+       '{"event_id":' || CAST(event_id AS VARCHAR) || ',"event_type":"' || event_type || '"}'
+         AS reencoded
+FROM events
+""",
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family (reference: json.loads per record, consumer.py:123;
+    re-encode mirrors its json.dumps sink, consumer.py:241)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+        F.to_json(F.struct("event_id", "event_type")).alias("reencoded"),
+    )
+
+
+@query(
+    "q_flatten",
+    oracle="""
+SELECT event_id,
+       CAST(user_id AS VARCHAR) AS visit_device_user_user_id,
+       'ua-' || event_type AS visit_device_useragent,
+       CAST(user_id % 100 AS VARCHAR) || '-sess' AS visit_tealium_session_id
+FROM events
+""",
+)
+def q_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct flatten to `_`-joined columns — the reference's two views
+    of one event: nested wire form (record.json:3) vs flattened projection
+    (event.py:10-26, e.g. visit.device.user.user_id →
+    visit_device_user_user_id). Build the nested form, then flatten."""
+    ev = t(spark, sf_dir, "events")
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.struct(
+                F.struct(F.col("user_id").cast("string").alias("user_id")).alias("user"),
+                F.concat(F.lit("ua-"), F.col("event_type")).alias("useragent"),
+            ).alias("device"),
+            F.concat((F.col("user_id") % 100).cast("string"), F.lit("-sess")).alias(
+                "tealium_session_id"
+            ),
+        ).alias("visit"),
+    )
+    return nested.select(
+        "event_id",
+        F.col("visit.device.user.user_id").alias("visit_device_user_user_id"),
+        F.col("visit.device.useragent").alias("visit_device_useragent"),
+        F.col("visit.tealium_session_id").alias("visit_tealium_session_id"),
+    )
+
+
+@query(
+    "q_explode_dq",
+    oracle="""
+SELECT event_id, issue_name, issue_value FROM (
+  SELECT event_id, 'value_high' AS issue_name, CAST(value AS VARCHAR) AS issue_value
+  FROM events WHERE value > 250
+  UNION ALL
+  SELECT event_id, 'check_user', CAST(user_id AS VARCHAR) FROM events WHERE value > 250
+  UNION ALL
+  SELECT event_id, 'value_mid', CAST(value AS VARCHAR)
+  FROM events WHERE value > 100 AND value <= 250
+  UNION ALL
+  SELECT event_id, NULL, NULL FROM events WHERE value <= 100
+)
+""",
+)
+def q_explode_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer of an array-of-structs — the reference's `data_quality`
+    audit rows (event.py:33-37; empty array at record.json:11 must still
+    yield a row, hence OUTER)."""
+    ev = t(spark, sf_dir, "events")
+    issue = lambda name, val: F.struct(  # noqa: E731
+        F.lit(name).alias("issue_name"), val.cast("string").alias("issue_value")
+    )
+    dq = (
+        F.when(
+            F.col("value") > 250,
+            F.array(issue("value_high", F.col("value")), issue("check_user", F.col("user_id"))),
+        )
+        .when(F.col("value") > 100, F.array(issue("value_mid", F.col("value"))))
+        .otherwise(F.array().cast("array<struct<issue_name:string,issue_value:string>>"))
+    )
+    exploded = ev.select("event_id", F.explode_outer(dq).alias("issue"))
+    return exploded.select(
+        "event_id",
+        F.col("issue.issue_name").alias("issue_name"),
+        F.col("issue.issue_value").alias("issue_value"),
+    )

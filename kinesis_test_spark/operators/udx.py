@@ -1,0 +1,111 @@
+"""User-defined function surface: Pandas UDF, grouped Pandas UDAF, UDTF.
+
+UDFs are the engine's slow path by policy: everything expressible with
+built-ins stays JVM-side (see functions/scalar.py). These operators exist
+to prove the extension points work with Arrow-vectorized transfer — the
+pattern any custom operator at 100 TB must follow (batch-at-a-time, never
+row-at-a-time Python).
+
+`q_udf_s3key` is the parity proof for the reference's one pure function
+`event_time_to_s3_key` (/root/reference/consumer.py:221-232, golden case
+test/consumer_test.py:10-12): the same value computed twice — Pandas UDF vs
+pure built-ins — must agree row-for-row.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType
+
+from kinesis_test_spark.registry import query
+from kinesis_test_spark.sources import t, views
+
+
+@pandas_udf(StringType())
+def _s3_key_udf(ts: pd.Series) -> pd.Series:
+    """y=YYYY/m=M/d=D/h=H — month/day/hour NOT zero-padded, exactly the
+    reference's layout (consumer.py:226-232)."""
+    return (
+        "y=" + ts.dt.year.astype(str)
+        + "/m=" + ts.dt.month.astype(str)
+        + "/d=" + ts.dt.day.astype(str)
+        + "/h=" + ts.dt.hour.astype(str)
+    )
+
+
+@query(
+    "q_udf_s3key",
+    oracle="""
+SELECT event_id,
+       'y=' || CAST(year(ts) AS VARCHAR) || '/m=' || CAST(month(ts) AS VARCHAR)
+       || '/d=' || CAST(day(ts) AS VARCHAR) || '/h=' || CAST(hour(ts) AS VARCHAR) AS key_udf,
+       'y=' || CAST(year(ts) AS VARCHAR) || '/m=' || CAST(month(ts) AS VARCHAR)
+       || '/d=' || CAST(day(ts) AS VARCHAR) || '/h=' || CAST(hour(ts) AS VARCHAR) AS key_builtin,
+       TRUE AS keys_agree
+FROM events
+""",
+)
+def q_udf_s3key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    builtin = F.format_string(
+        "y=%d/m=%d/d=%d/h=%d", F.year("ts"), F.month("ts"), F.dayofmonth("ts"), F.hour("ts")
+    )
+    return ev.select(
+        "event_id",
+        _s3_key_udf("ts").alias("key_udf"),
+        builtin.alias("key_builtin"),
+        (_s3_key_udf("ts") == builtin).alias("keys_agree"),
+    )
+
+
+@pandas_udf(DoubleType())
+def _weighted_mean(v: pd.Series, w: pd.Series) -> float:
+    return round(float((v * w).sum() / w.sum()), 6)
+
+
+@query(
+    "q_udaf_weighted",
+    oracle="""
+SELECT event_type,
+       ROUND(SUM(value * (event_id % 10 + 1)) / SUM(event_id % 10 + 1), 6) AS wmean
+FROM events GROUP BY event_type
+""",
+)
+def q_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg Pandas UDAF (Arrow batches): weighted mean per group.
+    Rounded — pandas and SQL accumulate doubles in different orders."""
+    ev = t(spark, sf_dir, "events")
+    w = (F.col("event_id") % 10 + 1).cast("double")
+    return ev.groupBy("event_type").agg(
+        _weighted_mean(F.col("value"), w).alias("wmean")
+    )
+
+
+@query(
+    "q_udtf_expand",
+    oracle="""
+WITH nums AS (SELECT unnest(generate_series(1, 64)) AS i)
+SELECT r_name, CAST(i AS INT) AS i
+FROM region, nums WHERE i <= r_regionkey + 1
+""",
+)
+def q_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (one row → many rows) via LATERAL join — the reference's
+    shard-list expansion shape (consumer.py:105-112: one stream → N shards)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="i int")
+    class Expand:
+        def eval(self, n: int):
+            for i in range(1, n + 1):
+                yield (i,)
+
+    spark.udtf.register("expand_udtf", Expand)
+    views(spark, sf_dir)
+    return spark.sql(
+        "SELECT r_name, e.i AS i FROM region, LATERAL expand_udtf(r_regionkey + 1) e"
+    )

@@ -56,6 +56,7 @@ def load_all() -> None:
         text,
         multimodal,
         sessionize,
+        udx,
     )
     from kinesis_test_spark.functions import scalar  # noqa: F401
     from kinesis_test_spark.streaming import queries as streaming_queries  # noqa: F401
