@@ -1,1 +1,329 @@
-"""Placeholder — filled in a later wave."""
+"""Deduplication operators — exact and near-duplicate detection.
+
+The reference's dedup is the sequence-number gate at
+/root/reference/consumer.py:292-303 (batch-granularity duplicate
+suppression). The engine generalizes it into the dedup family a
+training-data pipeline needs (NS mandate):
+
+  * q_dedup_exact        — exact row dedup (hash groupBy / dropDuplicates)
+  * q_dedup_minhash      — MinHash + LSH banding (shingle → minhash →
+                           band → bucket join → candidate pairs)
+  * q_dedup_simhash      — 16-bit SimHash fingerprints
+  * q_dedup_ngram_jaccard— exact word-3-gram Jaccard over candidate pairs
+  * q_dedup_embedding    — embedding-cosine near-dup within a blocking key
+
+Scale notes: the MinHash/LSH pipeline is the canonical 100 TB design —
+cost is O(rows × shingles × seeds) map-side plus a shuffle keyed on band
+signature; candidate verification touches only bucket collisions, never
+the n² pair space. Exact-jaccard does the shared-shingle join (inverted
+index) — correct at moderate scale, and the stepping stone the LSH path
+prunes. Embedding near-dup uses a blocking key (label — stand-in for a
+coarse quantization cell) to bound the pair space; the brute-force path
+without blocking is operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_test_spark.registry import query
+from kinesis_test_spark.sources import t
+
+N_SEEDS = 8
+N_BANDS = 4  # rows-per-band = 2
+MINHASH_THRESHOLD = 0.5
+JACCARD_THRESHOLD = 0.8
+COSINE_THRESHOLD = 0.4
+
+# ---------------------------------------------------------------------------
+# shared shingle SQL (DuckDB oracle side)
+# ---------------------------------------------------------------------------
+
+SQL_SHINGLES = """
+shingles AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
+"""
+
+
+def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s): distinct word-3-gram shingles per document."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+        ),
+    )
+    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("s"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (reference consumer.py:301 membership gate → dropDuplicates)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+SELECT doc_id, text, lang FROM (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id, text, lang FROM documents)
+GROUP BY doc_id, text, lang
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: duplicate the corpus (simulating replayed batches, the
+    reference's failure mode) then collapse identical rows."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return d.unionByName(d).dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+_seed_list = ", ".join(str(i) for i in range(N_SEEDS))
+_band_cases = ", ".join(str(b) for b in range(N_BANDS))
+
+MINHASH_ORACLE = f"""
+WITH {SQL_SHINGLES},
+seeds AS (SELECT unnest([{_seed_list}]) AS seed),
+mh AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS h
+  FROM shingles, seeds GROUP BY doc_id, seed),
+sig AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b, sig[2*b + 1] || sig[2*b + 2] AS bkey
+  FROM sig, (SELECT unnest([{_band_cases}]) AS b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id)
+SELECT doc_a, doc_b,
+       len([i FOR i IN generate_series(1, {N_SEEDS}) IF sa.sig[i] = sb.sig[i]]) / {N_SEEDS}.0
+         AS est_jaccard
+FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+WHERE len([i FOR i IN generate_series(1, {N_SEEDS}) IF sa.sig[i] = sb.sig[i]]) / {N_SEEDS}.0
+      >= {MINHASH_THRESHOLD}
+"""
+
+
+@query("q_dedup_minhash", oracle=MINHASH_ORACLE)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs.
+
+    shingle → (seed-salted md5, min per seed) → signature array →
+    band keys (2 rows/band × 4 bands) → bucket self-join → candidates →
+    estimated Jaccard = matching signature positions / seeds.
+
+    The only shuffles are the two groupBys (per-doc signature) and the
+    band-key self-join; no pairwise work outside colliding buckets."""
+    sh = _spark_shingles(spark, sf_dir)
+    seeds = spark.range(N_SEEDS).select(F.col("id").cast("int").alias("seed"))
+    mh = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("s"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("h"))
+    )
+    sig = mh.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seed", "h"))), lambda x: x["h"]
+        ).alias("sig")
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("b"),
+            F.concat(
+                F.element_at("sig", 2 * b + 1), F.element_at("sig", 2 * b + 2)
+            ).alias("bkey"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band")).select(
+        "doc_id", F.col("band.b").alias("b"), F.col("band.bkey").alias("bkey")
+    )
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.bkey") == F.col("c.bkey"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(N_SEEDS)),
+            lambda i: F.element_at("sig_a", i) == F.element_at("sig_b", i),
+        )
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (matches / F.lit(float(N_SEEDS))).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= MINHASH_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    from kinesis_test_spark.functions.porthash import sql_hex16
+
+    h = sql_hex16("w")
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN ({h} & {1 << k}) > 0 THEN 1 ELSE -1 END) AS s{k}"
+        for k in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN s{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(16))
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM words GROUP BY doc_id),
+fps AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits)
+SELECT doc_id, simhash,
+       COUNT(*) OVER (PARTITION BY simhash) AS n_same_fp
+FROM fps
+"""
+
+
+@query("q_dedup_simhash", oracle=_simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per word-occurrence hash, each bit votes ±1, sign of
+    the per-doc vote sum forms the fingerprint bit. Near-identical docs get
+    identical fingerprints (`n_same_fp` > 1). Single map + one groupBy —
+    the cheapest near-dup signal at scale."""
+    from kinesis_test_spark.functions.porthash import spark_hex16
+
+    d = t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    h = spark_hex16(F.col("w"))
+    bit_sums = [
+        F.sum(F.when(h.bitwiseAND(1 << k) > 0, 1).otherwise(-1)).alias(f"s{k}")
+        for k in range(16)
+    ]
+    bits = words.groupBy("doc_id").agg(*bit_sums)
+    fp = sum(
+        [F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(0) for k in range(16)],
+        start=F.lit(0),
+    ).cast("bigint")
+    fps = bits.select("doc_id", fp.alias("simhash"))
+    from pyspark.sql import Window
+
+    return fps.select(
+        "doc_id",
+        "simhash",
+        F.count("*").over(Window.partitionBy("simhash")).alias("n_same_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+WITH {SQL_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       n_inter / (sa.n + sb.n - n_inter) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard via inverted-index join (shared shingle →
+    candidate pair → |∩| count, sizes joined back). At 100 TB the hot-key
+    risk is stop-shingles shared by everything — mitigate by dropping
+    shingles with document frequency above a cap before the self-join
+    (cheap extra groupBy), or go through q_dedup_minhash instead."""
+    sh = _spark_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (blocked)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) >= {COSINE_THRESHOLD}
+""",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with `label` as the blocking key (stand-in
+    for a coarse quantization cell): pairs only form inside a block, so the
+    pair space is Σ|block|², not n². Cosine is a JVM-side zip_with/aggregate
+    fold — no Python, no UDF."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("e").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("e").alias("eb"))
+    dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = F.round(
+        dot(F.col("ea"), F.col("eb"))
+        / (F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))),
+        4,
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", "label", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
+    )

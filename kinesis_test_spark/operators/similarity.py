@@ -1,1 +1,126 @@
-"""Placeholder — filled in a later wave."""
+"""Similarity search over the embeddings table (NS mandate).
+
+  * q_sim_search     — exact brute-force cosine top-k (the correctness
+                       baseline; full scan, per-partition heap via top-k plan)
+  * q_sim_search_ivf — IVF-style two-stage search: assign vectors to the
+                       nearest of C fixed centroids (coarse quantizer),
+                       probe only the query's cell. The 100 TB path: the
+                       assignment is one broadcast join + argmax (map-side),
+                       search touches ~1/C of the data, and the cell id is
+                       a natural partition key for the vector store.
+
+All vector math is JVM-side (`zip_with` product + `aggregate` fold) — no
+Python UDFs. Scores are rounded to 6dp on both engines before ordering so
+float32→float64 promotion and summation order can't flip a rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_test_spark.registry import query
+from kinesis_test_spark.sources import t
+
+TOP_K = 10
+N_CENTROIDS = 8
+QUERY_VEC_ID = 0
+
+
+def _dot(u: Column, v: Column) -> Column:
+    return F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+
+
+def cosine(u: Column, v: Column, ndigits: int = 6) -> Column:
+    return F.round(_dot(u, v) / (F.sqrt(_dot(u, u)) * F.sqrt(_dot(v, v))), ndigits)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+
+
+@query(
+    "q_sim_search",
+    oracle=f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+           WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, vec_id
+LIMIT {TOP_K}
+""",
+)
+def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query vector against the full
+    table; TakeOrderedAndProject keeps a k-heap per partition — no global
+    sort, no shuffle of the vector column."""
+    v = _vectors(spark, sf_dir)
+    q = F.broadcast(
+        v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
+    )
+    return (
+        v.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(q)
+        .select("vec_id", "label", cosine(F.col("e"), F.col("qe")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+@query(
+    "q_sim_search_ivf",
+    oracle=f"""
+WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+              FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT v.vec_id, v.label, v.e, cent.cid,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND(list_cosine_similarity(v.e, cent.ce), 6) DESC, cent.cid) AS rn
+  FROM v, cent),
+assigned AS (SELECT vec_id, label, e, cid FROM scored WHERE rn = 1),
+qc AS (SELECT cid, e AS qe FROM assigned WHERE vec_id = {QUERY_VEC_ID})
+SELECT a.vec_id, a.label, a.cid,
+       ROUND(list_cosine_similarity(a.e, qc.qe), 6) AS cos_sim
+FROM assigned a, qc
+WHERE a.cid = qc.cid AND a.vec_id <> {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, vec_id
+LIMIT {TOP_K}
+""",
+)
+def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: fixed coarse codebook (first C vectors as centroids —
+    a deterministic stand-in for k-means), assign via broadcast argmax,
+    search only the query's cell. Recall < exact by construction; compare
+    with q_sim_search for the tradeoff."""
+    v = _vectors(spark, sf_dir)
+    cent = F.broadcast(
+        v.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    assigned = (
+        v.crossJoin(cent)
+        .select("vec_id", "label", "e", "cid", cosine(F.col("e"), F.col("ce")).alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "e", "cid")
+    )
+    qc = F.broadcast(
+        assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("cid").alias("qcid"), F.col("e").alias("qe")
+        )
+    )
+    return (
+        assigned.join(qc, F.col("cid") == F.col("qcid"))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", "cid", cosine(F.col("e"), F.col("qe")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )

@@ -1,1 +1,224 @@
-"""Placeholder — filled in a later wave."""
+"""Text analysis over the documents table (NS mandate).
+
+  * q_text_stats       — per-doc token statistics
+  * q_text_wordcount   — corpus-level term frequencies (top-k)
+  * q_text_langid      — n-gram/stopword-profile language ID heuristic
+  * q_text_quality     — quality scoring (length / stopword / char ratios)
+  * q_text_tokens      — token counting: whitespace + BPE-ish regex + est.
+  * q_text_fingerprint — positional rolling-hash document fingerprint
+
+All pure `pyspark.sql.functions` — split/explode/filter/transform run
+inside codegen; nothing leaves the JVM. At 100 TB these are embarrassingly
+parallel map-side ops except wordcount's single groupBy(word) (skew-prone
+for stopwords → partial aggregation absorbs it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_test_spark.functions.porthash import spark_hex16, sql_hex16
+from kinesis_test_spark.registry import query
+from kinesis_test_spark.sources import t
+
+# language "profiles": stopword lists the score counts occurrences of.
+LANG_PROFILES = {
+    "en": ["the", "a", "of", "and"],
+    "es": ["el", "la", "de", "y"],
+    "fr": ["le", "la", "de", "et"],
+}
+STOPWORDS = ["the", "a", "of", "and"]
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique,
+       CAST(length(text) AS INT) AS n_chars_measured,
+       CAST(length(text) - length(replace(text, ' ', '')) AS INT) AS n_spaces,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         / len(string_split(text, ' ')) AS ttr
+FROM documents
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_unique"),
+        F.length("text").alias("n_chars_measured"),
+        (F.length("text") - F.length(F.regexp_replace("text", " ", ""))).alias("n_spaces"),
+        (
+            F.size(F.array_distinct(words)).cast("bigint") / F.size(words)
+        ).alias("ttr"),
+    )
+
+
+@query(
+    "q_text_wordcount",
+    oracle="""
+SELECT w AS word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w
+ORDER BY n DESC, word
+LIMIT 20
+""",
+)
+def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+def _langid_oracle() -> str:
+    scores = ",\n       ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w IN "
+        f"({', '.join(repr(w) for w in ws)}))) AS s_{lang}"
+        for lang, ws in LANG_PROFILES.items()
+    )
+    langs = list(LANG_PROFILES)
+    best = " ".join(
+        f"WHEN s_{l} >= greatest({', '.join('s_' + o for o in langs)}) AND s_{l} > 0 "
+        f"THEN '{l}'"
+        for l in langs
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+       {scores}
+  FROM documents)
+SELECT doc_id, lang AS lang_labeled,
+       CASE {best} ELSE 'und' END AS lang_pred
+FROM scored
+"""
+
+
+@query("q_text_langid", oracle=_langid_oracle())
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: count profile-word occurrences per
+    language, argmax with fixed priority, 'und' when nothing matches."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_labeled"),
+        *[
+            F.size(F.filter(words, lambda w: w.isin(ws))).alias(f"s_{lang}")
+            for lang, ws in LANG_PROFILES.items()
+        ],
+    )
+    langs = list(LANG_PROFILES)
+    expr = None
+    for l in langs:
+        cond = (F.col(f"s_{l}") >= F.greatest(*[F.col(f"s_{o}") for o in langs])) & (
+            F.col(f"s_{l}") > 0
+        )
+        expr = F.when(cond, l) if expr is None else expr.when(cond, l)
+    return scored.select("doc_id", "lang_labeled", expr.otherwise("und").alias("lang_pred"))
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       len(list_filter(string_split(text, ' '),
+           w -> w IN ({', '.join(repr(w) for w in STOPWORDS)})))
+         / CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio,
+       CAST(length(replace(text, ' ', '')) AS BIGINT) / length(text) AS alpha_ratio,
+       ROUND(least(1.0, len(string_split(text, ' ')) / 100.0) *
+             (1 - len(list_filter(string_split(text, ' '),
+                  w -> w IN ({', '.join(repr(w) for w in STOPWORDS)})))
+                / CAST(len(string_split(text, ' ')) AS BIGINT)), 6) AS quality_score
+FROM documents
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length saturation × (1 - stopword ratio). The
+    component ratios are returned so downstream filters can re-threshold
+    without recomputing."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    stop_ratio = n_stop / n_words.cast("bigint")
+    alpha_ratio = F.length(F.regexp_replace("text", " ", "")).cast("bigint") / F.length("text")
+    score = F.round(
+        F.least(F.lit(1.0), n_words / F.lit(100.0)) * (1 - stop_ratio), 6
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        stop_ratio.alias("stop_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+FROM documents
+""",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex word/punct split,
+    and the chars/4 heuristic LLM pipelines use for budget estimates."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "re_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).alias("est_bpe_tokens"),
+    )
+
+
+FP_WORDS = 16
+FP_BASE = 7
+_POWS = [FP_BASE ** (FP_WORDS - 1 - i) for i in range(FP_WORDS)]
+
+
+def _fingerprint_oracle() -> str:
+    code = sql_hex16("w[i]")
+    pows = "[" + ", ".join(str(p) for p in _POWS) + "]"
+    return f"""
+SELECT doc_id,
+       CAST(list_sum(list_transform(generate_series(1, least({FP_WORDS}, len(w))),
+            i -> {code} * ({pows})[i])) AS BIGINT) AS fingerprint
+FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""
+
+
+@query("q_text_fingerprint", oracle=_fingerprint_oracle())
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional rolling-hash fingerprint over the first 16 words:
+    Σ code(wᵢ)·7^(15-i) with code = portable 16-bit md5 projection. Exact
+    int64 arithmetic → associative → order-independent across engines.
+    (A modular full-document Rabin-Karp needs a sequential fold — doable
+    with F.aggregate, but its oracle is not portably expressible.)"""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    pows = F.array(*[F.lit(p) for p in _POWS])
+    terms = F.transform(
+        F.sequence(F.lit(1), F.least(F.lit(FP_WORDS), F.size(words))),
+        lambda i: spark_hex16(F.element_at(words, i)) * F.element_at(pows, i),
+    )
+    fp = F.aggregate(terms, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    return d.select("doc_id", fp.alias("fingerprint"))
