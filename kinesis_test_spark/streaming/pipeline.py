@@ -1,0 +1,119 @@
+"""Structured Streaming pipeline — the reference's consume loop, Spark-managed.
+
+Reference dataflow (/root/reference/consumer.py:252-320):
+    shard iterator → get_records(1000) → JSON decode → checkpoint-gated
+    dedup → S3 JSON sink partitioned y=/m=/d=/h= → checkpoint advance.
+
+Engine mapping (SURVEY.md §2A): the whole loop is one streaming query —
+    readStream (file source standing in for Kinesis; the connector is a
+    format swap) → event-time transforms → writeStream with
+    checkpointLocation; offset log + commit log subsume the DynamoDB lease
+    table (consumer.py:169-218), and `Trigger.AvailableNow` gives the
+    deterministic drain the tests and oracles rely on.
+
+Hermetic source: the driver-generated events parquet, streamed via
+`pathGlobFilter` or staged copies under `.scratch/` when a test needs
+multi-batch arrival order (late data, restart).
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+SCRATCH_ROOT = Path(__file__).resolve().parent.parent.parent / ".scratch"
+
+
+def scratch_dir(name: str) -> Path:
+    """Fresh per-invocation scratch area (checkpoints, staged sources, sinks)."""
+    base = SCRATCH_ROOT / name
+    if base.exists():
+        shutil.rmtree(base)
+    d = base / uuid.uuid4().hex[:8]
+    d.mkdir(parents=True)
+    return d
+
+
+def events_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """File-source streams need an explicit schema (no inference at runtime).
+    ts arrives as long nanos (see sources/tables.py)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    assert isinstance(schema["ts"].dataType, LongType)
+    return StructType([StructField(f.name, f.dataType, f.nullable) for f in schema])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded read over the events table (reference get_iterator +
+    get_records, consumer.py:92-130). `startingPosition=TRIM_HORIZON`
+    maps to a file source consuming the directory from the beginning."""
+    raw = (
+        spark.readStream.schema(events_schema(spark, sf_dir))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def read_staged_stream(spark: SparkSession, sf_dir: str, stage: Path, **options) -> DataFrame:
+    """Stream from a staged directory the test controls file-by-file
+    (arrival-order experiments: duplicates, late data, restart)."""
+    raw = spark.readStream.schema(events_schema(spark, sf_dir)).options(**options).parquet(
+        str(stage)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stage_events(spark: SparkSession, sf_dir: str, stage: Path, name: str, where: str | None = None) -> None:
+    """Copy (a filtered slice of) events into the staged source dir as one
+    parquet file — one 'batch arrival' from the source's perspective."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if where:
+        df = df.filter(where)
+    tmp = stage.parent / f"_tmp_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+    part = next(Path(tmp).glob("part-*.parquet"))
+    stage.mkdir(parents=True, exist_ok=True)
+    shutil.move(str(part), stage / f"{name}.parquet")
+    shutil.rmtree(tmp)
+
+
+def run_to_memory(df: DataFrame, name: str, checkpoint: Path, output_mode: str = "append") -> None:
+    """Drain the stream (AvailableNow) into an in-memory sink table."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(checkpoint))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def partitioned_json_sink(df: DataFrame, out_dir: Path, checkpoint: Path) -> None:
+    """The reference's S3 sink (consumer.py:221-249): event-time partitioned
+    JSON, y/m/d/h — via foreachBatch so the layout matches exactly; Spark
+    task-attempt files replace the uuid object names."""
+    with_parts = df.select(
+        "*",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+    ).withColumn("ts", F.col("ts").cast("string"))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.partitionBy("y", "m", "d", "h").mode("append").json(str(out_dir))
+
+    q = (
+        with_parts.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(checkpoint))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

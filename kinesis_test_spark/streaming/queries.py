@@ -1,1 +1,293 @@
-"""Placeholder — filled in a later wave."""
+"""Streaming operator queries (SURVEY.md §2B streaming slice).
+
+Each callable runs a real Structured Streaming query to completion
+(Trigger.AvailableNow — deterministic drain) and returns the result as a
+DataFrame. Where the drained result is batch-deterministic the query
+carries a full DuckDB oracle — the streaming path must produce exactly the
+batch answer; genuinely arrival-order-dependent semantics (late-data drop,
+checkpoint restart) are exercised with controlled multi-phase runs and
+asserted in tests/test_streaming.py.
+
+Reference parity: ingest = consumer.py:92-130; dedup = consumer.py:292-303
+(upgraded from batch-granularity to record-level, exactly-once); the
+partitioned sink = consumer.py:221-249; checkpoint resume =
+consumer.py:169-218 + README.md:2-6 (lease table → offset/commit logs).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_test_spark.registry import query
+from kinesis_test_spark.streaming.pipeline import (
+    partitioned_json_sink,
+    read_events_stream,
+    read_staged_stream,
+    run_to_memory,
+    scratch_dir,
+    stage_events,
+)
+
+
+def _mem_name(prefix: str) -> str:
+    return f"{prefix}_{uuid.uuid4().hex[:8]}"
+
+
+@query(
+    "s_ingest",
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def s_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded ingest drained with AvailableNow; complete-mode counts must
+    equal the batch answer exactly."""
+    d = scratch_dir("s_ingest")
+    name = _mem_name("ingest")
+    counts = read_events_stream(spark, sf_dir).groupBy("event_type").agg(F.count("*").alias("n"))
+    run_to_memory(counts, name, d / "cp", output_mode="complete")
+    return spark.table(name)
+
+
+@query(
+    "s_tumbling",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2, 3
+""",
+)
+def s_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (the reference's hourly y/m/d/h layout,
+    consumer.py:226-232, as a first-class windowed aggregation)."""
+    d = scratch_dir("s_tumbling")
+    name = _mem_name("tumbling")
+    win = (
+        read_events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+    run_to_memory(win, name, d / "cp", output_mode="complete")
+    return spark.table(name)
+
+
+@query(
+    "s_sliding",
+    oracle="""
+SELECT ws AS window_start, ws + INTERVAL '1 hour' AS window_end, COUNT(*) AS n
+FROM (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+  FROM events)
+GROUP BY ws
+""",
+)
+def s_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h length, 30m hop): every event lands in exactly
+    two windows; the oracle materializes both membership rows."""
+    d = scratch_dir("s_sliding")
+    name = _mem_name("sliding")
+    win = (
+        read_events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+        )
+    )
+    run_to_memory(win, name, d / "cp", output_mode="complete")
+    return spark.table(name)
+
+
+@query(
+    "s_session",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+  FROM flagged)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, seq
+""",
+)
+def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows, 30m gap (the reference data's
+    tealium_session_id concept, record.json:3, derived from event time).
+    Spark merges events with gap < 30m; window end = last event + gap —
+    the oracle reproduces exactly that."""
+    d = scratch_dir("s_session")
+    name = _mem_name("session")
+    win = (
+        read_events_stream(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    run_to_memory(win, name, d / "cp", output_mode="complete")
+    return spark.table(name)
+
+
+@query(
+    "s_dedup",
+    oracle="SELECT event_id, user_id, event_type, ts, value FROM events",
+)
+def s_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-level streaming dedup (upgrades the reference's
+    batch-granularity gate, consumer.py:292-303): the source replays the
+    whole table twice (two staged files); dropDuplicates on the record key
+    must reconstruct exactly one copy."""
+    d = scratch_dir("s_dedup")
+    stage = d / "src"
+    stage_events(spark, sf_dir, stage, "a")
+    stage_events(spark, sf_dir, stage, "b")
+    name = _mem_name("dedup")
+    deduped = (
+        read_staged_stream(spark, sf_dir, stage)
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+    run_to_memory(deduped, name, d / "cp", output_mode="append")
+    return spark.table(name)
+
+
+@query(
+    "s_sink_partitioned",
+    oracle="""
+SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+       CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2, 3, 4
+""",
+)
+def s_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's S3 sink end-to-end (consumer.py:221-249): stream →
+    foreachBatch → JSON files under y=/m=/d=/h= partition dirs, then read
+    the files back and count per partition — verifying layout and content
+    arrived."""
+    d = scratch_dir("s_sink")
+    out = d / "out"
+    partitioned_json_sink(read_events_stream(spark, sf_dir), out, d / "cp")
+    back = spark.read.option("basePath", str(out)).json(str(out))
+    return (
+        back.groupBy(
+            F.col("y").cast("int").alias("y"),
+            F.col("m").cast("int").alias("m"),
+            F.col("d").cast("int").alias("d"),
+            F.col("h").cast("int").alias("h"),
+        ).agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "s_stateful_count",
+    oracle="SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
+)
+def s_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-key state in update mode (the lease-counter pattern,
+    consumer.py:189: monotonically advancing per-key state)."""
+    d = scratch_dir("s_stateful")
+    name = _mem_name("stateful")
+    counts = read_events_stream(spark, sf_dir).groupBy("user_id").agg(F.count("*").alias("n"))
+    run_to_memory(counts, name, d / "cp", output_mode="update")
+    return spark.table(name)
+
+
+@query("s_watermark")  # rows-only: arrival-order semantics, asserted in tests
+def s_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data drop: phase 1 streams recent events (watermark advances),
+    phase 2 delivers older-than-watermark events — they must be dropped.
+    Returns the append-mode finalized windows; tests assert no pre-cutoff
+    window ever appears (the reference, by contrast, happily writes late
+    events into old partitions — consumer.py:237)."""
+    # staged files keep the raw schema (ts = long nanos) — split on nanos
+    lo_ns, hi_ns = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").agg(F.min("ts"), F.max("ts")).first()
+    )
+    mid_ns = (lo_ns + hi_ns) // 2
+    d = scratch_dir("s_watermark")
+    stage = d / "src"
+    stage_events(spark, sf_dir, stage, "recent", where=f"ts >= {mid_ns}")
+    name = _mem_name("wm")
+    windowed = (
+        read_staged_stream(spark, sf_dir, stage)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(d / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    stage_events(spark, sf_dir, stage, "late", where=f"ts < {mid_ns}")
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+@query(
+    "s_checkpoint",
+    oracle="SELECT event_id, user_id, event_type, ts, value FROM events",
+)
+def s_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kill-and-resume exactly-once (the whole point of the reference's
+    lease table, consumer.py:169-218): first half of the stream is
+    processed, the query stops, the second half arrives, a NEW query on the
+    same checkpointLocation resumes — the sink must hold each record
+    exactly once, no replays, no gaps."""
+    d = scratch_dir("s_checkpoint")
+    stage, sink, cp = d / "src", d / "sink", d / "cp"
+    lo, hi = spark.read.parquet(f"{sf_dir}/events.parquet").agg(
+        F.min("event_id"), F.max("event_id")
+    ).first()
+    mid = (lo + hi) // 2  # event_id split point, any sf
+    cols = ["event_id", "user_id", "event_type", "ts", "value"]
+
+    def run_once() -> None:
+        stream = read_staged_stream(spark, sf_dir, stage).select(*cols)
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(str(sink))
+
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", str(cp))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage_events(spark, sf_dir, stage, "first", where=f"event_id < {mid}")
+    run_once()  # query terminates — the 'kill'
+    stage_events(spark, sf_dir, stage, "second", where=f"event_id >= {mid}")
+    run_once()  # fresh query, same checkpoint — the 'resume'
+    return spark.read.parquet(str(sink))

@@ -1,0 +1,40 @@
+"""Streaming-semantics tests beyond oracle parity: arrival-order behaviors
+(late-data drop, checkpoint resume) that batch SQL can't express."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from kinesis_test_spark import registry
+
+registry.load_all()
+
+
+def test_watermark_drops_late_data(spark, sf_dir):
+    """Phase-2 (older than watermark) events must not surface any window
+    before the cutoff; the kept rows must undercount the full table."""
+    out = registry.QUERIES["s_watermark"](spark, sf_dir).toPandas()
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert len(out) > 0
+    emitted = int(out["n"].sum())
+    assert emitted < total  # late slice never counted
+    lo = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "timestamp_micros(min(ts) div 1000) AS lo"
+    ).first()["lo"]
+    # no finalized window from the pre-cutoff (late) half of the timeline
+    assert out["window_start"].min() > pd.Timestamp(lo)
+
+
+def test_checkpoint_resume_exactly_once(spark, sf_dir):
+    """After kill-and-resume, the sink holds each event exactly once."""
+    out = registry.QUERIES["s_checkpoint"](spark, sf_dir).toPandas()
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert len(out) == src
+    assert out["event_id"].nunique() == src
+
+
+def test_dedup_removes_replay(spark, sf_dir):
+    """Replaying the stream twice yields exactly one copy of each record."""
+    out = registry.QUERIES["s_dedup"](spark, sf_dir).toPandas()
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert len(out) == src
