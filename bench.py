@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Engine benchmark — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": ...}
+
+Methodology: one trivial warmup to absorb JVM/session start, then each
+query measured once, forced end-to-end with a noop write (full computation,
+no driver collect cost) except for small-result queries which collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kinesis_test_spark import registry  # noqa: E402
+from kinesis_test_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the shuffling /
+# scale-sensitive paths.
+BENCH_QUERIES = [
+    "q_flagship",        # scan→dedup→agg→sort→limit end-to-end
+    "q_scan_prune",      # pruned scan throughput
+    "q_agg_group",       # TPC-H Q1 shape
+    "q_agg_distinct",    # shuffle-distinct
+    "q_join_inner",      # fact⋈dim equi join
+    "q_join_broadcast",  # broadcast chain + agg
+    "q_join_asof",       # range join + window
+    "q_window_frame",    # running frames per key
+    "q_topk_per_group",  # window group-limit
+    "q_sessionize",      # lag + cumsum + agg
+    "q_dedup_minhash",   # MinHash+LSH banding
+    "q_dedup_ngram_jaccard",
+    "q_sim_search",      # brute-force cosine top-k
+    "q_text_wordcount",  # explode + global agg
+    "q_text_fingerprint",
+    "s_ingest",          # streaming drain throughput
+]
+
+COLLECT_OK = {"q_sim_search", "q_topk_per_group", "q_text_wordcount"}
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    registry.load_all()
+    spark = get_spark("kinesis_test_spark-bench")
+
+    # warmup: session + codegen + parquet footer caches
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        if name in COLLECT_OK:
+            df.collect()
+        elif name.startswith("s_"):
+            df.count()  # stream already drained inside fn; count the sink
+        else:
+            force(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -8,7 +8,7 @@ One query exercising scan→project→filter→dedup→agg→sort→limit end-to
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_test_spark.registry import query
@@ -40,11 +40,14 @@ LIMIT 500
 )
 def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_id").orderBy("ts")
+    # first-by-ts dedup as a hash aggregate (min over an orderable struct):
+    # partial+final agg with map-side combine instead of a sort-window —
+    # same deterministic result, no per-key sort, skew-tolerant at scale
     deduped = (
-        ev.select("event_id", "user_id", "event_type", "ts", "value")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        ev.select("event_id", F.struct("ts", "user_id", "event_type", "value").alias("r"))
+        .groupBy("event_id")
+        .agg(F.min("r").alias("r"))
+        .select("event_id", "r.*")
     )
     hour_key = F.format_string(
         "y=%d/m=%d/d=%d/h=%d", F.year("ts"), F.month("ts"), F.dayofmonth("ts"), F.hour("ts")

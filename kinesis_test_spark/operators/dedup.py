@@ -51,8 +51,15 @@ shingles AS (
 
 
 def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s): distinct word-3-gram shingles per document."""
-    d = t(spark, sf_dir, "documents")
+    """(doc_id, s): distinct word-3-gram shingles per document.
+
+    Repartitioned before the explode: the test tables are single parquet
+    files (one input split), which would serialize the md5-heavy shingle
+    work onto one core — on a real multi-file/multi-row-group table the
+    scan itself provides this parallelism."""
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     words = F.split("text", " ")
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0)))
     sh = F.transform(
@@ -123,24 +130,20 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band keys (2 rows/band × 4 bands) → bucket self-join → candidates →
     estimated Jaccard = matching signature positions / seeds.
 
-    The only shuffles are the two groupBys (per-doc signature) and the
-    band-key self-join; no pairwise work outside colliding buckets."""
+    All N_SEEDS minima are computed in ONE groupBy pass (one agg column per
+    seed) — no seed cross-join, so shuffle volume is |shingles| rows once,
+    collapsed by the map-side combine to |docs| rows before the exchange.
+    The only other shuffle is the band-key self-join; no pairwise work
+    outside colliding buckets."""
     sh = _spark_shingles(spark, sf_dir)
-    seeds = spark.range(N_SEEDS).select(F.col("id").cast("int").alias("seed"))
-    mh = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("s"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("h"))
-    )
-    sig = mh.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("seed", "h"))), lambda x: x["h"]
-        ).alias("sig")
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("s")))).alias(f"m{s}")
+        for s in range(N_SEEDS)
+    ]
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[F.col(f"m{s}") for s in range(N_SEEDS)]).alias("sig"))
     )
     band_structs = [
         F.struct(
@@ -217,7 +220,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cheapest near-dup signal at scale."""
     from kinesis_test_spark.functions.porthash import spark_hex16
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     h = spark_hex16(F.col("w"))
     bit_sums = [

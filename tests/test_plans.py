@@ -1,0 +1,58 @@
+"""Plan-shape pins: the properties that make queries scale, asserted on the
+physical plan so they can't silently regress (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from kinesis_test_spark import plans, registry
+
+registry.load_all()
+
+
+def q(name, spark, sf_dir):
+    return registry.QUERIES[name](spark, sf_dir)
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """Projection must reach the parquet reader — 3 of 11 columns read."""
+    rs = plans.read_schema(q("q_scan_prune", spark, sf_dir))
+    assert "l_orderkey" in rs and "l_extendedprice" in rs
+    assert "l_comment" not in rs and "l_quantity" not in rs
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    pf = plans.pushed_filters(q("q_filter_range", spark, sf_dir))
+    assert "l_shipdate" in pf and "l_quantity" in pf
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    """lineitem ⋈ supplier ⋈ nation ⋈ region: every dim side broadcast —
+    the fact table must never shuffle for dim joins."""
+    plan = plans.formatted(q("q_join_broadcast", spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # formatted lists tree + details
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_heap_not_global_sort(spark, sf_dir):
+    assert not plans.has(q("q_sort_limit", spark, sf_dir), "TakeOrderedAndProject")
+
+
+def test_window_topk_group_limit(spark, sf_dir):
+    """rn <= k must push into the window sort (WindowGroupLimit)."""
+    assert not plans.has(q("q_topk_per_group", spark, sf_dir), "WindowGroupLimit")
+
+
+def test_agg_is_partial_final(spark, sf_dir):
+    """Q1-shape agg: map-side combine before the shuffle."""
+    plan = plans.formatted(q("q_agg_group", spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_semi_join_broadcast_no_shuffle_of_fact(spark, sf_dir):
+    plan = plans.formatted(q("q_join_semi", spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_sim_search_broadcasts_query_vector(spark, sf_dir):
+    plan = plans.formatted(q("q_sim_search", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert not plans.has(q("q_sim_search", spark, sf_dir), "TakeOrderedAndProject")
