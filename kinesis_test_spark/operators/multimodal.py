@@ -111,3 +111,45 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return d.mapInPandas(decode_batch, schema=DECODE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_md5 string"
+
+
+def frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame sampling stub: one row per 'frame', count derived from payload
+    length (a real video decoder yields the same shape: doc_id × frame)."""
+    import hashlib
+
+    for pdf in batches:
+        rows = {"doc_id": [], "frame_idx": [], "frame_md5": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = len(payload) % 5 + 1
+            for i in range(1, n_frames + 1):
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(i)
+                rows["frame_md5"].append(
+                    hashlib.md5(payload + b":" + str(i).encode()).hexdigest()
+                )
+        out = pd.DataFrame(rows)
+        out["frame_idx"] = out["frame_idx"].astype("int32")
+        yield out
+
+
+@query(
+    "q_mm_frames",
+    oracle="""
+WITH nums AS (SELECT unnest(generate_series(1, 5)) AS i)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       md5(text || ':' || CAST(i AS VARCHAR)) AS frame_md5
+FROM documents, nums
+WHERE i <= length(text) % 5 + 1
+""",
+)
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-payload→many-frames via mapInPandas (the video frame-sampling
+    shape): binary in, typed frame rows out, row count data-dependent."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(frame_sample_batch, schema=FRAME_SCHEMA)

@@ -129,3 +129,36 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
         ).filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "q_window_dist",
+    oracle="""
+SELECT c_custkey, c_acctbal,
+       ntile(4) OVER w AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cdist,
+       first_value(c_custkey) OVER w AS richest_in_segment,
+       last_value(c_custkey) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS poorest_in_segment
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist) and
+    first/last_value with an explicit full frame — last_value's default
+    frame ends at CURRENT ROW, the classic trap, made explicit here."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("c_custkey").over(w).alias("richest_in_segment"),
+        F.last("c_custkey").over(wfull).alias("poorest_in_segment"),
+    )

@@ -57,6 +57,9 @@ def load_all() -> None:
         multimodal,
         sessionize,
         udx,
+        nested,
+        subqueries,
+        tpch,
     )
     from kinesis_test_spark.functions import scalar  # noqa: F401
     from kinesis_test_spark.streaming import queries as streaming_queries  # noqa: F401

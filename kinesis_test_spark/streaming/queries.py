@@ -291,3 +291,53 @@ def s_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_events(spark, sf_dir, stage, "second", where=f"event_id >= {mid}")
     run_once()  # fresh query, same checkpoint — the 'resume'
     return spark.read.parquet(str(sink))
+
+
+@query(
+    "s_json_ingest",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def s_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON wire-format ingest — the reference's actual decode path
+    (consumer.py:123: raw bytes → json.loads): events staged as JSON-lines
+    files, streamed with an explicit schema, timestamps re-parsed, then
+    aggregated; must reproduce the batch answer exactly."""
+    from pyspark.sql import types as T
+
+    d = scratch_dir("s_json_ingest")
+    src = d / "src"
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    batch.coalesce(1).write.mode("overwrite").json(str(src))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    )
+    name = _mem_name("json_ingest")
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    run_to_memory(agg, name, d / "cp", output_mode="complete")
+    return spark.table(name)
