@@ -1,0 +1,135 @@
+"""Scale-pattern operators: the shuffle-shaping techniques that keep the
+engine healthy at 100 TB, each proven result-identical to its naive form
+via the DuckDB oracle.
+
+  * q_join_skew_salted — salted replication join: hot keys are spread over
+    S salt buckets (fact side salts by a uniform key, dim side replicates
+    ×S), so no single reducer owns a hot key. Result must equal the plain
+    join bit-for-bit.
+  * q_join_range_bucket — banded theta join (|Δts| ≤ w within a key)
+    rewritten as a time-bucketed equi-join + exact residual filter: shuffle
+    on (key, bucket) instead of a nested-loop pair scan. The standard
+    rewrite for interval/as-of workloads.
+  * q_sink_bucketed — partitioned + bucketed batch sink: the write-side
+    layout that lets later joins/aggs on the bucket key skip their shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_test_spark.registry import query
+from kinesis_test_spark.sources import t
+
+N_SALTS = 8
+BAND_SEC = 300  # 5-minute pairing band
+
+
+@query(
+    "q_join_skew_salted",
+    oracle="""
+SELECT e.event_id, e.user_id % 3 AS skew_key,
+       'grp-' || CAST(e.user_id % 3 AS VARCHAR) AS grp_name
+FROM events e
+""",
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join: fact keyed on a deliberately hot key (user_id % 3 —
+    three giant keys), dim replicated across N_SALTS salts, join on
+    (key, salt). Each hot key's rows land on N_SALTS reducers instead of
+    one. Oracle = the unsalted join, proving the rewrite changes only the
+    physical distribution."""
+    ev = t(spark, sf_dir, "events")
+    fact = ev.select(
+        "event_id",
+        (F.col("user_id") % 3).alias("skew_key"),
+        F.pmod(F.col("event_id"), F.lit(N_SALTS)).alias("salt"),
+    )
+    dim = (
+        ev.select((F.col("user_id") % 3).alias("skew_key"))
+        .distinct()
+        .select("skew_key", F.concat(F.lit("grp-"), F.col("skew_key").cast("string")).alias("grp_name"))
+    )
+    dim_salted = dim.crossJoin(
+        spark.range(N_SALTS).select(F.col("id").cast("bigint").alias("salt"))
+    )
+    return (
+        fact.join(dim_salted, ["skew_key", "salt"])
+        .select("event_id", "skew_key", "grp_name")
+    )
+
+
+@query(
+    "q_join_range_bucket",
+    oracle=f"""
+SELECT a.user_id, COUNT(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND epoch_ms(b.ts) - epoch_ms(a.ts) <= {BAND_SEC * 1000}
+GROUP BY a.user_id
+""",
+)
+def q_join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded self-join (pairs of events of one user within 5 minutes),
+    executed as a bucketed equi-join: bucket = floor(epoch / band); a pair
+    within the band is either same-bucket or adjacent-bucket, so two
+    equi-joins on (user_id, bucket) + the exact residual predicate cover it
+    — no nested loop, shuffle keyed on (user, bucket)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.unix_millis("ts").alias("ms"),
+        F.floor(F.unix_millis("ts") / (BAND_SEC * 1000)).alias("bucket"),
+    )
+    a = ev.select(
+        F.col("user_id").alias("u_a"), F.col("ms").alias("ms_a"), F.col("bucket").alias("b_a")
+    )
+    b = ev.select(
+        F.col("user_id").alias("u_b"), F.col("ms").alias("ms_b"), F.col("bucket").alias("b_b")
+    )
+    residual = (F.col("ms_b") > F.col("ms_a")) & (
+        (F.col("ms_b") - F.col("ms_a")) <= BAND_SEC * 1000
+    )
+    # the bucket is part of the JOIN KEY — the shuffle is on (user, bucket)
+    same = a.join(b, (F.col("u_a") == F.col("u_b")) & (F.col("b_a") == F.col("b_b"))).filter(
+        residual
+    )
+    nxt = a.join(b, (F.col("u_a") == F.col("u_b")) & (F.col("b_b") == F.col("b_a") + 1)).filter(
+        residual
+    )
+    pairs = same.unionByName(nxt)
+    return pairs.groupBy(F.col("u_a").alias("user_id")).agg(F.count("*").alias("n_pairs"))
+
+
+@query(
+    "q_sink_bucketed",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem partitioned by l_returnflag and bucketed ×8 on
+    l_orderkey (the join key), read it back through the catalog, aggregate.
+    On a cluster this layout makes lineitem⋈orders shuffle-free on the
+    bucket key and prunes partitions on the flag predicate."""
+    from kinesis_test_spark.streaming.pipeline import scratch_dir
+
+    d = scratch_dir("bucketed_sink")
+    table = f"lineitem_bucketed_{d.name}"
+    li = t(spark, sf_dir, "lineitem")
+    (
+        li.write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", str(d / "table"))
+        .saveAsTable(table)
+    )
+    back = spark.table(table)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.countDistinct("l_orderkey").alias("n_orders")
+    )

@@ -60,6 +60,7 @@ def load_all() -> None:
         nested,
         subqueries,
         tpch,
+        scale,
     )
     from kinesis_test_spark.functions import scalar  # noqa: F401
     from kinesis_test_spark.streaming import queries as streaming_queries  # noqa: F401

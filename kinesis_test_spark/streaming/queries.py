@@ -341,3 +341,60 @@ def s_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agg, name, d / "cp", output_mode="complete")
     return spark.table(name)
+
+
+@query(
+    "s_custom_state",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(MAX(value), 6) AS max_value
+FROM events GROUP BY user_id
+""",
+)
+def s_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState — the extension
+    point for semantics Spark's built-in stateful ops can't express (the
+    reference's lease-counter is the trivial case, consumer.py:189). State
+    here: per-user (count, running max); emitted once per batch per key."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("mx", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [round(mx, 6)]}
+        )
+
+    d = scratch_dir("s_custom_state")
+    name = _mem_name("custom_state")
+    result = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    run_to_memory(result, name, d / "cp", output_mode="update")
+    return spark.table(name)
