@@ -332,3 +332,26 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "label", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
     )
+
+
+@query("q_dedup_minhash_mllib")  # rows-only: MLlib hash family isn't portable
+def q_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MLlib path for the same near-dup job: HashingTF (binary) over
+    shingles → MinHashLSH(numHashTables=8) → approxSimilarityJoin at
+    Jaccard distance ≤ 0.5. Engine-native hashing (not oracle-portable, so
+    rows-only) — at scale this benefits from MLlib's optimized LSH join.
+    Cross-checked in spirit by q_dedup_minhash (portable reimplementation)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = _spark_shingles(spark, sf_dir)
+    docs = sh.groupBy("doc_id").agg(F.collect_list("s").alias("shingles"))
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(docs)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
+        F.col("datasetA.doc_id").alias("doc_a"),
+        F.col("datasetB.doc_id").alias("doc_b"),
+        F.round(1 - F.col("jaccard_dist"), 6).alias("est_jaccard"),
+    )

@@ -1,0 +1,62 @@
+"""Property-style tests: cross-engine invariants over randomized inputs."""
+
+from __future__ import annotations
+
+import math
+import random
+import string
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kinesis_test_spark.functions.porthash import spark_hex16, sql_hex16
+from kinesis_test_spark.oracle import NULL, canon_value
+
+
+def test_portable_hash_cross_engine(spark):
+    """spark_hex16 and sql_hex16 agree on randomized strings — the invariant
+    every sketch operator (MinHash/SimHash/fingerprint) rests on."""
+    rng = random.Random(42)
+    words = [
+        "".join(rng.choices(string.ascii_lowercase + string.digits + " |#", k=rng.randint(0, 24)))
+        for _ in range(300)
+    ]
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame([(w,) for w in words], "w string")
+    spark_vals = [r[0] for r in sdf.select(spark_hex16(F.col("w"))).collect()]
+    con = duckdb.connect()
+    duck_vals = [
+        con.execute(f"SELECT {sql_hex16(repr(w))}").fetchone()[0] for w in words
+    ]
+    assert spark_vals == duck_vals
+    assert all(0 <= v <= 0xFFFF for v in spark_vals)
+
+
+@given(st.integers(min_value=-(2**62), max_value=2**62))
+@settings(max_examples=200, deadline=None)
+def test_canon_int_stable(x):
+    import numpy as np
+
+    assert canon_value(x) == canon_value(np.int64(x)) == str(x)
+
+
+@given(st.floats(allow_nan=True, allow_infinity=False))
+@settings(max_examples=200, deadline=None)
+def test_canon_float_nan_is_null(x):
+    import numpy as np
+
+    if math.isnan(x):
+        assert canon_value(x) == NULL
+    else:
+        assert canon_value(x) == canon_value(np.float64(x)) == repr(x)
+
+
+@given(st.lists(st.one_of(st.integers(-100, 100), st.none()), max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_canon_list_matches_ndarray(xs):
+    import numpy as np
+
+    arr = np.array(xs, dtype=object)
+    assert canon_value(xs) == canon_value(arr)
