@@ -154,22 +154,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(N_BANDS)
     ]
-    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band")).select(
-        "doc_id", F.col("band.b").alias("b"), F.col("band.bkey").alias("bkey")
+    # band rows carry the full signature, so the bucket self-join yields
+    # (pair, sig_a, sig_b) directly — no extra signature joins; the distinct
+    # collapses multi-band collisions of the same pair
+    bands = sig.select("doc_id", "sig", F.explode(F.array(*band_structs)).alias("band")).select(
+        "doc_id", "sig", F.col("band.b").alias("b"), F.col("band.bkey").alias("bkey")
     )
-    a, c = bands.alias("a"), bands.alias("c")
-    cand = (
-        a.join(
-            c,
-            (F.col("a.b") == F.col("c.b"))
-            & (F.col("a.bkey") == F.col("c.bkey"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
-        .distinct()
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "b", "bkey"
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    c = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), F.col("b").alias("b2"), F.col("bkey").alias("bkey2")
+    )
     matches = F.size(
         F.filter(
             F.sequence(F.lit(1), F.lit(N_SEEDS)),
@@ -177,9 +173,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        a.join(
+            c,
+            (F.col("b") == F.col("b2"))
+            & (F.col("bkey") == F.col("bkey2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
         .select("doc_a", "doc_b", (matches / F.lit(float(N_SEEDS))).alias("est_jaccard"))
+        .distinct()
         .filter(F.col("est_jaccard") >= MINHASH_THRESHOLD)
     )
 
