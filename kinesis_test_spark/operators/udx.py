@@ -109,3 +109,36 @@ def q_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT r_name, e.i AS i FROM region, LATERAL expand_udtf(r_regionkey + 1) e"
     )
+
+
+@query(
+    "q_grouped_map",
+    oracle="""
+SELECT event_id, event_type,
+       ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+             / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS value_z
+FROM events
+""",
+)
+def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-group z-score normalization — the
+    whole-group-in-memory extension point (each group becomes one pandas
+    frame). Rounded: pandas and SQL accumulate moments in different orders.
+    At scale the constraint is |group| fits an executor — here groups are
+    event types; for per-user groups the same code shards naturally."""
+    ev = t(spark, sf_dir, "events")
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "value_z": ((pdf["value"] - mu) / sd).round(4),
+            }
+        )
+
+    return ev.select("event_id", "event_type", "value").groupBy("event_type").applyInPandas(
+        normalize, schema="event_id bigint, event_type string, value_z double"
+    )

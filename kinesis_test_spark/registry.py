@@ -63,4 +63,5 @@ def load_all() -> None:
         scale,
     )
     from kinesis_test_spark.functions import scalar  # noqa: F401
+    from kinesis_test_spark.sources import formats  # noqa: F401
     from kinesis_test_spark.streaming import queries as streaming_queries  # noqa: F401

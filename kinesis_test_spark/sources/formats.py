@@ -1,0 +1,66 @@
+"""Source/sink format round-trips beyond parquet.
+
+The reference's only formats are Kinesis-record JSON in and S3 JSON out
+(consumer.py:123,241). The engine's sources are pluggable Spark readers;
+these queries prove CSV and ORC round-trip the events table bit-exactly
+(write to scratch → read back with explicit schema → aggregate), so a user
+can land data in any of them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kinesis_test_spark.registry import query
+from kinesis_test_spark.sources import t
+
+_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users
+FROM events GROUP BY event_type
+"""
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.sum("user_id").alias("sum_users"),
+    )
+
+
+def _events_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+
+
+@query("q_source_csv", oracle=_ORACLE)
+def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → CSV (header) → schema'd read-back → aggregate. Floats
+    round-trip via Spark's shortest-repr formatting."""
+    from kinesis_test_spark.streaming.pipeline import scratch_dir
+
+    d = scratch_dir("src_csv")
+    _events_typed(spark, sf_dir).write.option("header", True).csv(str(d / "csv"))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = spark.read.option("header", True).schema(schema).csv(str(d / "csv"))
+    return _agg(back)
+
+
+@query("q_source_orc", oracle=_ORACLE)
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → ORC → read-back → aggregate (columnar alternative sink)."""
+    from kinesis_test_spark.streaming.pipeline import scratch_dir
+
+    d = scratch_dir("src_orc")
+    _events_typed(spark, sf_dir).write.orc(str(d / "orc"))
+    return _agg(spark.read.orc(str(d / "orc")))

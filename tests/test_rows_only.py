@@ -1,0 +1,65 @@
+"""Quality assertions for rows-only queries (no SQL oracle exists, but the
+results still have checkable properties)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_test_spark import registry
+
+registry.load_all()
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    approx = registry.QUERIES["q_agg_approx_distinct"](spark, sf_dir).first()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact_parts = li.select("l_partkey").distinct().count()
+    exact_orders = li.select("l_orderkey").distinct().count()
+    assert abs(approx["approx_parts"] - exact_parts) <= 0.05 * exact_parts
+    assert abs(approx["approx_orders"] - exact_orders) <= 0.05 * exact_orders
+
+
+def test_ivf_results_subset_of_exact_ranking(spark, sf_dir):
+    """IVF probes one cell, so its hits must be genuine high-cosine vectors:
+    every IVF hit must appear in the exact top-50."""
+    from kinesis_test_spark.operators import similarity
+
+    exact = (
+        registry.QUERIES["q_sim_search"](spark, sf_dir)
+        .select("vec_id")
+        .toPandas()["vec_id"]
+        .tolist()
+    )
+    v = similarity._vectors(spark, sf_dir)
+    q = F.broadcast(
+        v.filter(F.col("vec_id") == similarity.QUERY_VEC_ID).select(F.col("e").alias("qe"))
+    )
+    top50 = (
+        v.filter(F.col("vec_id") != similarity.QUERY_VEC_ID)
+        .crossJoin(q)
+        .select("vec_id", similarity.cosine(F.col("e"), F.col("qe")).alias("c"))
+        .orderBy(F.col("c").desc(), "vec_id")
+        .limit(50)
+        .toPandas()["vec_id"]
+        .tolist()
+    )
+    ivf = registry.QUERIES["q_sim_search_ivf"](spark, sf_dir).toPandas()["vec_id"].tolist()
+    assert ivf, "IVF probe returned nothing"
+    assert set(ivf) <= set(top50)
+    assert set(exact[:3]) & set(top50[:3])  # sanity: exact query self-consistent
+
+
+def test_mllib_minhash_agrees_with_portable(spark, sf_dir):
+    """Both LSH implementations hunt the same planted near-dups: the
+    high-estimate portable pairs should be found by MLlib too."""
+    portable = registry.QUERIES["q_dedup_minhash"](spark, sf_dir).toPandas()
+    mllib = registry.QUERIES["q_dedup_minhash_mllib"](spark, sf_dir).toPandas()
+    strong = {
+        (a, b)
+        for a, b, e in portable[["doc_a", "doc_b", "est_jaccard"]].itertuples(index=False)
+        if e >= 0.99
+    }
+    mllib_pairs = set(map(tuple, mllib[["doc_a", "doc_b"]].itertuples(index=False)))
+    assert strong, "no strong near-dup pairs found by portable minhash"
+    missing = strong - mllib_pairs
+    assert len(missing) <= max(1, len(strong) // 10), f"MLlib missed {missing}"
