@@ -25,6 +25,7 @@ registry.load_all()
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001 (SURVEY.md §7 step 1)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return registry.QUERIES["q_flagship"](spark, "/root/testdata/sf0.001")
 
 
@@ -35,6 +36,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             # events.ts is parquet TIMESTAMP(NANOS); see sources/tables.py.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # timestamps must render identically to DuckDB's tz-naive reads
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             return fn(spark, sf_dir)
 
         return run

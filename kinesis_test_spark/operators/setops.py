@@ -72,3 +72,25 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
     return c.exceptAll(o).distinct()
+
+
+@query(
+    "q_sort_nulls",
+    oracle="""
+SELECT event_id, value,
+       CASE WHEN value < 0.2 THEN NULL ELSE event_type END AS et
+FROM events
+ORDER BY et ASC NULLS LAST, value DESC, event_id
+LIMIT 100
+""",
+)
+def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST/LAST ordering (engines default differently:
+    Spark ASC puts nulls first, DuckDB last — always state it)."""
+    ev = t(spark, sf_dir, "events")
+    et = F.when(F.col("value") < 0.2, F.lit(None)).otherwise(F.col("event_type"))
+    return (
+        ev.select("event_id", "value", et.alias("et"))
+        .orderBy(F.col("et").asc_nulls_last(), F.col("value").desc(), F.col("event_id"))
+        .limit(100)
+    )

@@ -222,3 +222,54 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = F.aggregate(terms, F.lit(0).cast("bigint"), lambda a, x: a + x)
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "q_pipeline_llm",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, text, lang,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ({', '.join(repr(w) for w in STOPWORDS)})))
+           / CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio
+  FROM documents
+), kept AS (
+  SELECT * FROM scored WHERE n_words >= 20 AND stop_ratio <= 0.4
+), deduped AS (
+  SELECT doc_id, text, lang, n_words FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM kept)
+  WHERE rn = 1
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_tokens
+FROM deduped GROUP BY lang
+""",
+)
+def q_pipeline_llm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep in one plan: quality filter (length +
+    stopword ratio) → exact dedup by content (keep min doc_id) → per-language
+    token budget. The composition the NS operators exist for; Catalyst fuses
+    the filter+score into the scan and the whole pipeline is two shuffles
+    (dedup groupBy, final agg)."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    stop_ratio = F.size(F.filter(words, lambda w: w.isin(STOPWORDS))) / n_words.cast("bigint")
+    kept = (
+        d.select("doc_id", "text", "lang", n_words.alias("n_words"), stop_ratio.alias("sr"))
+        .filter((F.col("n_words") >= 20) & (F.col("sr") <= 0.4))
+    )
+    deduped = (
+        kept.select("text", F.struct("doc_id", "lang", "n_words").alias("r"))
+        .groupBy("text")
+        .agg(F.min("r").alias("r"))
+        .select("text", "r.*")
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum(F.ceil(F.length("text") / 4.0)).cast("bigint").alias("est_tokens"),
+    )
