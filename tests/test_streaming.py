@@ -38,3 +38,31 @@ def test_dedup_removes_replay(spark, sf_dir):
     out = registry.QUERIES["s_dedup"](spark, sf_dir).toPandas()
     src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert len(out) == src
+
+
+def test_sink_layout_matches_reference(spark, sf_dir):
+    """The sink must produce the reference's exact partition-dir naming:
+    y=YYYY/m=M/d=D/h=H with month/day/hour NOT zero-padded
+    (consumer.py:226-232)."""
+    import re
+    from pathlib import Path
+
+    from kinesis_test_spark.streaming.pipeline import (
+        partitioned_json_sink,
+        read_events_stream,
+        scratch_dir,
+    )
+
+    d = scratch_dir("layout_check")
+    out = d / "out"
+    partitioned_json_sink(read_events_stream(spark, sf_dir), out, d / "cp")
+    leaf_dirs = {
+        p.relative_to(out).as_posix()
+        for p in Path(out).rglob("h=*")
+        if p.is_dir()
+    }
+    assert leaf_dirs, "sink wrote no partition directories"
+    pat = re.compile(r"^y=\d{4}/m=\d{1,2}/d=\d{1,2}/h=\d{1,2}$")
+    assert all(pat.match(x) for x in leaf_dirs), sorted(leaf_dirs)[:5]
+    # non-padded: single-digit components must not carry leading zeros
+    assert not any(re.search(r"=(0\d)", x) for x in leaf_dirs), sorted(leaf_dirs)[:5]
