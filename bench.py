@@ -41,7 +41,12 @@ BENCH_QUERIES = [
     "q_sim_search",      # brute-force cosine top-k
     "q_text_wordcount",  # explode + global agg
     "q_text_fingerprint",
+    "q_tpch_q3",         # composite: filter->3-join->agg->top-k
+    "q_tpch_q5",         # composite: fact-fact shuffle + broadcast chain
+    "q_pipeline_llm",    # quality filter -> dedup -> token budget
+    "q_dedup_embedding", # blocked cosine pairs
     "s_ingest",          # streaming drain throughput
+    "s_sink_partitioned",# partitioned JSON sink end-to-end
 ]
 
 COLLECT_OK = {"q_sim_search", "q_topk_per_group", "q_text_wordcount"}

@@ -315,19 +315,30 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a coarse quantization cell): pairs only form inside a block, so the
     pair space is Σ|block|², not n². Cosine is a JVM-side zip_with/aggregate
     fold — no Python, no UDF."""
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
-    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("e").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("e").alias("eb"))
     dot = lambda u, v: F.aggregate(  # noqa: E731
         F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    cos = F.round(
-        dot(F.col("ea"), F.col("eb"))
-        / (F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))),
-        4,
+    # norms precomputed ONCE per vector before the pair join (bit-identical
+    # expression, 3× fewer folds than per-pair recomputation) — and
+    # repartitioned: single-file input would serialize the fold work
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+        )
+        .withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
     )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("lb"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4)
     return (
         a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", "label", cos.alias("cos_sim"))

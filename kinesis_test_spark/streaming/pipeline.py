@@ -108,7 +108,12 @@ def partitioned_json_sink(df: DataFrame, out_dir: Path, checkpoint: Path) -> Non
     ).withColumn("ts", F.col("ts").cast("string"))
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.partitionBy("y", "m", "d", "h").mode("append").json(str(out_dir))
+        # cluster rows by partition key before the write: without this every
+        # task writes a file into every partition dir (tasks × partitions
+        # small files — the classic dynamic-partition-insert failure mode)
+        batch_df.repartition("y", "m", "d", "h").write.partitionBy(
+            "y", "m", "d", "h"
+        ).mode("append").json(str(out_dir))
 
     q = (
         with_parts.writeStream.foreachBatch(write_batch)

@@ -56,3 +56,18 @@ def test_sim_search_broadcasts_query_vector(spark, sf_dir):
     plan = plans.formatted(q("q_sim_search", spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert not plans.has(q("q_sim_search", spark, sf_dir), "TakeOrderedAndProject")
+
+
+def test_asof_join_pushes_group_limit(spark, sf_dir):
+    """rn=1 compiles to WindowGroupLimit on both sides of the exchange —
+    the as-of join never fully sorts a key's matches."""
+    plan = plans.formatted(q("q_join_asof", spark, sf_dir))
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """lag-window, cumsum-window and the final agg all ride ONE shuffle on
+    user_id (grouping keys are a superset of the window partitioning)."""
+    tree = plans.formatted(q("q_sessionize", spark, sf_dir)).split("\n\n")[0]
+    assert tree.count("Exchange") == 1
