@@ -383,3 +383,25 @@ def q_explode_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("issue.issue_name").alias("issue_name"),
         F.col("issue.issue_value").alias("issue_value"),
     )
+
+
+@query(
+    "q_fn_hash",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS text_md5,
+       sha256(text) AS text_sha256,
+       substr(md5(text), 1, 8) AS short_fp
+FROM documents
+""",
+)
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic-hash family (content fingerprints for dedup keys and
+    cache addressing): md5 / sha-256, hex-encoded identically cross-engine."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.substring(F.md5("text"), 1, 8).alias("short_fp"),
+    )

@@ -562,3 +562,53 @@ def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value")
         .limit(50)
     )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+SELECT CAST(FLOOR(o_totalprice / 25000) + 1 AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+FROM orders GROUP BY bucket
+""",
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (width_bucket semantics over [0, 500000) in 20
+    bins, stated as explicit floor arithmetic for engine portability) — the
+    OLAP binning primitive; one partial+final agg, bucket count independent
+    of data volume."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select((F.floor(F.col("o_totalprice") / 25000) + 1).alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+SELECT event_id, user_id, event_type FROM events
+WHERE (strpos('0123456789abcdef', substr(md5('smp|' || CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 4096
+    + (strpos('0123456789abcdef', substr(md5('smp|' || CAST(event_id AS VARCHAR)), 2, 1)) - 1) * 256
+    + (strpos('0123456789abcdef', substr(md5('smp|' || CAST(event_id AS VARCHAR)), 3, 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(md5('smp|' || CAST(event_id AS VARCHAR)), 4, 1)) - 1)
+    < 6554
+""",
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% Bernoulli sample keyed on a salted content hash —
+    unlike TABLESAMPLE this is reproducible across engines, runs, and
+    partitionings, which is what a training-data pipeline needs for held-out
+    splits (same doc always lands in the same split)."""
+    from kinesis_test_spark.functions.porthash import spark_hex16
+
+    ev = t(spark, sf_dir, "events")
+    h = spark_hex16(F.concat(F.lit("smp|"), F.col("event_id").cast("string")))
+    return ev.filter(h < int(0.1 * 65536)).select("event_id", "user_id", "event_type")

@@ -398,3 +398,82 @@ def s_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(result, name, d / "cp", output_mode="update")
     return spark.table(name)
+
+
+@query(
+    "s_static_join",
+    oracle="""
+SELECT n.n_name, COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def s_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the production pattern for attaching
+    dimension data to a stream (the reference has no join capability at
+    all; its events carry denormalized fields instead). The static side is
+    broadcast; no stream state is needed."""
+    d = scratch_dir("s_static_join")
+    name = _mem_name("static_join")
+    nation = F.broadcast(spark.read.parquet(f"{sf_dir}/nation.parquet"))
+    stream = read_events_stream(spark, sf_dir)
+    joined = stream.join(nation, stream.user_id % 25 == nation.n_nationkey)
+    agg = joined.groupBy("n_name").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    run_to_memory(agg, name, d / "cp", output_mode="complete")
+    return spark.table(name)
+
+
+@query(
+    "s_matview",
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def s_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view: foreachBatch merges each micro-batch's
+    partial counts into a persistent parquet aggregate (read-merge-write).
+    Two staged arrivals; after the second merge the view must equal the
+    batch answer — the upsert-sink pattern for serving layers."""
+    d = scratch_dir("s_matview")
+    stage, view, cp = d / "src", d / "view", d / "cp"
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("event_type").agg(F.count("*").alias("n"))
+        try:
+            current = batch_df.sparkSession.read.parquet(str(view))
+        except Exception:
+            current = None
+        merged = (
+            part if current is None
+            else current.unionByName(part)
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n"))
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(str(view) + "_next")
+        import shutil as _sh
+
+        _sh.rmtree(str(view), ignore_errors=True)
+        _sh.move(str(view) + "_next", str(view))
+
+    lo, hi = spark.read.parquet(f"{sf_dir}/events.parquet").agg(
+        F.min("event_id"), F.max("event_id")
+    ).first()
+    mid = (lo + hi) // 2
+
+    def run_once() -> None:
+        q = (
+            read_staged_stream(spark, sf_dir, stage)
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", str(cp))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage_events(spark, sf_dir, stage, "first", where=f"event_id < {mid}")
+    run_once()
+    stage_events(spark, sf_dir, stage, "second", where=f"event_id >= {mid}")
+    run_once()
+    return spark.read.parquet(str(view)).select("event_type", F.col("n").cast("bigint").alias("n"))
