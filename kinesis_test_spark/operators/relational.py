@@ -612,3 +612,48 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     h = spark_hex16(F.concat(F.lit("smp|"), F.col("event_id").cast("string")))
     return ev.filter(h < int(0.1 * 65536)).select("event_id", "user_id", "event_type")
+
+
+@query(
+    "q_agg_gid",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       COUNT(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def q_agg_gid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with grouping_id/grouping markers — distinguishes 'NULL because
+    aggregated away' from genuine NULL data (both engines use the same
+    MSB-first bitmask)."""
+    o = t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, metric, val FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long melt) — the inverse of q_pivot; one map-side
+    row expansion, no shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    ).withColumn("metric", F.expr("substring(metric, 3)"))

@@ -189,18 +189,28 @@ def s_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch → JSON files under y=/m=/d=/h= partition dirs, then read
     the files back and count per partition — verifying layout and content
     arrived."""
+    from pyspark.sql import types as T
+
     d = scratch_dir("s_sink")
     out = d / "out"
     partitioned_json_sink(read_events_stream(spark, sf_dir), out, d / "cp")
-    back = spark.read.option("basePath", str(out)).json(str(out))
-    return (
-        back.groupBy(
-            F.col("y").cast("int").alias("y"),
-            F.col("m").cast("int").alias("m"),
-            F.col("d").cast("int").alias("d"),
-            F.col("h").cast("int").alias("h"),
-        ).agg(F.count("*").alias("n"))
+    # explicit read schema: inference would scan every partition file twice
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+            T.StructField("y", T.IntegerType()),
+            T.StructField("m", T.IntegerType()),
+            T.StructField("d", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+        ]
     )
+    back = spark.read.schema(schema).option("basePath", str(out)).json(str(out))
+    return back.groupBy("y", "m", "d", "h").agg(F.count("*").alias("n"))
 
 
 @query(
