@@ -487,3 +487,50 @@ def s_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_events(spark, sf_dir, stage, "second", where=f"event_id >= {mid}")
     run_once()
     return spark.read.parquet(str(view)).select("event_type", F.col("n").cast("bigint").alias("n"))
+
+
+@query(
+    "s_stream_join",
+    oracle="""
+SELECT a.event_id AS a_event_id, b.event_id AS b_event_id, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND epoch_ms(b.ts) - epoch_ms(a.ts) <= 300000
+""",
+)
+def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each event with the same
+    user's events in the following 5 minutes. Watermarks on both sides
+    bound the join state (old rows are evicted once they can no longer
+    match); the time-range condition tells Spark exactly how long to keep
+    each side. Drained with AvailableNow, the result must equal the batch
+    band join."""
+    d = scratch_dir("s_stream_join")
+    name = _mem_name("ssjoin")
+    left = (
+        read_events_stream(spark, sf_dir)
+        .select(
+            F.col("event_id").alias("a_event_id"),
+            F.col("user_id"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "10 minutes")
+    )
+    right = (
+        read_events_stream(spark, sf_dir)
+        .select(
+            F.col("event_id").alias("b_event_id"),
+            F.col("user_id").alias("user_id_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "10 minutes")
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("user_id_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+    ).select("a_event_id", "b_event_id", "user_id")
+    run_to_memory(joined, name, d / "cp", output_mode="append")
+    return spark.table(name)
