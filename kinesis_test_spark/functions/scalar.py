@@ -405,3 +405,57 @@ def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("text_sha256"),
         F.substring(F.md5("text"), 1, 8).alias("short_fp"),
     )
+
+
+@query(
+    "q_fn_bitwise",
+    oracle="""
+SELECT event_id,
+       event_id & 255 AS low_byte,
+       event_id | 4096 AS with_flag,
+       xor(event_id, user_id) AS x,
+       CAST(event_id * 16 AS BIGINT) AS shifted_l,
+       CAST(event_id // 4 AS BIGINT) AS shifted_r
+FROM events
+""",
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (flag fields, shard routing, hash mixing)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("x"),
+        F.shiftleft("event_id", 4).alias("shifted_l"),
+        F.shiftright("event_id", 2).alias("shifted_r"),
+    )
+
+
+@query(
+    "q_fn_timezone",
+    oracle="""
+SELECT event_id,
+       strftime(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York',
+                '%Y-%m-%d %H:%M:%S') AS ny_time,
+       strftime(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo',
+                '%Y-%m-%d %H:%M:%S') AS tokyo_time
+FROM events
+""",
+)
+def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion (the reference's arrival timestamps carry
+    tzlocal(), record.json:2) — rendered as strings so the comparison is
+    wall-clock, not instant-typed."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format(
+            F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), F.col("ts")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("ny_time"),
+        F.date_format(
+            F.convert_timezone(F.lit("UTC"), F.lit("Asia/Tokyo"), F.col("ts")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("tokyo_time"),
+    )

@@ -657,3 +657,21 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "val",
     ).withColumn("metric", F.expr("substring(metric, 3)"))
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+SELECT r.r_name, p.o_orderpriority, COUNT(*) AS n_possible
+FROM region r CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+GROUP BY r.r_name, p.o_orderpriority
+""",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join of two small distinct sets (dimension grid
+    materialization — the only sane cross-join shape at scale)."""
+    r = t(spark, sf_dir, "region")
+    p = t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    return r.crossJoin(p).groupBy("r_name", "o_orderpriority").agg(
+        F.count("*").alias("n_possible")
+    )
