@@ -153,3 +153,45 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return d.mapInPandas(frame_sample_batch, schema=FRAME_SCHEMA)
+
+
+def decode_batch_arrow(batches):
+    """Same decode stub at the Arrow layer (mapInArrow): zero pandas
+    overhead, RecordBatch in → RecordBatch out. The right extension point
+    when the payload transform is itself Arrow-native (tokenizers, image
+    libs with Arrow bindings)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        n = pc.binary_length(batch.column("payload")).to_numpy()  # zero-copy ints
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array((n).astype("int32")),
+                pa.array((n % 64).astype("int32")),
+                pa.array(((n.astype("int64") * 7) % 64).astype("int32")),
+                pa.array(["fake/v1"] * batch.num_rows),
+            ],
+            names=["doc_id", "payload_len", "width", "height", "format"],
+        )
+
+
+@query(
+    "q_mm_decode_arrow",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS payload_len,
+       CAST(length(text) % 64 AS INT) AS width,
+       CAST((length(text) * 7) % 64 AS INT) AS height,
+       'fake/v1' AS format
+FROM documents
+""",
+)
+def q_mm_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow variant of the decode pipeline — same contract as
+    q_mm_decode, RecordBatch-level (no pandas materialization)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return d.mapInArrow(decode_batch_arrow, schema=DECODE_SCHEMA)

@@ -64,3 +64,31 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = scratch_dir("src_orc")
     _events_typed(spark, sf_dir).write.orc(str(d / "orc"))
     return _agg(spark.read.orc(str(d / "orc")))
+
+
+def _pysource_oracle() -> str:
+    from kinesis_test_spark.functions.porthash import sql_hex16
+
+    hu = sql_hex16("'u|' || CAST(i AS VARCHAR)")
+    ht = sql_hex16("'t|' || CAST(i AS VARCHAR)")
+    hv = sql_hex16("'v|' || CAST(i AS VARCHAR)")
+    return f"""
+SELECT CAST(i AS BIGINT) AS row_id,
+       CAST(i // 250 AS INT) AS shard_id,
+       CAST({hu} % 50 AS BIGINT) AS user_id,
+       (['click','purchase','error','signup','view'])[{ht} % 5 + 1] AS event_type,
+       {hv} / 65536.0 AS value
+FROM (SELECT unnest(generate_series(0, 999)) AS i)
+"""
+
+
+@query("q_source_python", oracle=_pysource_oracle())
+def q_source_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 API): the source plans its own
+    partitions (Kinesis-shard style) and each reads on an executor. Content
+    is a pure function of row id via the portable hash, so even a custom
+    source is oracle-checked value-for-value."""
+    from kinesis_test_spark.sources import pysource
+
+    pysource.register(spark)
+    return spark.read.format("clickstream_synth").load()

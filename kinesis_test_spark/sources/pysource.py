@@ -1,0 +1,95 @@
+"""Custom Python DataSource (Spark 4 DataSource API) — a deterministic
+clickstream generator partitioned like a Kinesis stream.
+
+The reference's source layer is hand-rolled shard discovery + per-shard
+iterators (/root/reference/consumer.py:92-130). Spark 4's Python
+DataSource API is the engine-native way to build such a source: the
+planner asks for partitions (≙ shards), each partition reads
+independently on an executor (≙ per-shard iterator), and the rows enter
+the DataFrame world with a declared schema.
+
+Everything generated is a function of the row id through the portable
+md5 projection (functions/porthash.py), so a DuckDB oracle can state the
+expected content exactly — even a custom source stays inside the
+correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENT_TYPES = ["click", "purchase", "error", "signup", "view"]
+N_ROWS = 1000
+N_SHARDS = 4
+
+SCHEMA = StructType(
+    [
+        StructField("row_id", LongType(), False),
+        StructField("shard_id", IntegerType(), False),
+        StructField("user_id", LongType(), False),
+        StructField("event_type", StringType(), False),
+        StructField("value", DoubleType(), False),
+    ]
+)
+
+
+def _hex16(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+
+class ShardPartition(InputPartition):
+    def __init__(self, shard: int, start: int, end: int):
+        self.shard = shard
+        self.start = start
+        self.end = end
+
+
+class ClickstreamReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", N_ROWS))
+        self.n_shards = int(options.get("shards", N_SHARDS))
+
+    def partitions(self):
+        # shard discovery (consumer.py:100-112): contiguous row ranges
+        per = self.n_rows // self.n_shards
+        return [
+            ShardPartition(s, s * per, self.n_rows if s == self.n_shards - 1 else (s + 1) * per)
+            for s in range(self.n_shards)
+        ]
+
+    def read(self, partition: ShardPartition):
+        # per-shard iterator (consumer.py:115-130), executed on an executor
+        for i in range(partition.start, partition.end):
+            yield (
+                i,
+                partition.shard,
+                _hex16(f"u|{i}") % 50,
+                EVENT_TYPES[_hex16(f"t|{i}") % 5],
+                _hex16(f"v|{i}") / 65536.0,  # k/2^16: exact in binary, no rounding needed
+            )
+
+
+class ClickstreamDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "clickstream_synth"
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema):
+        return ClickstreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(ClickstreamDataSource)
