@@ -93,3 +93,72 @@ class ClickstreamDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(ClickstreamDataSource)
+
+
+# ---------------------------------------------------------------------------
+# streaming variant — the reference's iterator/checkpoint protocol, natively
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class ClickstreamStreamReader(SimpleDataSourceStreamReader):
+    """Offset-managed micro-batch reader.
+
+    This is exactly the loop the reference hand-builds with shard iterators
+    and a DynamoDB lease table (consumer.py:92-130, 169-218): the engine
+    asks for the initial offset (≙ TRIM_HORIZON), reads (start → start+batch)
+    on each trigger (≙ get_records with Limit), and persists the committed
+    offset in the checkpoint log (≙ update_checkpoint) — restart resumes
+    from the last committed offset with no duplicate emission.
+    """
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", N_ROWS))
+        self.batch = int(options.get("batch", 250))  # reference default 1000
+
+    def initialOffset(self):
+        return {"row": 0}
+
+    def read(self, start: dict):
+        end_row = min(start["row"] + self.batch, self.n_rows)
+        rows = [
+            (
+                i,
+                0,
+                _hex16(f"u|{i}") % 50,
+                EVENT_TYPES[_hex16(f"t|{i}") % 5],
+                _hex16(f"v|{i}") / 65536.0,
+            )
+            for i in range(start["row"], end_row)
+        ]
+        return iter(rows), {"row": end_row}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows = [
+            (
+                i,
+                0,
+                _hex16(f"u|{i}") % 50,
+                EVENT_TYPES[_hex16(f"t|{i}") % 5],
+                _hex16(f"v|{i}") / 65536.0,
+            )
+            for i in range(start["row"], end["row"])
+        ]
+        return iter(rows)
+
+
+class ClickstreamStreamDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "clickstream_synth_stream"
+
+    def schema(self):
+        return SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return ClickstreamStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(ClickstreamStreamDataSource)

@@ -534,3 +534,46 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a_event_id", "b_event_id", "user_id")
     run_to_memory(joined, name, d / "cp", output_mode="append")
     return spark.table(name)
+
+
+@query(
+    "s_python_source",
+    oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM (
+  SELECT (['click','purchase','error','signup','view'])[
+    ((strpos('0123456789abcdef', substr(md5('t|' || CAST(i AS VARCHAR)), 1, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substr(md5('t|' || CAST(i AS VARCHAR)), 2, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substr(md5('t|' || CAST(i AS VARCHAR)), 3, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(md5('t|' || CAST(i AS VARCHAR)), 4, 1)) - 1)) % 5 + 1
+  ] AS event_type
+  FROM (SELECT unnest(generate_series(0, 999)) AS i))
+GROUP BY event_type
+""",
+)
+def s_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING data source: offset-managed micro-batches
+    (initialOffset → read(start) → commit), drained with AvailableNow —
+    the reference's entire iterator/lease-table protocol (consumer.py:
+    92-130,169-218) as ~30 lines against the engine's source API. The
+    1000 rows arrive across 4 offset-bounded micro-batches (batch=250) and
+    must aggregate to exactly the generator's distribution."""
+    from kinesis_test_spark.sources import pysource
+
+    pysource.register_stream(spark)
+    d = scratch_dir("s_python_source")
+    name = _mem_name("pysrc")
+    stream = spark.readStream.format("clickstream_synth_stream").load()
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    # processAllAvailable (not AvailableNow): the simple reader advances one
+    # offset-bounded read() per trigger; drain until the offset stops moving
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(d / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
