@@ -219,23 +219,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc vote sum forms the fingerprint bit. Near-identical docs get
     identical fingerprints (`n_same_fp` > 1). Single map + one groupBy —
     the cheapest near-dup signal at scale."""
-    from kinesis_test_spark.functions.porthash import spark_hex16
-
-    d = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
-    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    h = spark_hex16(F.col("w"))
-    bit_sums = [
-        F.sum(F.when(h.bitwiseAND(1 << k) > 0, 1).otherwise(-1)).alias(f"s{k}")
-        for k in range(16)
-    ]
-    bits = words.groupBy("doc_id").agg(*bit_sums)
-    fp = sum(
-        [F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(0) for k in range(16)],
-        start=F.lit(0),
-    ).cast("bigint")
-    fps = bits.select("doc_id", fp.alias("simhash"))
+    fps = _simhash_fps(spark, sf_dir)
     from pyspark.sql import Window
 
     return fps.select(
@@ -366,4 +350,90 @@ def q_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("datasetA.doc_id").alias("doc_a"),
         F.col("datasetB.doc_id").alias("doc_b"),
         F.round(1 - F.col("jaccard_dist"), 6).alias("est_jaccard"),
+    )
+
+
+def _simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — shared by the fingerprint and pairing queries."""
+    from kinesis_test_spark.functions.porthash import spark_hex16
+
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    h = spark_hex16(F.col("w"))
+    bit_sums = [
+        F.sum(F.when(h.bitwiseAND(1 << k) > 0, 1).otherwise(-1)).alias(f"s{k}")
+        for k in range(16)
+    ]
+    bits = words.groupBy("doc_id").agg(*bit_sums)
+    fp = sum(
+        [F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(0) for k in range(16)],
+        start=F.lit(0),
+    ).cast("bigint")
+    return bits.select("doc_id", fp.alias("simhash"))
+
+
+def _simhash_pairs_oracle() -> str:
+    # brute-force n² hamming check — the oracle the pigeonhole join must match
+    from kinesis_test_spark.functions.porthash import sql_hex16
+
+    h = sql_hex16("w")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN ({h} & {1 << k}) > 0 THEN 1 ELSE -1 END) AS s{k}" for k in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN s{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(16))
+    return f"""
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+bits AS (SELECT doc_id, {bit_sums} FROM words GROUP BY doc_id),
+fps AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+
+@query("q_dedup_simhash_hamming", oracle=_simhash_pairs_oracle())
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at Hamming distance ≤ 2 on the 16-bit SimHash, WITHOUT
+    the n² pair scan: split the fingerprint into 3 parts (6/5/5 bits) — any
+    pair within distance 2 has at least one part identical (pigeonhole), so
+    an equi-join per part generates all candidates, then the exact popcount
+    filter keeps true pairs. Shuffle is keyed on (part_id, part_value):
+    linear in docs, not quadratic. The oracle is the brute-force n² check —
+    the rewrite must be lossless."""
+    fps = _simhash_fps(spark, sf_dir)
+    parts = [
+        (0, F.col("simhash").bitwiseAND(F.lit(0x3F))),          # bits 0-5
+        (1, F.shiftright("simhash", 6).bitwiseAND(F.lit(0x1F))),  # bits 6-10
+        (2, F.shiftright("simhash", 11).bitwiseAND(F.lit(0x1F))),  # bits 11-15
+    ]
+    keyed = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(p).alias("part"), v.alias("pv")) for p, v in parts])
+        ).alias("k"),
+    ).select("doc_id", "simhash", F.col("k.part").alias("part"), F.col("k.pv").alias("pv"))
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "part", "pv"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("fp_b"),
+        F.col("part").alias("part_b"),
+        F.col("pv").alias("pv_b"),
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("part") == F.col("part_b"))
+            & (F.col("pv") == F.col("pv_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 2)
+        .distinct()
     )
