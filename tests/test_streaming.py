@@ -66,3 +66,85 @@ def test_sink_layout_matches_reference(spark, sf_dir):
     assert all(pat.match(x) for x in leaf_dirs), sorted(leaf_dirs)[:5]
     # non-padded: single-digit components must not carry leading zeros
     assert not any(re.search(r"=(0\d)", x) for x in leaf_dirs), sorted(leaf_dirs)[:5]
+
+
+def test_replay_with_idempotent_sink_no_duplicates(spark, sf_dir):
+    """Exactly-once under failure: after a completed run, delete the last
+    batch's commit marker (simulating a crash between sink write and
+    commit). The restarted query REPLAYS that batch; because the sink is
+    idempotent (per-batch-id overwrite), the output is unchanged — the
+    foreachBatch exactly-once contract the reference's lease table never
+    achieved (its batch-granularity gate re-emits on partial failure,
+    consumer.py:292-303)."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from kinesis_test_spark.streaming.pipeline import (
+        read_staged_stream,
+        scratch_dir,
+        stage_events,
+    )
+
+    import shutil
+
+    d = scratch_dir("replay_sink")
+    stage, sink, cp = d / "src", d / "sink", d / "cp"
+    stage_events(spark, sf_dir, stage, "all")
+
+    def run(checkpoint: Path) -> None:
+        def write_batch(batch_df, batch_id):
+            # idempotent: the batch's output location is keyed by batch_id
+            # and overwritten wholesale on replay
+            batch_df.write.mode("overwrite").parquet(str(sink / f"batch_id={batch_id}"))
+
+        q = (
+            read_staged_stream(spark, sf_dir, stage)
+            .select("event_id", "user_id", "event_type")
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", str(checkpoint))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(cp)
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    first = spark.read.parquet(str(sink)).count()
+    assert first == n_src
+    # crash simulation: clone the checkpoint as-of "offsets written, commit
+    # not yet" (the window where a crash forces a replay) and restart from
+    # the clone — exactly a restart after a mid-commit failure
+    cp2 = d / "cp_after_crash"
+    shutil.copytree(cp, cp2, ignore=shutil.ignore_patterns("*.crc"))
+    commits = [p for p in (cp2 / "commits").iterdir() if not p.name.startswith(".")]
+    max(commits, key=lambda p: int(p.name)).unlink()
+    run(cp2)
+    again = spark.read.parquet(str(sink)).count()
+    assert again == n_src, f"replay duplicated rows: {again} != {n_src}"
+
+
+def test_stateful_count_on_rocksdb_state_store(spark, sf_dir):
+    """The production state backend: RocksDB state store provider (bounded
+    JVM heap at 100 TB state) must produce the same counts as the default
+    HDFS-backed store."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = registry.QUERIES["s_stateful_count"](spark, sf_dir).toPandas()
+        batch = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy("user_id")
+            .count()
+            .toPandas()
+        )
+        assert len(out) == len(batch)
+        assert int(out["n"].sum()) == int(batch["count"].sum())
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
