@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "q_tpch_q5",         # composite: fact-fact shuffle + broadcast chain
     "q_pipeline_llm",    # quality filter -> dedup -> token budget
     "q_dedup_embedding", # blocked cosine pairs
+    "q_dedup_simhash_hamming",  # pigeonhole hamming join
+    "q_dedup_clusters",  # iterative connected components
     "s_ingest",          # streaming drain throughput
     "s_sink_partitioned",# partitioned JSON sink end-to-end
 ]
