@@ -273,3 +273,68 @@ def q_pipeline_llm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").cast("bigint").alias("total_words"),
         F.sum(F.ceil(F.length("text") / 4.0)).cast("bigint").alias("est_tokens"),
     )
+
+
+# char-bigram profiles for the n-gram language-ID variant
+NGRAM_PROFILES = {
+    "en": ["th", "he", "an", "er", "in"],
+    "es": ["de", "la", "os", "el", "en"],
+    "fr": ["le", "es", "en", "re", "nt"],
+}
+
+
+def _langid_ngram_oracle() -> str:
+    bigrams = (
+        "list_transform(generate_series(1, greatest(length(text) - 1, 0)),"
+        " i -> substr(text, i, 2))"
+    )
+    scores = ",\n       ".join(
+        f"len(list_filter({bigrams}, b -> b IN ({', '.join(repr(g) for g in gs)})))"
+        f" AS s_{lang}"
+        for lang, gs in NGRAM_PROFILES.items()
+    )
+    langs = list(NGRAM_PROFILES)
+    best = " ".join(
+        f"WHEN s_{l} >= greatest({', '.join('s_' + o for o in langs)}) AND s_{l} > 0 "
+        f"THEN '{l}'"
+        for l in langs
+    )
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {scores} FROM documents)
+SELECT doc_id, lang AS lang_labeled,
+       CASE {best} ELSE 'und' END AS lang_pred,
+       {', '.join('s_' + l for l in langs)}
+FROM scored
+"""
+
+
+@query("q_text_langid_ngram", oracle=_langid_ngram_oracle())
+def q_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language ID (the classic heuristic): count how many
+    of the text's char-bigrams hit each language's profile set, argmax with
+    fixed priority. All JVM-side array ops — the score columns are also
+    returned for downstream thresholding."""
+    d = t(spark, sf_dir, "documents")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - 1, F.lit(0))),
+        lambda i: F.col("text").substr(i, F.lit(2)),
+    )
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_labeled"),
+        *[
+            F.size(F.filter(bigrams, lambda b: b.isin(gs))).alias(f"s_{lang}")
+            for lang, gs in NGRAM_PROFILES.items()
+        ],
+    )
+    langs = list(NGRAM_PROFILES)
+    expr = None
+    for l in langs:
+        cond = (F.col(f"s_{l}") >= F.greatest(*[F.col(f"s_{o}") for o in langs])) & (
+            F.col(f"s_{l}") > 0
+        )
+        expr = F.when(cond, l) if expr is None else expr.when(cond, l)
+    return scored.select(
+        "doc_id", "lang_labeled", expr.otherwise("und").alias("lang_pred"),
+        *[f"s_{l}" for l in langs],
+    )

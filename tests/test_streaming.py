@@ -148,3 +148,53 @@ def test_stateful_count_on_rocksdb_state_store(spark, sf_dir):
         assert int(out["n"].sum()) == int(batch["count"].sum())
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_compaction_preserves_content_and_reduces_files(spark, sf_dir):
+    """Small-file compaction over the partitioned sink: same rows, fewer
+    files, same partition layout (maintenance.compact_partitioned)."""
+    from pathlib import Path
+
+    from kinesis_test_spark.maintenance import compact_partitioned
+    from kinesis_test_spark.streaming.pipeline import (
+        partitioned_json_sink,
+        read_events_stream,
+        scratch_dir,
+    )
+
+    d = scratch_dir("compaction")
+    out = d / "out"
+    partitioned_json_sink(read_events_stream(spark, sf_dir), out, d / "cp")
+    before = spark.read.option("basePath", str(out)).json(str(out))
+    schema = before.schema
+    compacted = compact_partitioned(spark, out, schema=schema)
+    after = spark.read.schema(schema).option("basePath", str(compacted)).json(str(compacted))
+    assert after.count() == before.count()
+    n_before = len(list(Path(out).rglob("part-*")))
+    n_after = len(list(Path(compacted).rglob("part-*")))
+    assert n_after <= n_before
+    # identical content, order-insensitive
+    assert before.exceptAll(after).count() == 0 and after.exceptAll(before).count() == 0
+
+
+def test_sink_partition_pruning(spark, sf_dir):
+    """A time-predicate read of the y/m/d/h sink must prune partitions at
+    plan time (PartitionFilters) — the payoff of the reference's layout
+    done as real partition columns."""
+    from kinesis_test_spark import plans
+    from kinesis_test_spark.streaming.pipeline import (
+        partitioned_json_sink,
+        read_events_stream,
+        scratch_dir,
+    )
+
+    d = scratch_dir("pruning")
+    out = d / "out"
+    partitioned_json_sink(read_events_stream(spark, sf_dir), out, d / "cp")
+    back = spark.read.option("basePath", str(out)).json(str(out))
+    one_day = back.filter("y = 2024 AND m = 1 AND d = 2")
+    plan = plans.formatted(one_day)
+    assert "PartitionFilters" in plan
+    line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "y" in line and "m" in line and "d" in line
+    assert one_day.count() > 0
