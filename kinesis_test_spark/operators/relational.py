@@ -675,3 +675,33 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.crossJoin(p).groupBy("r_name", "o_orderpriority").agg(
         F.count("*").alias("n_possible")
     )
+
+
+@query(
+    "q_time_rollup",
+    oracle="""
+SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+       CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((y, m, d, h), (y, m, d), (y, m), (y))
+""",
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour/day/month/year rollups of
+    the event stream in ONE pass (grouping sets over derived time columns) —
+    the batch form of the cascaded materialized rollups a time-series store
+    maintains. Map-side the sets expand ×4, then a single partial+final
+    aggregate; at scale this replaces four separate scans."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+               CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY GROUPING SETS ((y, m, d, h), (y, m, d), (y, m), (y))
+        """
+    )
