@@ -611,7 +611,7 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = t(spark, sf_dir, "events")
     h = spark_hex16(F.concat(F.lit("smp|"), F.col("event_id").cast("string")))
-    return ev.filter(h < int(0.1 * 65536)).select("event_id", "user_id", "event_type")
+    return ev.filter(h < 6554).select("event_id", "user_id", "event_type")  # = oracle bound
 
 
 @query(
