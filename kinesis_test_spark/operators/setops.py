@@ -71,7 +71,9 @@ SELECT o_custkey AS custkey FROM orders
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return c.exceptAll(o).distinct()
+    # subtract == EXCEPT DISTINCT (exceptAll().distinct() would differ when
+    # a key appears more often on the left than the right)
+    return c.subtract(o)
 
 
 @query(
