@@ -1,0 +1,108 @@
+"""Edge-semantics parity on adversarial in-session data — duplicates, NULL
+join keys, all-NULL aggregates: the corners where engine semantics diverge
+and the (unique-keyed, null-free) fixtures can't reach."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from kinesis_test_spark.oracle import compare
+
+
+def duck(frames: dict[str, pd.DataFrame], sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for name, pdf in frames.items():
+        con.register(name, pdf)
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+@pytest.fixture()
+def dup_keys(spark):
+    left = pd.DataFrame({"k": [1, 1, 2, 3, 3, 3], "x": [10, 11, 20, 30, 31, 32]})
+    right = pd.DataFrame({"k": [1, 4]})
+    return left, right, spark.createDataFrame(left), spark.createDataFrame(right)
+
+
+def test_except_distinct_with_left_duplicates(spark, dup_keys):
+    left, right, sl, sr = dup_keys
+    out = sl.select("k").subtract(sr.select("k"))
+    oracle = duck({"l": left, "r": right}, "SELECT k FROM l EXCEPT SELECT k FROM r")
+    assert not compare(out, oracle)
+
+
+def test_intersect_all_multiplicity(spark, dup_keys):
+    left, right, sl, sr = dup_keys
+    lboth = sl.select("k").unionByName(sl.select("k"))  # k=1 ×4, k=2 ×2, 3 ×6
+    out = lboth.intersectAll(sl.select("k"))  # min multiplicity per key
+    oracle = duck(
+        {"l": left},
+        """SELECT k FROM (SELECT k FROM l UNION ALL SELECT k FROM l)
+           INTERSECT ALL SELECT k FROM l""",
+    )
+    assert not compare(out, oracle)
+
+
+def test_null_join_keys_never_match(spark):
+    pdf_a = pd.DataFrame({"k": [1.0, None, 2.0], "a": [1, 2, 3]})
+    pdf_b = pd.DataFrame({"k": [1.0, None], "b": [10, 20]})
+    sa, sb = spark.createDataFrame(pdf_a), spark.createDataFrame(pdf_b)
+    out = sa.join(sb, "k", "inner").select("k", "a", "b")
+    oracle = duck(
+        {"a": pdf_a, "b": pdf_b},
+        "SELECT a.k AS k, a.a, b.b FROM a JOIN b ON a.k = b.k",
+    )
+    assert not compare(out, oracle)  # NULL keys match nothing, both engines
+
+
+def test_full_outer_keeps_null_key_rows(spark):
+    pdf_a = pd.DataFrame({"k": [1.0, None], "a": [1, 2]})
+    pdf_b = pd.DataFrame({"k": [None, 3.0], "b": [10, 30]})
+    sa, sb = spark.createDataFrame(pdf_a), spark.createDataFrame(pdf_b)
+    out = sa.join(sb, sa.k == sb.k, "full").select(
+        sa.k.alias("ka"), "a", sb.k.alias("kb"), "b"
+    )
+    oracle = duck(
+        {"a": pdf_a, "b": pdf_b},
+        "SELECT a.k AS ka, a.a, b.k AS kb, b.b FROM a FULL JOIN b ON a.k = b.k",
+    )
+    assert not compare(out, oracle)  # each NULL-key row survives unmatched
+
+
+def test_all_null_aggregates(spark):
+    pdf = pd.DataFrame({"g": ["x", "x", "y"], "v": [None, None, 1.0]})
+    s = spark.createDataFrame(pdf)
+    from pyspark.sql import functions as F
+
+    out = s.groupBy("g").agg(
+        F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("s"),
+        F.count("v").alias("n_nonnull"),
+        F.count("*").alias("n_rows"),
+    )
+    oracle = duck(
+        {"t": pdf},
+        """SELECT g, CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS s,
+                  COUNT(v) AS n_nonnull, COUNT(*) AS n_rows
+           FROM t GROUP BY g""",
+    )
+    assert not compare(out, oracle)  # SUM of all-NULL is NULL, not 0
+
+
+def test_division_by_zero_ansi_vs_try_divide(spark):
+    """Documented divergence: Spark 4 (ANSI default) ERRORS on x/0 — even
+    for doubles — where DuckDB yields ±inf. Engine policy: any division
+    with a possibly-zero denominator must use try_divide (NULL result) or
+    guard the denominator; no registered query divides by a data-dependent
+    value that can be zero."""
+    pdf = pd.DataFrame({"x": [1.0, -1.0, 0.0]})
+    s = spark.createDataFrame(pdf)
+    from pyspark.sql import functions as F
+
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        s.select((F.col("x") / F.lit(0.0)).alias("q")).collect()
+    out = s.select(F.try_divide(F.col("x"), F.lit(0.0)).alias("q")).collect()
+    assert all(r["q"] is None for r in out)
