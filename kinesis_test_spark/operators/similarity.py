@@ -12,6 +12,11 @@
 All vector math is JVM-side (`zip_with` product + `aggregate` fold) — no
 Python UDFs. Scores are rounded to 6dp on both engines before ordering so
 float32→float64 promotion and summation order can't flip a rank.
+
+Zero-vector caveat: cosine divides by the norms; with Spark 4's ANSI mode
+a zero vector raises DIVIDE_BY_ZERO (loud, not silent). On a corpus that
+may contain zero embeddings, pre-filter `norm > 0` or swap the division
+for F.try_divide (NULL score) — the fixtures guarantee nonzero vectors.
 """
 
 from __future__ import annotations
