@@ -577,3 +577,66 @@ def s_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+@query(
+    "s_reference_pipeline",
+    oracle="""
+SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+       CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+       event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2, 3, 4, 5
+""",
+)
+def s_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE job as one streaming query (consumer.py:252-320):
+    JSON wire ingest (with a replayed batch — its failure mode) → decode →
+    record-level dedup → event-time y/m/d/h partitioned JSON sink →
+    read-back. The sink contents must equal the batch truth exactly:
+    replay suppressed, every event once, reference layout."""
+    from pyspark.sql import types as T
+
+    d = scratch_dir("s_ref_pipeline")
+    src, out, cp = d / "src", d / "out", d / "cp"
+    # stage the wire: events as JSON lines, WHOLE TABLE TWICE (replay)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.date_format(
+            F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    batch.coalesce(1).write.mode("overwrite").json(str(src))
+    batch.coalesce(1).write.mode("append").json(str(src))  # the replay
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .dropDuplicates(["event_id"])  # record-level (vs consumer.py:292-303)
+    )
+    partitioned_json_sink(stream, out, cp)
+    back = spark.read.schema(
+        T.StructType(
+            schema.fields
+            + [
+                T.StructField("y", T.IntegerType()),
+                T.StructField("m", T.IntegerType()),
+                T.StructField("d", T.IntegerType()),
+                T.StructField("h", T.IntegerType()),
+            ]
+        )
+    ).option("basePath", str(out)).json(str(out))
+    return back.groupBy("y", "m", "d", "h", "event_type").agg(F.count("*").alias("n"))
