@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "q_join_inner",      # fact⋈dim equi join
     "q_join_broadcast",  # broadcast chain + agg
     "q_join_asof",       # range join + window
+    "q_join_asof_union", # sort-merge as-of (scale form)
     "q_window_frame",    # running frames per key
     "q_topk_per_group",  # window group-limit
     "q_sessionize",      # lag + cumsum + agg

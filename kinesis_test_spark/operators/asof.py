@@ -61,3 +61,69 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "q_join_asof_union",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderdate, last_event_id, last_event_ts
+FROM (
+  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+         e.event_id AS last_event_id, e.ts AS last_event_ts,
+         row_number() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM orders o
+  LEFT JOIN events e ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+) WHERE rn = 1
+""",
+)
+def q_join_asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE form of the as-of join: union both sides into one
+    (key, time)-sorted stream and carry the last event forward with
+    `last_value(..., ignoreNulls)` — ONE shuffle on the key, zero join
+    fan-out, state O(1) per key. This is the sort-merge as-of algorithm;
+    the range-join formulation (q_join_asof) costs O(orders × prior
+    events per user) in intermediate rows, this costs O(orders + events).
+    Same oracle as q_join_asof — the two physical strategies must agree
+    row-for-row."""
+    o = t(spark, sf_dir, "orders")
+    e = t(spark, sf_dir, "events")
+    events_side = e.select(
+        F.col("user_id").alias("k"),
+        F.col("ts"),
+        F.lit(0).alias("is_order"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    orders_side = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey"),
+    )
+    # at equal ts the event sorts BEFORE the order (is_order asc) so
+    # e.ts <= o.ts inclusivity holds; event_id asc makes the carried value
+    # the max (ts, event_id) — identical to the rn=1 pick in q_join_asof
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "is_order", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = events_side.unionByName(orders_side).select(
+        "k",
+        "ts",
+        "is_order",
+        "o_orderkey",
+        F.last("event_id", ignorenulls=True).over(w).alias("last_event_id"),
+        F.last(F.when(F.col("is_order") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_event_ts"),
+    )
+    return merged.filter(F.col("is_order") == 1).select(
+        "o_orderkey",
+        F.col("k").alias("o_custkey"),
+        F.col("ts").alias("o_orderdate"),
+        "last_event_id",
+        "last_event_ts",
+    )
