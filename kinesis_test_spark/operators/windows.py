@@ -162,3 +162,40 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_custkey").over(w).alias("richest_in_segment"),
         F.last("c_custkey").over(wfull).alias("poorest_in_segment"),
     )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER
+            (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS trailing_5m_value,
+       COUNT(*) OVER
+            (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW) AS trailing_5m_events
+FROM events
+""",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) frame: per-user trailing 5-minute sum/count —
+    unlike ROWS frames, peers at the same ordering value share the frame,
+    so no tie-break is needed for determinism. The time axis is ordered as
+    epoch millis (RANGE needs a numeric ordering)."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-300000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_5m_value"),
+        F.count("*").over(w).alias("trailing_5m_events"),
+    )
