@@ -129,3 +129,96 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# cosine LSH (random hyperplane signs)
+# ---------------------------------------------------------------------------
+
+N_PLANES = 8
+DIM = 64
+LSH_RERANK_THRESHOLD = 0.3
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes, embedded as literals in BOTH
+    engines (md5-derived, seeded) — no cross-engine hashing at query time."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"hp|{p}|{d}".encode()).hexdigest()[:4], 16) / 65536.0 - 0.5
+            for d in range(DIM)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+
+_PLANES = _hyperplanes()
+
+
+def _lsh_oracle() -> str:
+    planes_sql = ", ".join(
+        "[" + ", ".join(repr(x) for x in plane) + "]" for plane in _PLANES
+    )
+    proj = (
+        "list_reduce(list_transform(generate_series(1, {dim}), i -> e[i] * R[{p}][i]),"
+        " (a, b) -> a + b)"
+    )
+    bits = " + ".join(
+        f"(CASE WHEN {proj.format(dim=DIM, p=p + 1)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"""
+WITH planes AS (SELECT [{planes_sql}] AS R),
+v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bucketed AS (
+  SELECT vec_id, label, e, CAST({bits} AS BIGINT) AS bucket FROM v, planes)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+       ROUND(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= {LSH_RERANK_THRESHOLD}
+"""
+
+
+@query("q_sim_lsh", oracle=_lsh_oracle())
+def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine LSH: 8 random-hyperplane sign bits → 256 buckets; candidate
+    pairs form only inside a bucket (collision probability rises with
+    cosine similarity), then exact-cosine rerank keeps real matches. The
+    linear-cost alternative to blocked pairing when no natural blocking
+    key exists; at scale the bucket id doubles as the shuffle key.
+    The projection fold (0 + x₁ + x₂ …) is sequenced identically in both
+    engines so the sign bits match bit-for-bit."""
+    v = _vectors(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    plane_cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col("e"),
+                F.array(*[F.lit(x) for x in _PLANES[p]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for p in range(N_PLANES)
+    ]
+    bucket = sum(
+        [F.when(plane_cols[p] > 0, F.lit(1 << p)).otherwise(0) for p in range(N_PLANES)],
+        start=F.lit(0),
+    ).cast("bigint")
+    bucketed = v.select("vec_id", "label", "e", bucket.alias("bucket"))
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("bucket").alias("bucket_b")
+    )
+    cos = cosine(F.col("ea"), F.col("eb"), 4)
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", "bucket", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= LSH_RERANK_THRESHOLD)
+    )

@@ -15,7 +15,7 @@ for stopwords → partial aggregation absorbs it).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_test_spark.functions.porthash import spark_hex16, sql_hex16
@@ -337,4 +337,57 @@ def q_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "lang_labeled", expr.otherwise("und").alias("lang_pred"),
         *[f"s_{l}" for l in langs],
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+@query(
+    "q_text_tfidf",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, w AS word, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w),
+df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, word, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+  FROM scored)
+SELECT doc_id, word, tfidf, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {TFIDF_TOP_K}
+""",
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with top-k terms per document: term counts (one groupBy),
+    document frequencies (one groupBy on the tf table — already tiny),
+    idf = ln(N/df) broadcast back, ranked-window top-k per doc.
+    Shuffles: by (doc, word), by word, by doc — each carrying aggregated
+    rows, never raw tokens twice. Scores rounded 6dp (ln differs in last
+    ulp across libm implementations)."""
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = d.count()  # scalar; the driver-side count replaces a cross join
+    scored = tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.select("doc_id", "word", "tfidf", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
     )
