@@ -222,3 +222,69 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "bucket", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= LSH_RERANK_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means step (the iterative-refinement primitive behind a real IVF codebook)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_kmeans_step",
+    oracle=f"""
+WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+              FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT v.vec_id, v.e, cent.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY ROUND(list_cosine_similarity(v.e, cent.ce), 6) DESC,
+                                     cent.cid) AS rn
+  FROM v, cent),
+assigned AS (SELECT vec_id, e, cid FROM scored WHERE rn = 1),
+dims AS (SELECT unnest(generate_series(1, {DIM})) AS dim),
+comp AS (SELECT cid, dim, e[dim] AS val FROM assigned, dims),
+sizes AS (SELECT cid, COUNT(DISTINCT vec_id) AS n_members FROM assigned GROUP BY cid)
+SELECT c.cid, CAST(c.dim AS INT) AS dim,
+       ROUND(SUM(c.val) / COUNT(*), 9) AS centroid_val,
+       s.n_members
+FROM comp c JOIN sizes s ON s.cid = c.cid
+GROUP BY c.cid, c.dim, s.n_members
+""",
+)
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embeddings (the refinement
+    step that turns the fixed IVF codebook into a trained one): broadcast
+    argmax assignment (as q_sim_search_ivf), then per-(cluster, dimension)
+    mean rounded to 9dp — component magnitudes ~1e-1 make the decimal-exact
+    route lossy at the 18th digit (engines round the double→decimal
+    conversion differently), while summation-order noise is ~1e-17, eight
+    orders below the rounding boundary. The driver loop of a
+    full k-means is this query iterated; each step is one broadcast join +
+    one partial+final aggregate."""
+    v = _vectors(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    cent = F.broadcast(
+        v.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    assigned = (
+        v.crossJoin(cent)
+        .select("vec_id", "e", "cid", cosine(F.col("e"), F.col("ce")).alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "cid")
+    )
+    sizes = assigned.groupBy("cid").agg(F.countDistinct("vec_id").alias("n_members"))
+    comp = assigned.select(
+        "cid", F.posexplode("e").alias("dim0", "val")
+    ).select("cid", (F.col("dim0") + 1).alias("dim"), "val")
+    means = comp.groupBy("cid", "dim").agg(
+        F.round(F.sum("val") / F.count("*"), 9).alias("centroid_val")
+    )
+    return means.join(sizes, "cid").select("cid", "dim", "centroid_val", "n_members")
