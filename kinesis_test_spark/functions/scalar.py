@@ -459,3 +459,25 @@ def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yyyy-MM-dd HH:mm:ss",
         ).alias("tokyo_time"),
     )
+
+
+@query(
+    "q_fn_scrub",
+    oracle="""
+SELECT c_custkey,
+       regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS INT) AS n_redactions
+FROM customer
+""",
+)
+def q_fn_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction scrubbing (the PII-removal shape of a training pipeline):
+    digit runs replaced with a placeholder, redaction count reported —
+    regexp_replace is global in Spark, per-first-match in DuckDB without
+    the 'g' flag (stated explicitly in the oracle)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]+", "<ID>").alias("scrubbed"),
+        F.size(F.regexp_extract_all("c_name", F.lit("[0-9]+"), 0)).alias("n_redactions"),
+    )

@@ -391,3 +391,47 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("doc_id", "word", "tfidf", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= TFIDF_TOP_K)
     )
+
+
+CHUNK_WORDS = 32
+CHUNK_STRIDE = 24  # 8-word overlap
+
+
+@query(
+    "q_text_chunk",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+idx AS (SELECT unnest(generate_series(0, 63)) AS chunk_idx)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(words[chunk_idx * {CHUNK_STRIDE} + 1 :
+                              chunk_idx * {CHUNK_STRIDE} + {CHUNK_WORDS}], ' ') AS chunk_text,
+       CAST(len(words[chunk_idx * {CHUNK_STRIDE} + 1 :
+                      chunk_idx * {CHUNK_STRIDE} + {CHUNK_WORDS}]) AS INT) AS n_words
+FROM w, idx
+WHERE chunk_idx * {CHUNK_STRIDE} < len(words)
+""",
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: split each document into {32}-word chunks
+    with 8-word overlap (stride 24) — the map-side row expansion every
+    context-window pipeline needs. Chunk count is data-dependent; the last
+    chunk may be short but is never empty."""
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    words = F.split("text", " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(CHUNK_STRIDE)).cast("int")
+    chunked = d.select(
+        "doc_id",
+        words.alias("words"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).filter(F.col("chunk_idx") * CHUNK_STRIDE < F.size("words"))
+    chunk = F.slice(
+        F.col("words"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_WORDS
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("n_words"),
+    )

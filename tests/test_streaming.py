@@ -198,3 +198,52 @@ def test_sink_partition_pruning(spark, sf_dir):
     line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "y" in line and "m" in line and "d" in line
     assert one_day.count() > 0
+
+
+def test_batch_quantum_rate_limit(spark, sf_dir):
+    """The reference's BATCH_SIZE quantum (consumer.py:255: 1000 records per
+    get_records) as source rate limiting: 4 staged files with
+    maxFilesPerTrigger=1 must process as 4 micro-batches whose union is
+    exactly the input — batch boundaries change, results don't."""
+    from pyspark.sql import functions as F
+
+    from kinesis_test_spark.streaming.pipeline import (
+        read_staged_stream,
+        scratch_dir,
+        stage_events,
+    )
+
+    d = scratch_dir("rate_limit")
+    stage = d / "src"
+    lo, hi = spark.read.parquet(f"{sf_dir}/events.parquet").agg(
+        F.min("event_id"), F.max("event_id")
+    ).first()
+    q1, q2, q3 = (lo + (hi - lo) * k // 4 for k in (1, 2, 3))
+    stage_events(spark, sf_dir, stage, "p1", where=f"event_id < {q1}")
+    stage_events(spark, sf_dir, stage, "p2", where=f"event_id >= {q1} AND event_id < {q2}")
+    stage_events(spark, sf_dir, stage, "p3", where=f"event_id >= {q2} AND event_id < {q3}")
+    stage_events(spark, sf_dir, stage, "p4", where=f"event_id >= {q3}")
+
+    seen_batches = []
+    sink_rows = []
+
+    def collect_batch(batch_df, batch_id):
+        pdf = batch_df.select("event_id").toPandas()
+        if len(pdf):
+            seen_batches.append(batch_id)
+            sink_rows.append(pdf)
+
+    q = (
+        read_staged_stream(spark, sf_dir, stage, maxFilesPerTrigger="1")
+        .writeStream.foreachBatch(collect_batch)
+        .option("checkpointLocation", str(d / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen_batches) == 4, seen_batches  # one batch per file
+    import pandas as pd
+
+    all_ids = pd.concat(sink_rows)["event_id"]
+    assert all_ids.nunique() == len(all_ids)
+    assert len(all_ids) == spark.read.parquet(f"{sf_dir}/events.parquet").count()
