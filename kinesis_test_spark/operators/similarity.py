@@ -288,3 +288,68 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("val") / F.count("*"), 9).alias("centroid_val")
     )
     return means.join(sizes, "cid").select("cid", "dim", "centroid_val", "n_members")
+
+
+N_PROBES = 2
+
+
+@query(
+    "q_sim_search_ivf_multiprobe",
+    oracle=f"""
+WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+              FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT v.vec_id, v.label, v.e, cent.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY ROUND(list_cosine_similarity(v.e, cent.ce), 6) DESC,
+                                     cent.cid) AS rn
+  FROM v, cent),
+assigned AS (SELECT vec_id, label, e, cid FROM scored WHERE rn = 1),
+qcells AS (
+  SELECT cid FROM scored WHERE vec_id = {QUERY_VEC_ID} AND rn <= {N_PROBES}),
+qe AS (SELECT e FROM v WHERE vec_id = {QUERY_VEC_ID})
+SELECT a.vec_id, a.label, a.cid,
+       ROUND(list_cosine_similarity(a.e, qe.e), 6) AS cos_sim
+FROM assigned a JOIN qcells ON a.cid = qcells.cid CROSS JOIN qe
+WHERE a.vec_id <> {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, vec_id
+LIMIT {TOP_K}
+""",
+)
+def q_sim_search_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF: search the query's top-{2} cells instead of one —
+    the standard recall knob (probes trade linearly more data scanned for
+    recall; cells remain the partition key, so each probe is a pruned
+    partition read at scale)."""
+    from pyspark.sql import Window as W
+
+    v = _vectors(spark, sf_dir)
+    cent = F.broadcast(
+        v.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    scored = (
+        v.crossJoin(cent)
+        .select("vec_id", "label", "e", "cid", cosine(F.col("e"), F.col("ce")).alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    assigned = scored.filter(F.col("rn") == 1).select("vec_id", "label", "e", "cid")
+    qcells = F.broadcast(
+        scored.filter((F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= N_PROBES)).select(
+            F.col("cid").alias("qcid")
+        )
+    )
+    qe = F.broadcast(
+        v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
+    )
+    return (
+        assigned.join(qcells, F.col("cid") == F.col("qcid"))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(qe)
+        .select("vec_id", "label", "cid", cosine(F.col("e"), F.col("qe")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(TOP_K)
+    )
