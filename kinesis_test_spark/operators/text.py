@@ -412,7 +412,7 @@ WHERE chunk_idx * {CHUNK_STRIDE} < len(words)
 """,
 )
 def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-data chunking: split each document into {32}-word chunks
+    """Training-data chunking: split each document into 32-word chunks
     with 8-word overlap (stride 24) — the map-side row expansion every
     context-window pipeline needs. Chunk count is data-dependent; the last
     chunk may be short but is never empty."""
