@@ -92,3 +92,47 @@ def q_source_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pysource.register(spark)
     return spark.read.format("clickstream_synth").load()
+
+
+@query(
+    "q_maintenance_compact",
+    oracle="""
+SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+       CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2, 3, 4
+""",
+)
+def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance path as a first-class operator: build the y/m/d/h
+    partitioned sink, compact it (one file per partition), read the
+    COMPACTED copy back — contents must still equal the batch truth.
+    (The reference accretes one object per batch forever,
+    consumer.py:235-249; this is the job that cleans that up.)"""
+    from kinesis_test_spark.maintenance import compact_partitioned
+    from kinesis_test_spark.streaming.pipeline import (
+        partitioned_json_sink,
+        read_events_stream,
+        scratch_dir,
+    )
+
+    d = scratch_dir("q_compact")
+    out = d / "out"
+    partitioned_json_sink(read_events_stream(spark, sf_dir), out, d / "cp")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+            T.StructField("y", T.IntegerType()),
+            T.StructField("m", T.IntegerType()),
+            T.StructField("d", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+        ]
+    )
+    compacted = compact_partitioned(spark, out, schema=schema)
+    back = spark.read.schema(schema).option("basePath", str(compacted)).json(str(compacted))
+    return back.groupBy("y", "m", "d", "h").agg(F.count("*").alias("n"))
