@@ -353,3 +353,64 @@ def q_sim_search_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+@query("q_kmeans")  # rows-only: convergence-dependent iteration count
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-means (Lloyd) to convergence: q_kmeans_step iterated until the
+    assignment is stable (or 8 rounds). Iterative driver loop over
+    declarative steps — each round is one broadcast assignment + one
+    per-(cluster, dim) mean; centroids localCheckpoint'ed to truncate
+    lineage. Output: final (cid, dim, centroid_val, n_members) rows.
+    Rows-only (iteration count is data-dependent); the inertia-monotonicity
+    property is asserted in tests/test_rows_only.py."""
+    from pyspark.sql import Window as W
+
+    v = _vectors(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).localCheckpoint()
+    cent = v.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    prev_assign = None
+    for _ in range(8):
+        assigned = (
+            v.crossJoin(F.broadcast(cent))
+            .select("vec_id", "e", "cid", cosine(F.col("e"), F.col("ce")).alias("sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "e", "cid")
+            .localCheckpoint()
+        )
+        if prev_assign is not None:
+            changed = (
+                assigned.select("vec_id", "cid")
+                .exceptAll(prev_assign.select("vec_id", "cid"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
+        prev_assign = assigned
+        comp = assigned.select("cid", F.posexplode("e").alias("dim0", "val"))
+        means = comp.groupBy("cid", "dim0").agg(
+            F.round(F.sum("val") / F.count("*"), 9).alias("cv")
+        )
+        cent = (
+            means.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim0", "cv"))), lambda x: x["cv"]
+                ).alias("ce")
+            )
+            .localCheckpoint()
+        )
+    sizes = prev_assign.groupBy("cid").agg(F.count("*").alias("n_members"))
+    out = prev_assign.select("cid", F.posexplode("e").alias("dim0", "val")).groupBy(
+        "cid", "dim0"
+    ).agg(F.round(F.sum("val") / F.count("*"), 9).alias("centroid_val"))
+    return (
+        out.select("cid", (F.col("dim0") + 1).alias("dim"), "centroid_val")
+        .join(sizes, "cid")
+    )

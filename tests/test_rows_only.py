@@ -63,3 +63,36 @@ def test_mllib_minhash_agrees_with_portable(spark, sf_dir):
     assert strong, "no strong near-dup pairs found by portable minhash"
     missing = strong - mllib_pairs
     assert len(missing) <= max(1, len(strong) // 10), f"MLlib missed {missing}"
+
+
+def test_kmeans_converges_and_reduces_inertia(spark, sf_dir):
+    """Full k-means: final centroids must fit the data at least as well as
+    the initial codebook (mean best-cosine non-decreasing), and every
+    cluster in the output is non-empty with all 64 dims present."""
+    import pandas as pd
+
+    from kinesis_test_spark.operators import similarity
+
+    out = registry.QUERIES["q_kmeans"](spark, sf_dir).toPandas()
+    assert set(out["dim"]) == set(range(1, 65))
+    assert (out["n_members"] > 0).all()
+
+    v = similarity._vectors(spark, sf_dir)
+    init = v.filter(F.col("vec_id") < similarity.N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    final_pdf = out.pivot_table(index="cid", columns="dim", values="centroid_val")
+    rows = [
+        (int(cid), [float(x) for x in final_pdf.loc[cid].tolist()])
+        for cid in final_pdf.index
+    ]
+    final = spark.createDataFrame(rows, "cid int, ce array<double>")
+
+    def mean_best_cosine(cents):
+        scored = v.crossJoin(F.broadcast(cents)).select(
+            "vec_id", similarity.cosine(F.col("e"), F.col("ce")).alias("sim")
+        )
+        best = scored.groupBy("vec_id").agg(F.max("sim").alias("best"))
+        return best.agg(F.avg("best")).first()[0]
+
+    assert mean_best_cosine(final) >= mean_best_cosine(init) - 1e-9
