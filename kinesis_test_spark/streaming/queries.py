@@ -640,3 +640,4 @@ def s_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).option("basePath", str(out)).json(str(out))
     return back.groupBy("y", "m", "d", "h", "event_type").agg(F.count("*").alias("n"))
+
