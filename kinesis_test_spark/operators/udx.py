@@ -142,3 +142,59 @@ def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", "event_type", "value").groupBy("event_type").applyInPandas(
         normalize, schema="event_id bigint, event_type string, value_z double"
     )
+
+
+@query(
+    "q_udtf_table_arg",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM flagged GROUP BY user_id
+""",
+)
+def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF over a TABLE argument (Spark 4 polymorphic table
+    function): the engine hands the UDTF each user's rows partitioned and
+    time-ordered; the UDTF walks them once, counting 30-minute-gap
+    sessions, and emits one summary row per partition from terminate().
+    The imperative-looking per-key walk stays fully distributed — the
+    PARTITION BY/ORDER BY is planned by Catalyst like any other shuffle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_sessions bigint, n_events bigint")
+    class SessionCounter:
+        GAP_MS = 30 * 60 * 1000
+
+        def __init__(self):
+            self.user = None
+            self.prev_ms = None
+            self.sessions = 0
+            self.events = 0
+
+        def eval(self, row):
+            ms = int(row["ts"].timestamp() * 1000)
+            self.user = row["user_id"]
+            if self.prev_ms is None or ms - self.prev_ms > self.GAP_MS:
+                self.sessions += 1
+            self.prev_ms = ms
+            self.events += 1
+
+        def terminate(self):
+            if self.user is not None:
+                yield (self.user, self.sessions, self.events)
+
+    spark.udtf.register("session_counter", SessionCounter)
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * FROM session_counter(
+          TABLE(SELECT user_id, ts, event_id FROM events)
+          PARTITION BY user_id ORDER BY (ts, event_id))
+        """
+    )

@@ -641,3 +641,39 @@ def s_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).option("basePath", str(out)).json(str(out))
     return back.groupBy("y", "m", "d", "h", "event_type").agg(F.count("*").alias("n"))
 
+
+
+@query(
+    "s_fanout",
+    oracle="""
+SELECT 'parquet' AS sink, COUNT(*) AS n FROM events
+UNION ALL
+SELECT 'json', COUNT(*) FROM events
+""",
+)
+def s_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-sink fanout from one stream: foreachBatch writes each
+    micro-batch to BOTH a parquet and a JSON sink (the pattern for serving
+    + archival targets off one ingest); both copies must be complete."""
+    d = scratch_dir("s_fanout")
+    pq, js, cp = d / "pq", d / "js", d / "cp"
+
+    def write_both(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df.withColumn("ts", F.col("ts").cast("string"))
+        out.persist()
+        out.write.mode("append").parquet(str(pq))
+        out.write.mode("append").json(str(js))
+        out.unpersist()
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(write_both)
+        .option("checkpointLocation", str(cp))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_pq = spark.read.parquet(str(pq)).count()
+    n_js = spark.read.json(str(js)).count()
+    rows = [("parquet", n_pq), ("json", n_js)]
+    return spark.createDataFrame(rows, "sink string, n long")
