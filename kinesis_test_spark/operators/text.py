@@ -435,3 +435,71 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).alias("n_words"),
     )
+
+
+VOCAB_SIZE = 20
+
+
+@query(
+    "q_text_tokenize_ids",
+    oracle=f"""
+WITH counts AS (
+  SELECT w AS word, COUNT(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w),
+vocab AS (
+  SELECT word, CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS token_id
+  FROM counts ORDER BY n DESC, word LIMIT {VOCAB_SIZE}),
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+nums AS (SELECT unnest(generate_series(1, 600)) AS i),
+positioned AS (
+  SELECT doc_id, i, words[i] AS word FROM w, nums WHERE i <= len(words)),
+coded AS (
+  SELECT p.doc_id, p.i, COALESCE(v.token_id, 0) AS tid
+  FROM positioned p LEFT JOIN vocab v ON v.word = p.word)
+SELECT doc_id,
+       string_agg(CAST(tid AS VARCHAR), ',' ORDER BY i) AS token_ids,
+       CAST(COUNT(*) FILTER (WHERE tid = 0) AS BIGINT) AS n_oov
+FROM coded GROUP BY doc_id
+""",
+)
+def q_text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coded tokenization (the text→token-id step of training
+    prep): the vocab (top-{VOCAB_SIZE} corpus terms, rank = id, OOV = 0) is
+    computed once, collected (it is tiny by construction), and broadcast
+    into an Arrow-batched mapInPandas that codes every document. The
+    pattern scales: a real 100k-entry tokenizer vocabulary is still
+    broadcast-sized, and the coding pass stays embarrassingly parallel."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    vocab_rows = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(VOCAB_SIZE)
+        .collect()
+    )
+    vocab = {r["word"]: i + 1 for i, r in enumerate(vocab_rows)}
+    bc = spark.sparkContext.broadcast(vocab)
+
+    def code(batches):
+        v = bc.value
+        for pdf in batches:
+            ids = pdf["text"].map(
+                lambda s: [v.get(tok, 0) for tok in s.split(" ")]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "token_ids": ids.map(lambda xs: ",".join(str(x) for x in xs)),
+                    "n_oov": ids.map(lambda xs: sum(1 for x in xs if x == 0)),
+                }
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        code, schema="doc_id bigint, token_ids string, n_oov bigint"
+    )
