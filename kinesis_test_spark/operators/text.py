@@ -503,3 +503,68 @@ def q_text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(
         code, schema="doc_id bigint, token_ids string, n_oov bigint"
     )
+
+
+PACK_CAPACITY = 256  # words per training sequence
+
+
+@query(
+    "q_text_pack",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+idx AS (SELECT unnest(generate_series(0, 63)) AS chunk_idx),
+chunks AS (
+  SELECT doc_id, chunk_idx,
+         len(words[chunk_idx * {CHUNK_STRIDE} + 1 :
+                   chunk_idx * {CHUNK_STRIDE} + {CHUNK_WORDS}]) AS n_words
+  FROM w, idx WHERE chunk_idx * {CHUNK_STRIDE} < len(words)),
+ordered AS (
+  SELECT doc_id, chunk_idx, n_words,
+         SUM(n_words) OVER (ORDER BY doc_id, chunk_idx
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM chunks)
+SELECT CAST((cum - n_words) // {PACK_CAPACITY} AS BIGINT) AS pack_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(n_words) AS BIGINT) AS total_words
+FROM ordered GROUP BY pack_id
+""",
+)
+def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign document chunks to fixed-budget training
+    packs by running word count (pack = floor(preceding-total / capacity) —
+    the streaming first-fit approximation; packs can overflow by at most
+    one chunk, never underfill mid-stream). A global ordered cumsum is a
+    single-partition window — at 100 TB, pack within shards (add the shard
+    key to the PARTITION BY) and the pack ids stay deterministic per shard."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(CHUNK_STRIDE)).cast("int")
+    chunks = (
+        d.select(
+            "doc_id",
+            words.alias("words"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .filter(F.col("chunk_idx") * CHUNK_STRIDE < F.size("words"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(
+                F.slice(F.col("words"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_WORDS)
+            ).alias("n_words"),
+        )
+    )
+    w = Window.orderBy("doc_id", "chunk_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ordered = chunks.select(
+        "doc_id", "chunk_idx", "n_words", F.sum("n_words").over(w).alias("cum")
+    )
+    return (
+        ordered.select(
+            F.floor((F.col("cum") - F.col("n_words")) / PACK_CAPACITY).alias("pack_id"),
+            "n_words",
+        )
+        .groupBy("pack_id")
+        .agg(F.count("*").alias("n_chunks"), F.sum("n_words").cast("bigint").alias("total_words"))
+    )
