@@ -568,3 +568,59 @@ def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pack_id")
         .agg(F.count("*").alias("n_chunks"), F.sum("n_words").cast("bigint").alias("total_words"))
     )
+
+
+MIX_DOC_PCT = 90  # documents share of the mixture (events-text gets the rest)
+
+
+@query(
+    "q_mixture",
+    oracle=f"""
+WITH doc_side AS (
+  SELECT 'documents' AS source_ds, CAST(doc_id AS BIGINT) AS item_id, text AS sample_text
+  FROM documents
+  WHERE ((strpos('0123456789abcdef', substr(md5('mixd|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+       + (strpos('0123456789abcdef', substr(md5('mixd|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(md5('mixd|' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5('mixd|' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1))
+       < {MIX_DOC_PCT * 65536 // 100}),
+event_side AS (
+  SELECT 'events', event_id, event_type || ' by user ' || CAST(user_id AS VARCHAR)
+  FROM events
+  WHERE ((strpos('0123456789abcdef', substr(md5('mixe|' || CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 4096
+       + (strpos('0123456789abcdef', substr(md5('mixe|' || CAST(event_id AS VARCHAR)), 2, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(md5('mixe|' || CAST(event_id AS VARCHAR)), 3, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5('mixe|' || CAST(event_id AS VARCHAR)), 4, 1)) - 1))
+       < {(100 - MIX_DOC_PCT) * 65536 // 100})
+SELECT * FROM doc_side UNION ALL SELECT * FROM event_side
+""",
+)
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset mixture: sample ~{90}% of documents and ~{10}%
+    of synthesized event-text through salted content hashes, union with
+    source tags — the reproducible mixing step of a training-data recipe
+    (same record always lands in the same mixture regardless of
+    partitioning or engine)."""
+    from kinesis_test_spark.functions.porthash import spark_hex16
+
+    d = t(spark, sf_dir, "documents")
+    ev = t(spark, sf_dir, "events")
+    doc_keep = spark_hex16(
+        F.concat(F.lit("mixd|"), F.col("doc_id").cast("string"))
+    ) < (MIX_DOC_PCT * 65536 // 100)
+    ev_keep = spark_hex16(
+        F.concat(F.lit("mixe|"), F.col("event_id").cast("string"))
+    ) < ((100 - MIX_DOC_PCT) * 65536 // 100)
+    doc_side = d.filter(doc_keep).select(
+        F.lit("documents").alias("source_ds"),
+        F.col("doc_id").alias("item_id"),
+        F.col("text").alias("sample_text"),
+    )
+    event_side = ev.filter(ev_keep).select(
+        F.lit("events").alias("source_ds"),
+        F.col("event_id").alias("item_id"),
+        F.concat(F.col("event_type"), F.lit(" by user "), F.col("user_id").cast("string")).alias(
+            "sample_text"
+        ),
+    )
+    return doc_side.unionByName(event_side)

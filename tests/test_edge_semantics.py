@@ -106,3 +106,27 @@ def test_division_by_zero_ansi_vs_try_divide(spark):
         s.select((F.col("x") / F.lit(0.0)).alias("q")).collect()
     out = s.select(F.try_divide(F.col("x"), F.lit(0.0)).alias("q")).collect()
     assert all(r["q"] is None for r in out)
+
+
+def test_schema_evolution_merge(spark, sf_dir, tmp_path=None):
+    """Schema drift across file generations (the clickstream schema grew
+    fields over time — event.py's nulls witness it): mergeSchema unions the
+    schemas, missing columns read as NULL."""
+    from pyspark.sql import functions as F
+
+    from kinesis_test_spark.streaming.pipeline import scratch_dir
+
+    d = scratch_dir("schema_evo")
+    gen1 = spark.range(5).select(
+        F.col("id"), F.lit("old").alias("source_v")
+    )
+    gen2 = spark.range(5, 10).select(
+        F.col("id"), F.lit(1.5).alias("quality"), F.lit("new").alias("source_v")
+    )
+    gen1.write.parquet(str(d / "t" / "g=1"))
+    gen2.write.parquet(str(d / "t" / "g=2"))
+    merged = spark.read.option("mergeSchema", True).parquet(str(d / "t"))
+    assert set(merged.columns) >= {"id", "source_v", "quality"}
+    assert merged.count() == 10
+    olds = merged.filter(F.col("source_v") == "old")
+    assert olds.filter(F.col("quality").isNull()).count() == olds.count()
