@@ -705,3 +705,42 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((y, m, d, h), (y, m, d), (y, m), (y))
         """
     )
+
+
+STRATA_RATES = {"click": 10, "view": 10, "error": 50, "purchase": 100, "signup": 100}  # %
+
+
+def _stratified_oracle() -> str:
+    from kinesis_test_spark.functions.porthash import sql_hex16
+
+    h = sql_hex16("'strat|' || CAST(event_id AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN event_type = '{k}' THEN {rate * 65536 // 100}"
+        for k, rate in STRATA_RATES.items()
+    )
+    return f"""
+SELECT event_id, event_type, user_id
+FROM events
+WHERE {h} < (CASE {cases} ELSE 0 END)
+"""
+
+
+@query("q_sample_stratified", oracle=_stratified_oracle())
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-class keep rates (downsample
+    the dominant click/view classes, keep all purchases/signups) decided by
+    a salted content hash against a per-stratum threshold — the
+    class-rebalancing step of a training recipe, reproducible across
+    engines, runs, and partitionings (unlike seeded sampleBy)."""
+    from kinesis_test_spark.functions.porthash import spark_hex16
+
+    ev = t(spark, sf_dir, "events")
+    h = spark_hex16(F.concat(F.lit("strat|"), F.col("event_id").cast("string")))
+    threshold = None
+    for k, rate in STRATA_RATES.items():
+        cond = F.when(F.col("event_type") == k, F.lit(rate * 65536 // 100))
+        threshold = cond if threshold is None else threshold.when(
+            F.col("event_type") == k, F.lit(rate * 65536 // 100)
+        )
+    threshold = threshold.otherwise(F.lit(0))
+    return ev.filter(h < threshold).select("event_id", "event_type", "user_id")
