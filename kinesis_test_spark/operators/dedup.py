@@ -530,3 +530,44 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+@query(
+    "q_dedup_keeplist",
+    oracle=f"""
+WITH RECURSIVE {SQL_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_inter / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+clusters AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+SELECT doc_id, cluster_id,
+       doc_id = cluster_id AS is_canonical,
+       CASE WHEN doc_id = cluster_id THEN 'keep' ELSE 'drop' END AS action
+FROM clusters
+""",
+)
+def q_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION: near-dup clusters resolved into per-document
+    keep/drop actions (canonical = smallest doc_id per component). This is
+    the table a training pipeline actually joins against its corpus —
+    pairs → components → actions, end to end."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        F.when(F.col("doc_id") == F.col("cluster_id"), "keep").otherwise("drop").alias("action"),
+    )

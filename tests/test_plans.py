@@ -71,3 +71,33 @@ def test_sessionize_single_exchange(spark, sf_dir):
     user_id (grouping keys are a superset of the window partitioning)."""
     tree = plans.formatted(q("q_sessionize", spark, sf_dir)).split("\n\n")[0]
     assert tree.count("Exchange") == 1
+
+
+def test_join_hints_are_honored(spark, sf_dir):
+    """SHUFFLE_HASH and MERGE hints override Catalyst's default choice —
+    the escape hatch when statistics mislead the planner at scale."""
+    from kinesis_test_spark.sources import views
+
+    views(spark, sf_dir)
+    sh = spark.sql(
+        "SELECT /*+ SHUFFLE_HASH(c) */ o_orderkey, c_name "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    )
+    assert "ShuffledHashJoin" in plans.formatted(sh)
+    mj = spark.sql(
+        "SELECT /*+ MERGE(c) */ o_orderkey, c_name "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    )
+    assert "SortMergeJoin" in plans.formatted(mj)
+
+
+def test_cached_table_scans_from_memory(spark, sf_dir):
+    """df.cache() materializes the columnar in-memory format; downstream
+    plans must scan InMemoryTableScan, not parquet."""
+    df = q("q_scan_prune", spark, sf_dir).cache()
+    try:
+        df.count()  # materialize
+        plan = plans.formatted(df.filter("l_extendedprice > 0"))
+        assert "InMemoryTableScan" in plan
+    finally:
+        df.unpersist()
