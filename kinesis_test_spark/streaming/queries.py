@@ -677,3 +677,28 @@ def s_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_js = spark.read.json(str(js)).count()
     rows = [("parquet", n_pq), ("json", n_js)]
     return spark.createDataFrame(rows, "sink string, n long")
+
+
+@query(
+    "s_dedup_watermarked",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def s_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark — the PRODUCTION form of streaming
+    dedup: state for a key is evicted once the watermark passes it, so
+    unbounded streams hold bounded dedup state (plain dropDuplicates, used
+    in s_dedup, keeps state forever). Same replayed-source construction;
+    same exact result."""
+    d = scratch_dir("s_dedup_wm")
+    stage = d / "src"
+    stage_events(spark, sf_dir, stage, "a")
+    stage_events(spark, sf_dir, stage, "b")
+    name = _mem_name("dedup_wm")
+    deduped = (
+        read_staged_stream(spark, sf_dir, stage)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    run_to_memory(deduped, name, d / "cp", output_mode="append")
+    return spark.table(name)

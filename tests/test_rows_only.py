@@ -96,3 +96,27 @@ def test_kmeans_converges_and_reduces_inertia(spark, sf_dir):
         return best.agg(F.avg("best")).first()[0]
 
     assert mean_best_cosine(final) >= mean_best_cosine(init) - 1e-9
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """approx_percentile (the sketch quantile for 100 TB) must land within
+    a tight band of the exact percentile."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    approx = li.agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").alias("p")
+    ).first()["p"]
+    exact = li.agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p50"),
+        F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p90"),
+    ).first()
+    assert abs(approx[0] - exact["p50"]) <= 0.02 * exact["p50"]
+    assert abs(approx[1] - exact["p90"]) <= 0.02 * exact["p90"]
+
+
+def test_monotonic_id_unique_across_partitions(spark, sf_dir):
+    """monotonically_increasing_id: the zero-shuffle row-id generator —
+    values are partition-encoded (not dense) but must be globally unique."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(8)
+    with_id = ev.withColumn("rid", F.monotonically_increasing_id())
+    n = with_id.count()
+    assert with_id.select("rid").distinct().count() == n
