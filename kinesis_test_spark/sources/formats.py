@@ -136,3 +136,50 @@ def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacted = compact_partitioned(spark, out, schema=schema)
     back = spark.read.schema(schema).option("basePath", str(compacted)).json(str(compacted))
     return back.groupBy("y", "m", "d", "h").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_source_csv_permissive",
+    oracle="""
+SELECT COUNT(*) AS n_clean, CAST(3 AS BIGINT) AS n_corrupt FROM events
+""",
+)
+def q_source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingest: three malformed lines are planted in the
+    staged wire; they must land in _corrupt_record (counted) while every
+    clean row parses — the same crash-proof decode stance as the JSON path
+    (the reference dies on its first malformed record, consumer.py:123)."""
+    from kinesis_test_spark.streaming.pipeline import scratch_dir
+
+    d = scratch_dir("src_csv_perm")
+    csv_dir = d / "csv"
+    _events_typed(spark, sf_dir).write.option("header", False).csv(str(csv_dir))
+    bad = csv_dir / "part-bad.csv"
+    bad.write_text("not,enough\ntoo,many,columns,here,extra,fields\ngarbage~~~line\n")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("header", False)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(csv_dir))
+    )
+    # Spark refuses queries touching ONLY _corrupt_record on a raw scan
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
+    # documented pattern is to materialize first
+    back = back.cache()
+    try:
+        return back.agg(
+            F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_clean"),
+            F.count(F.col("_corrupt_record")).alias("n_corrupt"),
+        )
+    finally:
+        pass  # driver collects lazily; cache is released with the session

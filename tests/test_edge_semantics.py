@@ -130,3 +130,24 @@ def test_schema_evolution_merge(spark, sf_dir, tmp_path=None):
     assert merged.count() == 10
     olds = merged.filter(F.col("source_v") == "old")
     assert olds.filter(F.col("quality").isNull()).count() == olds.count()
+
+
+def test_binary_payload_roundtrip_parquet(spark, sf_dir):
+    """Multimodal storage pin: binary payloads survive a parquet round trip
+    byte-exact (verified by content hash)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_test_spark.streaming.pipeline import scratch_dir
+
+    d = scratch_dir("binary_rt")
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    src.write.parquet(str(d / "t"))
+    back = spark.read.parquet(str(d / "t"))
+    joined = src.alias("a").join(back.alias("b"), "doc_id")
+    mismatches = joined.filter(
+        F.md5(F.col("a.payload")) != F.md5(F.col("b.payload"))
+    ).count()
+    assert mismatches == 0
+    assert back.count() == src.count()
