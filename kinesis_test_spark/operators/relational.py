@@ -744,3 +744,34 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     threshold = threshold.otherwise(F.lit(0))
     return ev.filter(h < threshold).select("event_id", "event_type", "user_id")
+
+
+@query(
+    "q_agg_argmax",
+    oracle="""
+SELECT user_id, event_id AS last_event_id, ts AS last_ts, event_type AS last_type
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+""",
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-event-per-user as ONE hash aggregate: max over an orderable
+    struct (ts, event_id, event_type) — partial+final with map-side
+    combine, no per-key sort. The deterministic arg-max idiom (max_by
+    leaves ties unspecified; the struct ordering pins them)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "user_id", F.struct("ts", "event_id", "event_type").alias("r")
+        )
+        .groupBy("user_id")
+        .agg(F.max("r").alias("r"))
+        .select(
+            "user_id",
+            F.col("r.event_id").alias("last_event_id"),
+            F.col("r.ts").alias("last_ts"),
+            F.col("r.event_type").alias("last_type"),
+        )
+    )
