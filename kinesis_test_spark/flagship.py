@@ -21,7 +21,8 @@ from kinesis_test_spark.sources import t
 WITH deduped AS (
   SELECT * FROM (
     SELECT user_id, event_type, ts, value,
-           row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+           row_number() OVER (PARTITION BY event_id
+                              ORDER BY ts, user_id, event_type, value) AS rn
     FROM events)
   WHERE rn = 1
 )

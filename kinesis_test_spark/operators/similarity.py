@@ -246,7 +246,8 @@ dims AS (SELECT unnest(generate_series(1, {DIM})) AS dim),
 comp AS (SELECT cid, dim, e[dim] AS val FROM assigned, dims),
 sizes AS (SELECT cid, COUNT(DISTINCT vec_id) AS n_members FROM assigned GROUP BY cid)
 SELECT c.cid, CAST(c.dim AS INT) AS dim,
-       ROUND(SUM(c.val) / COUNT(*), 9) AS centroid_val,
+       ROUND(CAST(SUM(CAST(c.val AS DECIMAL(28,16))) AS DOUBLE) / COUNT(*), 9)
+         AS centroid_val,
        s.n_members
 FROM comp c JOIN sizes s ON s.cid = c.cid
 GROUP BY c.cid, c.dim, s.n_members
@@ -256,12 +257,12 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd iteration of k-means over the embeddings (the refinement
     step that turns the fixed IVF codebook into a trained one): broadcast
     argmax assignment (as q_sim_search_ivf), then per-(cluster, dimension)
-    mean rounded to 9dp — component magnitudes ~1e-1 make the decimal-exact
-    route lossy at the 18th digit (engines round the double→decimal
-    conversion differently), while summation-order noise is ~1e-17, eight
-    orders below the rounding boundary. The driver loop of a
-    full k-means is this query iterated; each step is one broadcast join +
-    one partial+final aggregate."""
+    mean — component sums go through DECIMAL(28,16) so the partial-agg
+    order can't move the sum at all (exact at these magnitudes: |val| < 1,
+    16 fractional digits ≈ double's full precision for them), then one
+    double division + ROUND(..., 9) identical on both engines. The driver
+    loop of a full k-means is this query iterated; each step is one
+    broadcast join + one partial+final aggregate."""
     v = _vectors(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
@@ -285,7 +286,9 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid", F.posexplode("e").alias("dim0", "val")
     ).select("cid", (F.col("dim0") + 1).alias("dim"), "val")
     means = comp.groupBy("cid", "dim").agg(
-        F.round(F.sum("val") / F.count("*"), 9).alias("centroid_val")
+        F.round(
+            F.sum(F.col("val").cast("decimal(28,16)")).cast("double") / F.count("*"), 9
+        ).alias("centroid_val")
     )
     return means.join(sizes, "cid").select("cid", "dim", "centroid_val", "n_members")
 
@@ -395,7 +398,10 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_assign = assigned
         comp = assigned.select("cid", F.posexplode("e").alias("dim0", "val"))
         means = comp.groupBy("cid", "dim0").agg(
-            F.round(F.sum("val") / F.count("*"), 9).alias("cv")
+            F.round(
+                F.sum(F.col("val").cast("decimal(28,16)")).cast("double") / F.count("*"),
+                9,
+            ).alias("cv")
         )
         cent = (
             means.groupBy("cid")
@@ -409,7 +415,11 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = prev_assign.groupBy("cid").agg(F.count("*").alias("n_members"))
     out = prev_assign.select("cid", F.posexplode("e").alias("dim0", "val")).groupBy(
         "cid", "dim0"
-    ).agg(F.round(F.sum("val") / F.count("*"), 9).alias("centroid_val"))
+    ).agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(28,16)")).cast("double") / F.count("*"), 9
+        ).alias("centroid_val")
+    )
     return (
         out.select("cid", (F.col("dim0") + 1).alias("dim"), "centroid_val")
         .join(sizes, "cid")

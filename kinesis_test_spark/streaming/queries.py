@@ -113,14 +113,14 @@ def s_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_session",
     oracle="""
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
               THEN 1 ELSE 0 END AS is_start
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, ts,
-         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
   FROM flagged)
 SELECT user_id,
