@@ -35,6 +35,14 @@ N_BANDS = 4  # rows-per-band = 2
 MINHASH_THRESHOLD = 0.5
 JACCARD_THRESHOLD = 0.8
 COSINE_THRESHOLD = 0.4
+# Inverted-index hot-key guard: shingles appearing in more than this many
+# documents are stop-shingles — each contributes df² candidate pairs to the
+# self-join, the one quadratic tail in the dedup family. Dropping them from
+# BOTH the index and the per-doc sizes keeps Jaccard exact over the capped
+# shingle universe (stop-word removal semantics). 64 > the max observed df
+# at every test SF (25 at sf0.1), so test results are unchanged; at corpus
+# scale the hot set is tiny by construction and broadcast-anti-joined away.
+NGRAM_DF_CAP = 64
 
 # ---------------------------------------------------------------------------
 # shared shingle SQL (DuckDB oracle side)
@@ -234,28 +242,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q_dedup_ngram_jaccard",
-    oracle=f"""
-WITH {SQL_SHINGLES},
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
-SELECT doc_a, doc_b,
-       n_inter / (sa.n + sb.n - n_inter) AS jaccard
-FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_inter / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}
-""",
-)
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard via inverted-index join (shared shingle →
-    candidate pair → |∩| count, sizes joined back). At 100 TB the hot-key
-    risk is stop-shingles shared by everything — mitigate by dropping
-    shingles with document frequency above a cap before the self-join
-    (cheap extra groupBy), or go through q_dedup_minhash instead."""
-    sh = _spark_shingles(spark, sf_dir)
+def _jaccard_pairs(sh: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
+    """Exact Jaccard over a (doc_id, s) shingle frame, inverted-index style.
+
+    Hot-key guard first: shingles with document frequency > ``df_cap`` are
+    dropped from the index AND the per-doc sizes (stop-shingle removal —
+    Jaccard stays exact over the capped universe). The hot set is small by
+    construction (each member exceeds the cap), so it broadcast-anti-joins;
+    the surviving posting lists bound the self-join at df_cap² pairs per
+    shingle."""
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("s")
+    )
+    sh = sh.join(F.broadcast(hot), "s", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -273,7 +275,33 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+WITH {SQL_SHINGLES},
+hot AS (SELECT s FROM shingles GROUP BY s HAVING COUNT(*) > {NGRAM_DF_CAP}),
+kept AS (SELECT doc_id, s FROM shingles WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       n_inter / (sa.n + sb.n - n_inter) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard via inverted-index join (shared shingle →
+    candidate pair → |∩| count, sizes joined back), guarded by the
+    NGRAM_DF_CAP stop-shingle filter so a hot shingle can't contribute a
+    quadratic posting list to the self-join (see _jaccard_pairs)."""
+    return _jaccard_pairs(_spark_shingles(spark, sf_dir)).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
 

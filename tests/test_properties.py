@@ -60,3 +60,28 @@ def test_canon_list_matches_ndarray(xs):
 
     arr = np.array(xs, dtype=object)
     assert canon_value(xs) == canon_value(arr)
+
+
+def test_ngram_df_cap_bounds_hot_shingle(spark):
+    """A planted stop-shingle shared by every document must NOT explode the
+    inverted-index self-join: with the df cap the hot posting list is
+    dropped before pairing, and genuine near-dup pairs (all shingles below
+    the cap) keep their exact Jaccard."""
+    from kinesis_test_spark.operators.dedup import _jaccard_pairs
+
+    rows = []
+    for i in range(60):
+        rows.append((i, "the of and"))  # hot: df = 60
+        rows.append((i, f"unique shingle {i}"))
+    # one genuine near-dup pair sharing two sub-cap shingles
+    rows += [(100, "dup a x"), (100, "dup b x"), (101, "dup a x"), (101, "dup b x")]
+    sh = spark.createDataFrame(rows, "doc_id long, s string")
+
+    uncapped = _jaccard_pairs(sh, df_cap=1_000_000)
+    assert uncapped.count() == 60 * 59 // 2 + 1  # hot shingle pairs everything
+
+    capped = _jaccard_pairs(sh, df_cap=10).collect()
+    assert len(capped) == 1  # hot posting list gone; only the true pair remains
+    (pair,) = capped
+    assert (pair.doc_a, pair.doc_b) == (100, 101)
+    assert pair.jaccard == 1.0
