@@ -111,6 +111,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             # timestamps must render identically to DuckDB's tz-naive reads
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # streaming state on RocksDB (the at-scale default; no-op for
+            # batch queries) — see kinesis_test_spark/session.py
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
             return fn(spark, sf_dir)
 
         return run

@@ -42,6 +42,19 @@ def get_spark(app_name: str = "kinesis_test_spark", driver_mem: str | None = Non
         # matching DuckDB/Arrow semantics).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # RocksDB state store as the streaming default: state lives off-heap
+        # and spills to disk, so stateful queries (dedup gate, session
+        # windows, running counts) survive 100 TB-scale key cardinality that
+        # would OOM the HDFS-backed in-memory store. Maintenance uploads
+        # changelogs instead of full snapshots.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

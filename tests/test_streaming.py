@@ -124,18 +124,23 @@ def test_replay_with_idempotent_sink_no_duplicates(spark, sf_dir):
     assert again == n_src, f"replay duplicated rows: {again} != {n_src}"
 
 
-def test_stateful_count_on_rocksdb_state_store(spark, sf_dir):
-    """The production state backend: RocksDB state store provider (bounded
-    JVM heap at 100 TB state) must produce the same counts as the default
-    HDFS-backed store."""
-    prev = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
-    )
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+import pytest
+
+
+@pytest.mark.parametrize(
+    "provider",
+    [
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    ],
+    ids=["rocksdb", "hdfs"],
+)
+def test_stateful_count_backend_agnostic(spark, sf_dir, provider):
+    """RocksDB is the session default (bounded JVM heap at 100 TB state
+    cardinality, kinesis_test_spark/session.py); results must be identical
+    on both state backends."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     try:
         out = registry.QUERIES["s_stateful_count"](spark, sf_dir).toPandas()
         batch = (
@@ -148,6 +153,64 @@ def test_stateful_count_on_rocksdb_state_store(spark, sf_dir):
         assert int(out["n"].sum()) == int(batch["count"].sum())
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_rocksdb_state_survives_restart(spark, sf_dir):
+    """Kill-and-resume with stateful aggregation state on RocksDB: run a
+    running-count over half the events, stop, deliver the other half, and
+    restart from the same checkpoint. The final counts must equal the
+    batch truth over the full table — i.e. the first run's state was
+    recovered from the RocksDB checkpoint, not recomputed or lost."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from kinesis_test_spark.streaming.pipeline import (
+        read_staged_stream,
+        scratch_dir,
+        stage_events,
+    )
+
+    assert "RocksDB" in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    d = scratch_dir("rocksdb_resume")
+    stage, sink, cp = d / "src", d / "sink", d / "cp"
+
+    def run() -> None:
+        counts = (
+            read_staged_stream(spark, sf_dir, stage)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            counts.writeStream.outputMode("complete")
+            .foreachBatch(
+                lambda b, _i: b.write.mode("overwrite").parquet(str(sink))
+            )
+            .option("checkpointLocation", str(cp))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage_events(spark, sf_dir, stage, "first_half", where="user_id % 2 = 0")
+    run()
+    stage_events(spark, sf_dir, stage, "second_half", where="user_id % 2 = 1")
+    run()
+
+    # the checkpoint must actually hold RocksDB artifacts (zip snapshots /
+    # changelogs), proving the provider engaged
+    state_files = [p.name for p in Path(cp / "state").rglob("*") if p.is_file()]
+    assert any(n.endswith((".zip", ".changelog")) for n in state_files), state_files[:10]
+
+    out = spark.read.parquet(str(sink)).toPandas().set_index("user_id")["n"]
+    truth = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .set_index("user_id")["count"]
+    )
+    assert out.sort_index().equals(truth.sort_index().rename("n"))
 
 
 def test_compaction_preserves_content_and_reduces_files(spark, sf_dir):
