@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_test_spark.iterate import truncate_lineage
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t
 
@@ -476,10 +477,12 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_clusters",
     oracle=f"""
 WITH RECURSIVE {SQL_SHINGLES},
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+hot AS (SELECT s FROM shingles GROUP BY s HAVING COUNT(*) > {NGRAM_DF_CAP}),
+kept AS (SELECT doc_id, s FROM shingles WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id),
 pairs AS (
   SELECT doc_a, doc_b FROM inter
@@ -506,24 +509,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     one groupBy, the standard large-scale CC pattern (HashToMin); near-dup
     components are tiny, so convergence takes O(log |component|) ≈ 2-3
     rounds. The driver loop only checks a scalar convergence flag.
+    Lineage is truncated per round via truncate_lineage — reliable
+    checkpoint() on a cluster with a checkpoint dir, localCheckpoint here.
     Oracle: DuckDB recursive CTE computing min over the transitive closure."""
-    sh = _spark_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     pairs = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(
-            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
-            >= JACCARD_THRESHOLD
-        )
+        _jaccard_pairs(_spark_shingles(spark, sf_dir))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
@@ -532,7 +523,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = t(spark, sf_dir, "documents").select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     )
-    edges = edges.localCheckpoint()  # fixed edge set, reused every round
+    edges = truncate_lineage(edges)  # fixed edge set, reused every round
     for _ in range(16):  # bound >> component diameter; breaks at fixed point
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
@@ -545,8 +536,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias("cluster_id"),
             )
-            .localCheckpoint()  # truncate the iterative lineage
         )
+        new_labels = truncate_lineage(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -564,10 +555,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_keeplist",
     oracle=f"""
 WITH RECURSIVE {SQL_SHINGLES},
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+hot AS (SELECT s FROM shingles GROUP BY s HAVING COUNT(*) > {NGRAM_DF_CAP}),
+kept AS (SELECT doc_id, s FROM shingles WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id),
 pairs AS (
   SELECT doc_a, doc_b FROM inter

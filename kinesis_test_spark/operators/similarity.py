@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_test_spark.iterate import truncate_lineage
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t
 
@@ -363,15 +364,19 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full k-means (Lloyd) to convergence: q_kmeans_step iterated until the
     assignment is stable (or 8 rounds). Iterative driver loop over
     declarative steps — each round is one broadcast assignment + one
-    per-(cluster, dim) mean; centroids localCheckpoint'ed to truncate
+    per-(cluster, dim) mean; centroids lineage-truncated each round
+    (truncate_lineage: reliable checkpoint() when a checkpoint dir is
+    configured, localCheckpoint otherwise) to truncate
     lineage. Output: final (cid, dim, centroid_val, n_members) rows.
     Rows-only (iteration count is data-dependent); the inertia-monotonicity
     property is asserted in tests/test_rows_only.py."""
     from pyspark.sql import Window as W
 
-    v = _vectors(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    ).localCheckpoint()
+    v = truncate_lineage(
+        _vectors(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism, "vec_id"
+        )
+    )
     cent = v.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce")
     )
@@ -384,8 +389,8 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", "e", "cid")
-            .localCheckpoint()
         )
+        assigned = truncate_lineage(assigned)
         if prev_assign is not None:
             changed = (
                 assigned.select("vec_id", "cid")
@@ -410,8 +415,8 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.array_sort(F.collect_list(F.struct("dim0", "cv"))), lambda x: x["cv"]
                 ).alias("ce")
             )
-            .localCheckpoint()
         )
+        cent = truncate_lineage(cent)
     sizes = prev_assign.groupBy("cid").agg(F.count("*").alias("n_members"))
     out = prev_assign.select("cid", F.posexplode("e").alias("dim0", "val")).groupBy(
         "cid", "dim0"

@@ -85,3 +85,31 @@ def test_ngram_df_cap_bounds_hot_shingle(spark):
     (pair,) = capped
     assert (pair.doc_a, pair.doc_b) == (100, 101)
     assert pair.jaccard == 1.0
+
+
+def test_reliable_checkpoint_variant_same_results(spark, sf_dir, tmp_path):
+    """With a checkpoint dir configured, iterative operators switch from
+    localCheckpoint to reliable checkpoint() (survives executor loss on a
+    cluster) — and must produce byte-identical results."""
+    from kinesis_test_spark import registry
+
+    registry.load_all()
+    run = lambda: (
+        registry.QUERIES["q_dedup_clusters"](spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    base = run()
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        reliable = run()
+        # checkpoint() actually wrote RDD blocks to the configured dir
+        written = list((tmp_path / "ckpt").rglob("part-*"))
+        assert written, "reliable checkpoint wrote nothing"
+    finally:
+        sc._jsc.sc().setCheckpointDir(None)
+    assert sc.getCheckpointDir() is None
+    assert base.equals(reliable)
