@@ -138,6 +138,77 @@ def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("y", "m", "d", "h").agg(F.count("*").alias("n"))
 
 
+def spark_avro_available() -> bool:
+    """True when the spark-avro connector jar is on the classpath.
+
+    Spark ships Avro as an *external* module: the core avro-*.jar files are
+    bundled but ``format("avro")`` needs spark-avro_2.13. This build has no
+    network to fetch it, so the Avro round-trip registers only when the jar
+    is present (drop it into pyspark/jars or point SPARK_AVRO_JAR at it) —
+    a documented skip otherwise, never a silent stub."""
+    import glob
+    import os
+
+    import pyspark
+
+    jars = glob.glob(os.path.join(os.path.dirname(pyspark.__file__), "jars", "*spark-avro*.jar"))
+    env = os.environ.get("SPARK_AVRO_JAR")
+    if env and os.path.exists(env):
+        jars.append(env)
+    return bool(jars)
+
+
+if spark_avro_available():
+
+    @query("q_source_avro", oracle=_ORACLE)
+    def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """events → Avro → read-back → aggregate (row-oriented wire format —
+        the schema'd sibling of the reference's JSON records)."""
+        from kinesis_test_spark.streaming.pipeline import scratch_dir
+
+        d = scratch_dir("src_avro")
+        _events_typed(spark, sf_dir).write.format("avro").save(str(d / "avro"))
+        return _agg(spark.read.format("avro").load(str(d / "avro")))
+
+
+@query(
+    "q_schema_evolve",
+    oracle="""
+SELECT event_id, user_id, event_type, CAST(NULL AS DOUBLE) AS value_v2, 'v1' AS ver
+FROM events WHERE user_id % 2 = 0
+UNION ALL
+SELECT event_id, user_id, event_type, value AS value_v2, 'v2' AS ver
+FROM events WHERE user_id % 2 = 1
+""",
+)
+def q_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift ingest: batch 1 lands events without the later-added
+    ``value_v2`` column, batch 2 lands with it; a mergeSchema read unions
+    the two file schemas and back-fills NULL for pre-evolution rows — the
+    drift case real pipelines hit constantly.
+
+    Scale note: mergeSchema reads every file footer at planning time — fine
+    for a bounded evolution window, wrong as a steady state. At 100 TB keep
+    an explicit table schema (or a table format that tracks evolution) and
+    use mergeSchema only to RECONCILE, as here."""
+    from kinesis_test_spark.streaming.pipeline import scratch_dir
+
+    d = scratch_dir("schema_evolve")
+    ev = _events_typed(spark, sf_dir)
+    ev.filter("user_id % 2 = 0").select(
+        "event_id", "user_id", "event_type", F.lit("v1").alias("ver")
+    ).write.parquet(str(d / "pq" / "batch=1"))
+    ev.filter("user_id % 2 = 1").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("value").alias("value_v2"),
+        F.lit("v2").alias("ver"),
+    ).write.parquet(str(d / "pq" / "batch=2"))
+    back = spark.read.option("mergeSchema", True).parquet(str(d / "pq"))
+    return back.select("event_id", "user_id", "event_type", "value_v2", "ver")
+
+
 @query(
     "q_source_csv_permissive",
     oracle="""

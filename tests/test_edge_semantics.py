@@ -151,3 +151,29 @@ def test_binary_payload_roundtrip_parquet(spark, sf_dir):
     ).count()
     assert mismatches == 0
     assert back.count() == src.count()
+
+
+def test_avro_round_trip_or_documented_skip(spark, sf_dir):
+    """Avro round-trip when the spark-avro connector jar is present; clean
+    documented skip otherwise (Spark ships Avro as an external module and
+    this build has no network to fetch it)."""
+    from kinesis_test_spark import registry
+    from kinesis_test_spark.sources.formats import spark_avro_available
+
+    registry.load_all()
+    if not spark_avro_available():
+        assert "q_source_avro" not in registry.QUERIES
+        pytest.skip("spark-avro connector jar not on the classpath")
+    avro = (
+        registry.QUERIES["q_source_avro"](spark, sf_dir)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    orc = (
+        registry.QUERIES["q_source_orc"](spark, sf_dir)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert avro.equals(orc)
