@@ -32,6 +32,7 @@ def read_kinesis_stream(
     region: str = "eu-west-1",  # the reference's region (consumer.py:261)
     starting_position: str = "TRIM_HORIZON",
     max_fetch_records: int = 1000,
+    endpoint_url: str | None = None,  # localstack/integration-test override
 ) -> DataFrame:
     """readStream over a Kinesis stream, decoded into the clickstream schema.
 
@@ -39,14 +40,16 @@ def read_kinesis_stream(
     UTF-8 JSON, exactly the reference's wire format (consumer.py:123).
     """
     try:
-        raw = (
+        reader = (
             spark.readStream.format("aws-kinesis")
             .option("kinesis.streamName", stream_name)
             .option("kinesis.region", region)
             .option("kinesis.startingPosition", starting_position)
             .option("kinesis.maxFetchRecordsPerShard", str(max_fetch_records))
-            .load()
         )
+        if endpoint_url:
+            reader = reader.option("kinesis.endpointUrl", endpoint_url)
+        raw = reader.load()
     except Exception as exc:  # connector jar absent in this build
         raise RuntimeError(
             "Kinesis connector (spark-streaming-sql-kinesis) not on the "
