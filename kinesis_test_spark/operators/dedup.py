@@ -131,37 +131,52 @@ WHERE len([i FOR i IN generate_series(1, {N_SEEDS}) IF sa.sig[i] = sb.sig[i]]) /
 """
 
 
-@query("q_dedup_minhash", oracle=MINHASH_ORACLE)
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs.
+def minhash_pairs(
+    sh: DataFrame,
+    n_seeds: int = N_SEEDS,
+    n_bands: int = N_BANDS,
+    threshold: float = MINHASH_THRESHOLD,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs over a (doc_id, s) shingle frame.
 
     shingle → (seed-salted md5, min per seed) → signature array →
-    band keys (2 rows/band × 4 bands) → bucket self-join → candidates →
-    estimated Jaccard = matching signature positions / seeds.
+    band keys (n_seeds/n_bands rows per band × n_bands bands) → bucket
+    self-join → candidates → estimated Jaccard = matching positions/seeds.
 
-    All N_SEEDS minima are computed in ONE groupBy pass (one agg column per
+    ``n_bands`` is THE recall/cost dial: more bands (fewer rows each) catch
+    lower-similarity pairs at the price of more bucket collisions — with
+    one-row bands every single matching hash creates a candidate, so the
+    candidate set of (b bands × r rows) is contained in that of (b·r bands
+    × 1 row). tests/test_properties.py pins that containment.
+
+    All n_seeds minima are computed in ONE groupBy pass (one agg column per
     seed) — no seed cross-join, so shuffle volume is |shingles| rows once,
     collapsed by the map-side combine to |docs| rows before the exchange.
     The only other shuffle is the band-key self-join; no pairwise work
     outside colliding buckets."""
-    sh = _spark_shingles(spark, sf_dir)
+    rows_per_band, rem = divmod(n_seeds, n_bands)
+    if rem:
+        raise ValueError(f"n_bands={n_bands} must divide n_seeds={n_seeds}")
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("s")))).alias(f"m{s}")
-        for s in range(N_SEEDS)
+        for s in range(n_seeds)
     ]
     sig = (
         sh.groupBy("doc_id")
         .agg(*mins)
-        .select("doc_id", F.array(*[F.col(f"m{s}") for s in range(N_SEEDS)]).alias("sig"))
+        .select("doc_id", F.array(*[F.col(f"m{s}") for s in range(n_seeds)]).alias("sig"))
     )
     band_structs = [
         F.struct(
             F.lit(b).alias("b"),
             F.concat(
-                F.element_at("sig", 2 * b + 1), F.element_at("sig", 2 * b + 2)
+                *[
+                    F.element_at("sig", rows_per_band * b + j + 1)
+                    for j in range(rows_per_band)
+                ]
             ).alias("bkey"),
         )
-        for b in range(N_BANDS)
+        for b in range(n_bands)
     ]
     # band rows carry the full signature, so the bucket self-join yields
     # (pair, sig_a, sig_b) directly — no extra signature joins; the distinct
@@ -177,7 +192,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     matches = F.size(
         F.filter(
-            F.sequence(F.lit(1), F.lit(N_SEEDS)),
+            F.sequence(F.lit(1), F.lit(n_seeds)),
             lambda i: F.element_at("sig_a", i) == F.element_at("sig_b", i),
         )
     )
@@ -188,10 +203,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("bkey") == F.col("bkey2"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select("doc_a", "doc_b", (matches / F.lit(float(N_SEEDS))).alias("est_jaccard"))
+        .select("doc_a", "doc_b", (matches / F.lit(float(n_seeds))).alias("est_jaccard"))
         .distinct()
-        .filter(F.col("est_jaccard") >= MINHASH_THRESHOLD)
+        .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+@query("q_dedup_minhash", oracle=MINHASH_ORACLE)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs at the default dial (8 seeds, 4 bands of
+    2 rows, threshold 0.5) — see minhash_pairs for the plan shape and the
+    bands/rows recall-vs-cost tradeoff."""
+    return minhash_pairs(_spark_shingles(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -322,10 +322,19 @@ LIMIT {TOP_K}
 """,
 )
 def q_sim_search_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe IVF: search the query's top-{2} cells instead of one —
-    the standard recall knob (probes trade linearly more data scanned for
-    recall; cells remain the partition key, so each probe is a pruned
-    partition read at scale)."""
+    """Multi-probe IVF at the default dial (2 probes) — see ivf_search."""
+    return ivf_search(spark, sf_dir, n_probes=N_PROBES)
+
+
+def ivf_search(
+    spark: SparkSession, sf_dir: str, n_probes: int = N_PROBES, top_k: int = TOP_K
+) -> DataFrame:
+    """Multi-probe IVF: search the query's top-``n_probes`` cells instead of
+    one — the standard recall knob (probes trade linearly more data scanned
+    for recall; cells remain the partition key, so each probe is a pruned
+    partition read at scale). Candidate sets are nested in ``n_probes``, so
+    recall@k against the exact scan is monotone nondecreasing —
+    tests/test_properties.py pins that."""
     from pyspark.sql import Window as W
 
     v = _vectors(spark, sf_dir)
@@ -342,7 +351,7 @@ def q_sim_search_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = scored.filter(F.col("rn") == 1).select("vec_id", "label", "e", "cid")
     qcells = F.broadcast(
-        scored.filter((F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= N_PROBES)).select(
+        scored.filter((F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= n_probes)).select(
             F.col("cid").alias("qcid")
         )
     )
@@ -355,7 +364,7 @@ def q_sim_search_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(qe)
         .select("vec_id", "label", "cid", cosine(F.col("e"), F.col("qe")).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
-        .limit(TOP_K)
+        .limit(top_k)
     )
 
 

@@ -113,3 +113,41 @@ def test_reliable_checkpoint_variant_same_results(spark, sf_dir, tmp_path):
         sc._jsc.sc().setCheckpointDir(None)
     assert sc.getCheckpointDir() is None
     assert base.equals(reliable)
+
+
+def test_lsh_band_dial_candidate_containment(spark, sf_dir):
+    """The bands/rows-per-band recall dial: with one-row bands every single
+    matching signature position creates a candidate, so the (4 bands × 2
+    rows) candidate set is contained in the (8 bands × 1 row) one — recall
+    rises monotonically with band count, cost = the extra collisions."""
+    from kinesis_test_spark.operators.dedup import _spark_shingles, minhash_pairs
+
+    sh = _spark_shingles(spark, sf_dir).cache()
+    try:
+        coarse = minhash_pairs(sh, n_bands=4, threshold=0.0).select("doc_a", "doc_b")
+        fine = minhash_pairs(sh, n_bands=8, threshold=0.0).select("doc_a", "doc_b")
+        n_coarse, n_fine = coarse.count(), fine.count()
+        assert n_coarse > 0
+        assert n_fine >= n_coarse
+        assert coarse.subtract(fine).count() == 0  # strict containment
+    finally:
+        sh.unpersist()
+
+
+def test_ivf_nprobe_recall_monotone(spark, sf_dir):
+    """Multi-probe IVF: candidate cells are nested in n_probes, so recall@k
+    against the exact scan can only rise; at n_probes = N_CENTROIDS every
+    cell is probed and recall must be 1.0."""
+    from kinesis_test_spark import registry
+    from kinesis_test_spark.operators.similarity import N_CENTROIDS, ivf_search
+
+    registry.load_all()
+    exact = set(
+        registry.QUERIES["q_sim_search"](spark, sf_dir).toPandas()["vec_id"]
+    )
+    recalls = []
+    for p in (1, 2, N_CENTROIDS):
+        got = set(ivf_search(spark, sf_dir, n_probes=p).toPandas()["vec_id"])
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0, recalls
