@@ -44,7 +44,8 @@ _PRIORITY = [
     "s_ingest", "s_tumbling", "s_sliding", "s_session", "s_dedup",
     "s_checkpoint", "s_stateful_count", "s_sink_partitioned", "s_watermark",
     # New round-2 keys.
-    "q_source_avro", "q_schema_evolve",
+    "q_source_avro", "q_schema_evolve", "q_emb_normalize", "q_emb_centroid",
+    "q_ann_batch", "q_text_bigrams",
     # LLM-pipeline depth (dedup / similarity / text / multimodal).
     "q_dedup_simhash", "q_dedup_simhash_hamming", "q_dedup_ngram_jaccard",
     "q_dedup_clusters", "q_dedup_keeplist", "q_dedup_embedding",

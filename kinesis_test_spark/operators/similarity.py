@@ -438,3 +438,116 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.select("cid", (F.col("dim0") + 1).alias("dim"), "centroid_val")
         .join(sizes, "cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding hygiene + batch ANN (round 2)
+# ---------------------------------------------------------------------------
+
+N_BATCH_QUERIES = 4
+BATCH_TOP_K = 5
+
+
+@query(
+    "q_emb_normalize",
+    oracle="""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT vec_id, label,
+       ROUND(sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)), 6)
+         AS l2_norm,
+       ROUND(list_reduce(e, (a, b) -> a + b)
+             / sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)), 6)
+         AS unit_sum
+FROM v
+""",
+)
+def q_emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene: per-vector L2 norm and the component sum of the
+    unit-normalized vector (a deterministic checksum of the normalization —
+    arrays themselves don't hash portably across engines, scalars do).
+    Pure map over JVM array expressions; the fold (0 + x1 + x2 ...) is
+    sequenced identically in both engines so no rounding divergence."""
+    v = _vectors(spark, sf_dir)
+    norm = F.sqrt(_dot(F.col("e"), F.col("e")))
+    comp_sum = F.aggregate("e", F.lit(0.0), lambda a, x: a + x)
+    return v.select(
+        "vec_id",
+        "label",
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(comp_sum / norm, 6).alias("unit_sum"),
+    )
+
+
+@query(
+    "q_emb_centroid",
+    oracle=f"""
+WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+comp AS (
+  SELECT label, dim, e[dim] AS val
+  FROM v, (SELECT unnest(generate_series(1, {DIM})) AS dim))
+SELECT label, CAST(dim AS INT) AS dim,
+       ROUND(CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE) / COUNT(*), 9)
+         AS centroid_val,
+       COUNT(*) AS n_vectors
+FROM comp GROUP BY label, dim
+""",
+)
+def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids — the seed for IVF
+    codebooks, probing-set selection, and drift monitoring): posexplode to
+    (label, dim, val), one partial+final hash aggregate over (label, dim).
+    Component sums go through DECIMAL(28,16) so partial-agg order can't
+    move the mean (same rule as q_kmeans_step). Shuffle is |labels|×DIM
+    rows after map-side combine — constant in corpus size."""
+    v = _vectors(spark, sf_dir)
+    comp = v.select("label", F.posexplode("e").alias("dim0", "val"))
+    return (
+        comp.groupBy("label", (F.col("dim0") + 1).cast("int").alias("dim"))
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(28,16)")).cast("double") / F.count("*"),
+                9,
+            ).alias("centroid_val"),
+            F.count("*").alias("n_vectors"),
+        )
+    )
+
+
+@query(
+    "q_ann_batch",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_BATCH_QUERIES}),
+db AS (SELECT vec_id, e FROM v WHERE vec_id >= {N_BATCH_QUERIES}),
+scored AS (
+  SELECT q.qid, db.vec_id,
+         ROUND(list_cosine_similarity(db.e, q.qe), 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY ROUND(list_cosine_similarity(db.e, q.qe), 6) DESC, db.vec_id) AS rn
+  FROM db, q)
+SELECT qid, vec_id, cos_sim FROM scored WHERE rn <= {BATCH_TOP_K}
+""",
+)
+def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN serving shape: top-k neighbors for a BATCH of query
+    vectors in one pass — broadcast the Q queries against the corpus scan,
+    per-query row_number window keeps k. One corpus scan serves all
+    queries (vs Q scans of q_sim_search); the window partitions by query
+    id, so state per partition is a k-heap. At 100 TB the same plan holds
+    with the query batch as the broadcast side."""
+    v = _vectors(spark, sf_dir)
+    q = F.broadcast(
+        v.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+        )
+    )
+    db = v.filter(F.col("vec_id") >= N_BATCH_QUERIES)
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        db.crossJoin(q)
+        .select("qid", "vec_id", cosine(F.col("e"), F.col("qe")).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BATCH_TOP_K)
+        .select("qid", "vec_id", "cos_sim")
+    )

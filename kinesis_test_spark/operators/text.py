@@ -624,3 +624,42 @@ def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return doc_side.unionByName(event_side)
+
+
+BIGRAM_MIN_COUNT = 5
+
+
+@query(
+    "q_text_bigrams",
+    oracle=f"""
+WITH words AS (SELECT string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                i -> w[i] || ' ' || w[i+1])) AS bigram
+  FROM words)
+SELECT bigram, COUNT(*) AS n
+FROM bg GROUP BY bigram HAVING COUNT(*) >= {BIGRAM_MIN_COUNT}
+""",
+)
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics (the n-gram LM / tokenizer-merge-rule
+    counting workload): explode word bigrams, one hash aggregate, keep
+    counts >= {5}. A count threshold instead of top-n keeps the result
+    tie-break-free across engines. Map-side combine collapses each
+    partition to its distinct bigrams before the shuffle — the classic
+    wordcount shape at 100 TB."""
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    words = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(0)))
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= BIGRAM_MIN_COUNT)
+    )

@@ -101,3 +101,19 @@ def test_cached_table_scans_from_memory(spark, sf_dir):
         assert "InMemoryTableScan" in plan
     finally:
         df.unpersist()
+
+
+def test_ann_batch_broadcasts_queries_once(spark, sf_dir):
+    """Batch ANN: the query batch must be the broadcast side (one corpus
+    scan serves all queries) and the per-query top-k must push into the
+    window sort."""
+    plan = plans.formatted(q("q_ann_batch", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_emb_centroid_partial_final_agg(spark, sf_dir):
+    """Centroid means: map-side combine before the (label, dim) shuffle."""
+    plan = plans.formatted(q("q_emb_centroid", spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
