@@ -775,3 +775,47 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.event_type").alias("last_type"),
         )
     )
+
+
+@query(
+    "q_stats_profile",
+    oracle="""
+SELECT 'event_id' AS col, COUNT(*) AS n, COUNT(*) - COUNT(event_id) AS n_null,
+       COUNT(DISTINCT event_id) AS n_distinct,
+       ROUND(CAST(MIN(event_id) AS DOUBLE), 6) AS min_val,
+       ROUND(CAST(MAX(event_id) AS DOUBLE), 6) AS max_val
+FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+       COUNT(DISTINCT user_id),
+       ROUND(CAST(MIN(user_id) AS DOUBLE), 6), ROUND(CAST(MAX(user_id) AS DOUBLE), 6)
+FROM events
+UNION ALL
+SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+       COUNT(DISTINCT value),
+       ROUND(CAST(MIN(value) AS DOUBLE), 6), ROUND(CAST(MAX(value) AS DOUBLE), 6)
+FROM events
+""",
+)
+def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the ANALYZE/data-quality pass a pipeline runs
+    before trusting a new drop): per numeric column row count, null count,
+    exact distinct, min/max. One aggregate per column unioned — each is a
+    partial+final agg, so the profile costs one scan per column batch and
+    no row-level shuffle. At 100 TB swap COUNT(DISTINCT) for HLL
+    (approx_count_distinct) per the q_agg_approx_distinct dial."""
+    ev = t(spark, sf_dir, "events")
+
+    def profile(col: str) -> DataFrame:
+        return ev.agg(
+            F.lit(col).alias("col"),
+            F.count("*").alias("n"),
+            (F.count("*") - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.round(F.min(col).cast("double"), 6).alias("min_val"),
+            F.round(F.max(col).cast("double"), 6).alias("max_val"),
+        )
+
+    return profile("event_id").unionByName(profile("user_id")).unionByName(
+        profile("value")
+    )

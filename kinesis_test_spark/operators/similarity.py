@@ -551,3 +551,76 @@ def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= BATCH_TOP_K)
         .select("qid", "vec_id", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (the compressed-vector-store path)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_CODES = 16  # codewords per subspace (first 16 vectors' sub-vectors)
+
+
+@query(
+    "q_emb_pq",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+sub AS (
+  SELECT vec_id, m, e[(m * {PQ_SUBDIM} + 1):((m + 1) * {PQ_SUBDIM})] AS se
+  FROM v, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)),
+cb AS (SELECT vec_id AS code, m, se AS ce FROM sub WHERE vec_id < {PQ_CODES}),
+scored AS (
+  SELECT s.vec_id, s.m, cb.code,
+         row_number() OVER (
+           PARTITION BY s.vec_id, s.m
+           ORDER BY ROUND(list_reduce(
+                      list_transform(generate_series(1, {PQ_SUBDIM}),
+                                     i -> (s.se[i] - cb.ce[i]) * (s.se[i] - cb.ce[i])),
+                      (a, b) -> a + b), 6),
+                    cb.code) AS rn
+  FROM sub s JOIN cb ON s.m = cb.m)
+SELECT vec_id, CAST(m AS INT) AS m, code FROM scored WHERE rn = 1
+""",
+)
+def q_emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: split each 64-d vector into 8 subspaces of 8
+    dims; assign every sub-vector to the nearest of 16 codewords (the
+    first 16 vectors' sub-vectors — a deterministic codebook, same stance
+    as the IVF coarse quantizer). Output (vec_id, m, code): 8 bytes per
+    vector instead of 256 — the compression that lets a 100 TB vector
+    store fit hot in memory for ANN re-ranking.
+
+    Plan: codebook broadcast (PQ_M × PQ_CODES rows), explode to
+    sub-vectors, squared-L2 via zip_with + ordered fold, argmin via
+    per-(vec, subspace) row_number — no shuffle of the corpus except the
+    window's local sort."""
+    v = _vectors(spark, sf_dir)
+    subs = [
+        F.struct(F.lit(m).alias("m"), F.slice("e", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("se"))
+        for m in range(PQ_M)
+    ]
+    sub = v.select("vec_id", F.explode(F.array(*subs)).alias("s")).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.se").alias("se")
+    )
+    cb = F.broadcast(
+        sub.filter(F.col("vec_id") < PQ_CODES).select(
+            F.col("vec_id").alias("code"), F.col("m").alias("m_cb"), F.col("se").alias("ce")
+        )
+    )
+    sqdist = F.round(
+        F.aggregate(
+            F.zip_with("se", "ce", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.col("d2").asc(), F.col("code").asc())
+    return (
+        sub.join(cb, F.col("m") == F.col("m_cb"))
+        .select("vec_id", "m", "code", sqdist.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("m").cast("int").alias("m"), "code")
+    )

@@ -663,3 +663,55 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= BIGRAM_MIN_COUNT)
     )
+
+
+BENCH_MOD = 50  # doc_id % 50 == 0 -> held-out benchmark/eval set (~2%)
+CONTAM_MIN_SHARED = 3
+
+
+def _contamination_oracle() -> str:
+    from kinesis_test_spark.operators.dedup import NGRAM_DF_CAP, SQL_SHINGLES
+
+    return f"""
+WITH {SQL_SHINGLES},
+hot AS (SELECT s FROM shingles GROUP BY s HAVING COUNT(*) > {NGRAM_DF_CAP}),
+kept AS (SELECT doc_id, s FROM shingles WHERE s NOT IN (SELECT s FROM hot)),
+bench AS (SELECT doc_id AS bench_doc_id, s FROM kept WHERE doc_id % {BENCH_MOD} = 0),
+corpus AS (SELECT doc_id, s FROM kept WHERE doc_id % {BENCH_MOD} <> 0)
+SELECT c.doc_id, b.bench_doc_id, COUNT(*) AS n_shared
+FROM corpus c JOIN bench b ON c.s = b.s
+GROUP BY c.doc_id, b.bench_doc_id
+HAVING COUNT(*) >= {CONTAM_MIN_SHARED}
+"""
+
+
+@query("q_text_contamination", oracle=_contamination_oracle())
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: flag corpus documents sharing >= 3
+    distinct 3-gram shingles with any held-out eval document (doc_id %
+    50 == 0 stands in for the benchmark registry). The eval side's shingle
+    index is broadcast — small by construction — so the check is one
+    map-side hash join over the corpus shingles, the shape that lets a
+    100 TB corpus be swept against every public benchmark in one pass.
+    Shares the NGRAM_DF_CAP stop-shingle guard with the dedup family."""
+    from kinesis_test_spark.operators.dedup import _jaccard_pairs, _spark_shingles  # noqa: F401
+    from kinesis_test_spark.operators.dedup import NGRAM_DF_CAP
+
+    sh = _spark_shingles(spark, sf_dir)
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+        .select("s")
+    )
+    kept = sh.join(F.broadcast(hot), "s", "left_anti")
+    bench = kept.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), "s"
+    )
+    corpus = kept.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "bench_doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
+    )
