@@ -819,3 +819,20 @@ def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile("event_id").unionByName(profile("user_id")).unionByName(
         profile("value")
     )
+
+
+@query("q_agg_approx_quantile")  # rows-only: sketch values are engine-specific
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per event_type via the KLL-style
+    approx_percentile sketch (relative rank error <= 1/accuracy) — the
+    at-scale substitute for exact percentile's per-group value collection:
+    sketches merge associatively, so the partial+final aggregate shape is
+    preserved and per-group state is O(accuracy), not O(rows).
+    Rows-only (sketch internals are engine-specific); the rank-error bound
+    versus the exact percentile is asserted in tests/test_rows_only.py."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+        F.expr("approx_percentile(value, 0.9, 10000)").alias("p90_approx"),
+        F.count("*").alias("n"),
+    )

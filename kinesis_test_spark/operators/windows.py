@@ -199,3 +199,64 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("trailing_5m_value"),
         F.count("*").over(w).alias("trailing_5m_events"),
     )
+
+
+@query(
+    "q_resample_ffill",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hb, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+obs AS (SELECT user_id, hb, value FROM hourly WHERE rn = 1),
+bounds AS (SELECT user_id, MIN(hb) AS lo, MAX(hb) AS hi FROM obs GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hb
+  FROM bounds)
+SELECT g.user_id, CAST(g.hb AS VARCHAR) AS hour_ts,
+       last_value(o.value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hb
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+       o.value IS NOT NULL AS observed
+FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.hb = g.hb
+""",
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to an hourly grid with forward fill (the
+    gap-filling step of feature pipelines): per user, take the LAST
+    observation of each hour (arg-max on (ts, event_id) — deterministic),
+    explode the user's [min, max] hour range into a dense grid, left-join
+    observations, and carry the last non-null value forward.
+
+    Scale: the grid explode is bounded by time range, not row count; the
+    fill window shuffles once on user_id and rides the same partitioning
+    as the sessionization family. The grid timestamp returns as a string
+    (CLAUDE.md determinism rule)."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    hb = F.date_trunc("hour", F.col("ts"))
+    obs = (
+        ev.select("user_id", hb.alias("hb"), F.struct("ts", "event_id", "value").alias("r"))
+        .groupBy("user_id", "hb")
+        .agg(F.max("r").alias("r"))
+        .select("user_id", "hb", F.col("r.value").alias("value"))
+    )
+    bounds = obs.groupBy("user_id").agg(F.min("hb").alias("lo"), F.max("hb").alias("hi"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hb"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "hb"], "left")
+        .select(
+            "user_id",
+            F.date_format("hb", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            F.last("value", ignorenulls=True).over(w).alias("value_ffill"),
+            F.col("value").isNotNull().alias("observed"),
+        )
+    )

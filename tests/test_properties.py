@@ -151,3 +151,25 @@ def test_ivf_nprobe_recall_monotone(spark, sf_dir):
         recalls.append(len(got & exact) / len(exact))
     assert recalls == sorted(recalls), recalls
     assert recalls[-1] == 1.0, recalls
+
+
+def test_partition_count_invariance(spark, sf_dir, tmp_path):
+    """The determinism contract's core claim: results are identical when the
+    same tables arrive as 8 files instead of 1 (different partition counts,
+    partial-agg orders, and shuffle layouts). Covers a decimal aggregate, the
+    LSH pipeline, and the centroid means."""
+    from kinesis_test_spark import registry
+
+    registry.load_all()
+    for name in ["events", "documents", "embeddings", "lineitem"]:
+        # raw read (no ts conversion) so the restaged bytes mean the same
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").repartition(8).write.parquet(
+            str(tmp_path / f"{name}.parquet")
+        )
+    for key in ["q_agg_group", "q_dedup_minhash", "q_emb_centroid", "q_flagship"]:
+        base = registry.QUERIES[key](spark, sf_dir).toPandas()
+        multi = registry.QUERIES[key](spark, str(tmp_path)).toPandas()
+        cols = sorted(base.columns)
+        b = base[cols].sort_values(cols).reset_index(drop=True)
+        m = multi[cols].sort_values(cols).reset_index(drop=True)
+        assert b.equals(m), key

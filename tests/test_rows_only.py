@@ -120,3 +120,37 @@ def test_monotonic_id_unique_across_partitions(spark, sf_dir):
     with_id = ev.withColumn("rid", F.monotonically_increasing_id())
     n = with_id.count()
     assert with_id.select("rid").distinct().count() == n
+
+
+def test_approx_quantile_within_rank_error(spark, sf_dir):
+    """approx_percentile(accuracy=10000) must land within a generous rank
+    window of the exact percentile: its value must fall between the exact
+    p45/p55 (for p50) and p85/p95 (for p90) per group."""
+    from pyspark.sql import functions as F
+
+    from kinesis_test_spark import registry
+
+    registry.load_all()
+    approx = (
+        registry.QUERIES["q_agg_approx_quantile"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    from kinesis_test_spark.sources import t as load_t
+
+    ev = load_t(spark, sf_dir, "events")
+    bounds = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.45)").alias("lo50"),
+            F.expr("percentile(value, 0.55)").alias("hi50"),
+            F.expr("percentile(value, 0.85)").alias("lo90"),
+            F.expr("percentile(value, 0.95)").alias("hi90"),
+        )
+        .toPandas()
+        .set_index("event_type")
+    )
+    for et, row in approx.iterrows():
+        b = bounds.loc[et]
+        assert b.lo50 <= row.p50_approx <= b.hi50, (et, row.p50_approx, b.lo50, b.hi50)
+        assert b.lo90 <= row.p90_approx <= b.hi90, (et, row.p90_approx, b.lo90, b.hi90)
