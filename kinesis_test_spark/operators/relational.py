@@ -836,3 +836,30 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, 0.9, 10000)").alias("p90_approx"),
         F.count("*").alias("n"),
     )
+
+
+@query("q_agg_hll_merge")  # rows-only: DataSketches HLL internals are engine-specific
+def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL): build
+    one sketch per half of the data, hll_union them, and estimate — next
+    to the single-pass whole-table sketch and the exact count. The merge
+    path is WHY sketches scale: partial sketches combine associatively
+    across partitions/days/tiers, so a 100 TB rollup never re-scans
+    history. Sketch state is register-max, so the estimate is independent
+    of row order and partitioning (asserted with the exact-count error
+    bound in tests/test_rows_only.py)."""
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("user_id") % 2 == 0).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    b = ev.filter(F.col("user_id") % 2 == 1).agg(
+        F.hll_sketch_agg("user_id").alias("sk_b")
+    )
+    whole = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_whole"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    merged = a.crossJoin(b).select(
+        F.hll_sketch_estimate(F.hll_union("sk", "sk_b")).alias("est_merged")
+    )
+    return merged.crossJoin(whole)

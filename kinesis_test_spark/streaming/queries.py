@@ -702,3 +702,47 @@ def s_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(deduped, name, d / "cp", output_mode="append")
     return spark.table(name)
+
+
+@query(
+    "s_rate_limited",
+    oracle="""
+SELECT CAST(4 AS BIGINT) AS n_batches, COUNT(*) AS n_rows,
+       COUNT(DISTINCT event_id) AS n_unique FROM events
+""",
+)
+def s_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backpressure-bounded drain: events staged as 4 files, read with
+    maxFilesPerTrigger=1, so AvailableNow drains in 4 rate-limited
+    micro-batches instead of one giant batch — the admission control that
+    keeps a backlogged 100 TB source from sizing its first batch to the
+    whole backlog (the reference consumed its 7-day lag in unbounded
+    get_records loops, consumer.py:255-276). The sink records each
+    batch_id; the result proves 4 batches and exactly-once landing."""
+    import pandas as pd  # noqa: F401
+
+    d = scratch_dir("s_rate_limited")
+    stage, sink, cp = d / "src", d / "sink", d / "cp"
+    for i in range(4):
+        stage_events(spark, sf_dir, stage, f"slice_{i}", where=f"user_id % 4 = {i}")
+    seen: list[int] = []
+
+    def land(batch_df, batch_id):
+        seen.append(batch_id)
+        batch_df.write.mode("append").parquet(str(sink))
+
+    q = (
+        read_staged_stream(spark, sf_dir, stage, maxFilesPerTrigger=1)
+        .select("event_id", "user_id", "event_type")
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", str(cp))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(str(sink))
+    return back.agg(
+        F.lit(len(seen)).cast("bigint").alias("n_batches"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_id").alias("n_unique"),
+    )

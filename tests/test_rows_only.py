@@ -154,3 +154,15 @@ def test_approx_quantile_within_rank_error(spark, sf_dir):
         b = bounds.loc[et]
         assert b.lo50 <= row.p50_approx <= b.hi50, (et, row.p50_approx, b.lo50, b.hi50)
         assert b.lo90 <= row.p90_approx <= b.hi90, (et, row.p90_approx, b.lo90, b.hi90)
+
+
+def test_hll_merge_matches_whole_and_exact(spark, sf_dir):
+    """Sketch associativity: union of two half-sketches must estimate the
+    same as one whole-table sketch, and land within 2% of the exact
+    distinct count."""
+    from kinesis_test_spark import registry
+
+    registry.load_all()
+    row = registry.QUERIES["q_agg_hll_merge"](spark, sf_dir).toPandas().iloc[0]
+    assert row.est_merged == row.est_whole
+    assert abs(row.est_merged - row.n_exact) / row.n_exact <= 0.02
