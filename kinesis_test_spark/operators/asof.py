@@ -127,3 +127,71 @@ def q_join_asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_event_id",
         "last_event_ts",
     )
+
+
+NEAREST_BAND_MS = 3600 * 1000  # 1-hour nearest-neighbor horizon
+
+
+@query(
+    "q_join_nearest",
+    oracle=f"""
+WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS c_id, user_id, ts AS c_ts FROM events
+      WHERE event_type = 'click'),
+scored AS (
+  SELECT p.p_id, p.user_id, c.c_id,
+         abs(epoch_ms(p.p_ts) - epoch_ms(c.c_ts)) AS dt_ms,
+         row_number() OVER (
+           PARTITION BY p.p_id
+           ORDER BY abs(epoch_ms(p.p_ts) - epoch_ms(c.c_ts)), c.c_ts, c.c_id) AS rn
+  FROM p JOIN c ON p.user_id = c.user_id
+  WHERE abs(epoch_ms(p.p_ts) - epoch_ms(c.c_ts)) <= {NEAREST_BAND_MS})
+SELECT p_id, user_id, c_id, dt_ms FROM scored WHERE rn = 1
+""",
+)
+def q_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event join with a bounded horizon: each purchase pairs with
+    the same user's temporally CLOSEST click within ±1 hour (ties → the
+    earlier click) — the bidirectional sibling of the as-of join
+    (attribution, sensor alignment).
+
+    Scale shape: candidates come from a time-bucketed equi-join — each
+    purchase probes its own hour bucket plus the two adjacent ones (a
+    click within the horizon is always in one of the three), so the
+    shuffle keys on (user, bucket) and no per-user all-pairs scan exists;
+    the argmin is a per-purchase WindowGroupLimit."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.unix_millis("ts").alias("p_ms"),
+        F.floor(F.unix_millis("ts") / NEAREST_BAND_MS).alias("p_bucket"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("user_id_c"),
+        F.col("ts").alias("c_ts"),
+        F.unix_millis("ts").alias("c_ms"),
+        F.floor(F.unix_millis("ts") / NEAREST_BAND_MS).alias("c_bucket"),
+    )
+    probes = p.select(
+        "p_id", "user_id", "p_ms",
+        F.explode(
+            F.array(F.col("p_bucket") - 1, F.col("p_bucket"), F.col("p_bucket") + 1)
+        ).alias("probe_bucket"),
+    )
+    dt = F.abs(F.col("p_ms") - F.col("c_ms"))
+    w = Window.partitionBy("p_id").orderBy("dt_ms", "c_ts", "c_id")
+    return (
+        probes.join(
+            c,
+            (F.col("user_id") == F.col("user_id_c"))
+            & (F.col("probe_bucket") == F.col("c_bucket")),
+        )
+        .filter(dt <= NEAREST_BAND_MS)
+        .select("p_id", "user_id", "c_id", "c_ts", dt.alias("dt_ms"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_id", "user_id", "c_id", "dt_ms")
+    )

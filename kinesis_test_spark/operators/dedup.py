@@ -615,3 +615,66 @@ def q_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
         F.when(F.col("doc_id") == F.col("cluster_id"), "keep").otherwise("drop").alias("action"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (edit-distance) dedup, prefix-blocked
+# ---------------------------------------------------------------------------
+
+FUZZY_PREFIX = 8  # block key: first 8 chars (+ lang)
+FUZZY_HEAD = 64  # edit distance computed over this head slice
+FUZZY_MAX_DIST = 8
+
+
+@query(
+    "q_dedup_fuzzy",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, lang, substr(text, 1, {FUZZY_PREFIX}) AS pfx,
+         substr(text, 1, {FUZZY_HEAD}) AS head
+  FROM documents)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, a.lang,
+       levenshtein(a.head, c.head) AS edit_dist
+FROM b a JOIN b c
+  ON a.lang = c.lang AND a.pfx = c.pfx AND a.doc_id < c.doc_id
+WHERE levenshtein(a.head, c.head) <= {FUZZY_MAX_DIST}
+""",
+)
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup via edit distance, prefix-blocked: candidate pairs
+    form only inside a (lang, first-8-chars) block — the classic
+    Levenshtein blocking that turns an O(n²·L²) all-pairs scan into
+    per-block work (test corpora: max block 7 docs) — then exact
+    levenshtein over the 64-char head filters at distance <= 8. The
+    complement to shingle/MinHash dedup for SHORT near-identical texts
+    (titles, URLs, boilerplate) where 3-gram sets are too coarse."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, FUZZY_PREFIX).alias("pfx"),
+        F.substring("text", 1, FUZZY_HEAD).alias("head"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "lang", "pfx", F.col("head").alias("head_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("pfx").alias("pfx_b"),
+        F.col("head").alias("head_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("pfx") == F.col("pfx_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "lang",
+            F.levenshtein("head_a", "head_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+    )
