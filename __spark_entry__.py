@@ -47,7 +47,8 @@ _PRIORITY = [
     "q_source_avro", "q_schema_evolve", "q_emb_normalize", "q_emb_centroid",
     "q_ann_batch", "q_text_bigrams", "q_text_contamination", "q_stats_profile",
     "q_emb_pq", "q_resample_ffill", "q_agg_approx_quantile", "s_rate_limited",
-    "q_agg_hll_merge", "q_dedup_fuzzy", "q_join_nearest",
+    "q_agg_hll_merge", "q_dedup_fuzzy", "q_join_nearest", "s_upsert",
+    "q_text_shard_export",
     # LLM-pipeline depth (dedup / similarity / text / multimodal).
     "q_dedup_simhash", "q_dedup_simhash_hamming", "q_dedup_ngram_jaccard",
     "q_dedup_clusters", "q_dedup_keeplist", "q_dedup_embedding",

@@ -715,3 +715,51 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
     )
+
+
+N_EXPORT_SHARDS = 8
+
+
+def _shard_export_oracle() -> str:
+    shard = sql_hex16("'shard|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT {shard} % {N_EXPORT_SHARDS} AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       COUNT(DISTINCT doc_id) AS n_unique
+FROM documents
+GROUP BY shard
+"""
+
+
+@query("q_text_shard_export", oracle=_shard_export_oracle())
+def q_text_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data export: assign every document to one of 8 shards by a
+    salted content-independent hash (same doc -> same shard on any engine
+    or partitioning), write each shard as JSONL under shard=N/ dirs, read
+    the EXPORT back and return the per-shard manifest (doc count, char
+    count, uniqueness) — the artifact a downstream loader consumes.
+    One repartition(shard) clusters rows so each shard dir is written by
+    its own task set; at 100 TB shard count scales with loader
+    parallelism and the manifest is the reconciliation contract."""
+    from kinesis_test_spark.streaming.pipeline import scratch_dir
+
+    d = scratch_dir("shard_export")
+    out = d / "jsonl"
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        "n_chars",
+        (
+            spark_hex16(F.concat(F.lit("shard|"), F.col("doc_id").cast("string")))
+            % N_EXPORT_SHARDS
+        ).alias("shard"),
+    )
+    docs.repartition("shard").write.partitionBy("shard").mode("overwrite").json(str(out))
+    back = spark.read.option("basePath", str(out)).json(str(out))
+    return back.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.countDistinct("doc_id").alias("n_unique"),
+    )

@@ -746,3 +746,68 @@ def s_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.countDistinct("event_id").alias("n_unique"),
     )
+
+
+@query(
+    "s_upsert",
+    oracle="""
+SELECT user_id, event_id AS last_event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts, value AS last_value
+FROM (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+""",
+)
+def s_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert (CDC merge without a table format): each micro-batch
+    merges into a keyed sink — union the existing snapshot with the batch,
+    keep the latest row per user (arg-max on (ts, event_id)), overwrite.
+    Delivered in 3 rate-limited batches so the merge genuinely runs
+    incrementally; the final snapshot must equal the batch latest-per-key
+    truth. At scale the merge becomes MERGE INTO on a table format (or a
+    partition-overwrite keyed by bucket); the per-batch plan — broadcast
+    of the small batch against the bucketed snapshot — is the same."""
+    d = scratch_dir("s_upsert")
+    stage, sink, cp = d / "src", d / "sink", d / "cp"
+    for i in range(3):
+        stage_events(spark, sf_dir, stage, f"slice_{i}", where=f"user_id % 3 = {i}")
+
+    def merge(batch_df, _batch_id):
+        latest_in_batch = (
+            batch_df.select("user_id", F.struct("ts", "event_id", "value").alias("r"))
+            .groupBy("user_id")
+            .agg(F.max("r").alias("r"))
+        )
+        try:
+            existing = spark.read.parquet(str(sink))
+        except Exception:  # first batch: no snapshot yet
+            existing = None
+        if existing is not None:
+            latest_in_batch = (
+                existing.select("user_id", F.struct("ts", "event_id", "value").alias("r"))
+                .unionByName(latest_in_batch)
+                .groupBy("user_id")
+                .agg(F.max("r").alias("r"))
+            )
+        out = latest_in_batch.select("user_id", "r.ts", "r.event_id", "r.value")
+        tmp = d / f"snapshot_{_batch_id}"
+        out.write.mode("overwrite").parquet(str(tmp))
+        # atomic-ish swap: re-point by rewriting the sink from the staged copy
+        spark.read.parquet(str(tmp)).write.mode("overwrite").parquet(str(sink))
+
+    q = (
+        read_staged_stream(spark, sf_dir, stage, maxFilesPerTrigger=1)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(cp))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = spark.read.parquet(str(sink))
+    return snap.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )
