@@ -678,3 +678,46 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
     )
+
+
+def _graph_degree_oracle() -> str:
+    return f"""
+WITH {SQL_SHINGLES},
+hot AS (SELECT s FROM shingles GROUP BY s HAVING COUNT(*) > {NGRAM_DF_CAP}),
+kept AS (SELECT doc_id, s FROM shingles WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_inter / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}),
+deg AS (
+  SELECT u AS doc_id, COUNT(*) AS degree FROM (
+    SELECT doc_a AS u FROM pairs UNION ALL SELECT doc_b FROM pairs)
+  GROUP BY u)
+SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY degree
+"""
+
+
+@query("q_graph_degree", oracle=_graph_degree_oracle())
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup graph — the health check run
+    BEFORE clustering: a heavy-tailed degree histogram means a boilerplate
+    template is stitching unrelated documents together (and the CC step
+    would produce one giant component). Two hash aggregates over the
+    already-bounded pair list."""
+    pairs = (
+        _jaccard_pairs(_spark_shingles(spark, sf_dir))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))

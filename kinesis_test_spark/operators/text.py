@@ -763,3 +763,43 @@ def q_text_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("n_chars"),
         F.countDistinct("doc_id").alias("n_unique"),
     )
+
+
+@query(
+    "q_text_logprob",
+    oracle="""
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+freq AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM freq)
+SELECT doc_id,
+       CAST(SUM(CAST(ln(freq.c / tot.t) AS DECIMAL(18,8))) AS DOUBLE) AS logprob,
+       COUNT(*) AS n_tokens
+FROM words JOIN freq USING (w) CROSS JOIN tot
+GROUP BY doc_id
+""",
+)
+def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-likelihood per document under the corpus's own unigram
+    LM (the cheap perplexity-style quality signal: templated/repetitive
+    docs score high, lexically odd docs score low). Corpus frequencies are
+    one wordcount aggregate; the per-word log-probs go through
+    DECIMAL(18,8) before summation so the doc score is independent of
+    addition order (same rule as every float aggregate here). The freq
+    join is a shuffle on word — or a broadcast when the vocab is bounded,
+    as with q_text_tokenize_ids."""
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("t"))
+    return (
+        words.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.log(F.col("c") / F.col("t")).alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("lp").cast("decimal(18,8)")).cast("double").alias("logprob"),
+            F.count("*").alias("n_tokens"),
+        )
+    )

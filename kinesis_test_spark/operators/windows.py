@@ -260,3 +260,51 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").isNotNull().alias("observed"),
         )
     )
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       ntile(4) OVER (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal, c_custkey) AS quartile
+FROM customer
+""",
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment quartile assignment (the binning step of feature
+    bucketing / stratified splits): ntile over a per-segment sort with the
+    unique c_custkey tie-break. One shuffle on the segment key; no global
+    order anywhere."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", "c_mktsegment", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+FROM events
+""",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 interval build: each user event becomes a validity row
+    [valid_from, valid_to) with valid_to = the next event's timestamp
+    (NULL = current) — the slowly-changing-dimension history a warehouse
+    derives from a change stream. One window per user with the event_id
+    tie-break; rides the standard per-user partitioning."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(F.lead("ts").over(w), fmt).alias("valid_to"),
+    )
