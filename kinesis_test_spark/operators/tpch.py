@@ -92,3 +92,28 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 25, 6))
     )
+
+
+_Q6_SQL = f"""
+SELECT {sql_dsum("l_extendedprice * l_discount", "revenue", 25, 6)},
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q_tpch_q6", oracle=_Q6_SQL)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 (forecast revenue change) through the SQL-string API: the SAME
+    ANSI text runs on Spark (over registered temp views) and DuckDB — the
+    decimal-sum determinism rule is expressible in pure SQL, so one string
+    serves both engines. Plan: scan-local filter (all three predicates
+    pushed) + a single global partial+final aggregate; no shuffle beyond
+    the final 1-row combine."""
+    from kinesis_test_spark.sources import views
+
+    views(spark, sf_dir)
+    return spark.sql(_Q6_SQL)

@@ -173,3 +173,19 @@ def test_partition_count_invariance(spark, sf_dir, tmp_path):
         b = base[cols].sort_values(cols).reset_index(drop=True)
         m = multi[cols].sort_values(cols).reset_index(drop=True)
         assert b.equals(m), key
+
+
+def test_driver_priority_names_are_registered():
+    """Every name in __spark_entry__._PRIORITY must be a registered query
+    (or a conditionally-registered source key) — a typo would silently
+    drop a key out of the driver's correctness window."""
+    import __spark_entry__ as entry
+    from kinesis_test_spark import registry
+
+    registry.load_all()
+    conditional = {"q_source_avro"}  # registers only when the jar exists
+    missing = [
+        n for n in entry._PRIORITY if n not in registry.QUERIES and n not in conditional
+    ]
+    assert not missing, missing
+    assert len(set(entry._PRIORITY)) == len(entry._PRIORITY)  # no duplicates
