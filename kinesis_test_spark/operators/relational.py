@@ -863,3 +863,35 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union("sk", "sk_b")).alias("est_merged")
     )
     return merged.crossJoin(whole)
+
+
+@query(
+    "q_rollup_incremental",
+    oracle="""
+SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier rollup: daily partial aggregates re-aggregated to monthly —
+    and the result must equal the direct monthly aggregate (the oracle),
+    because decimal sums are exactly associative. This is the pattern that
+    lets a 100 TB warehouse maintain rollups incrementally (aggregate each
+    new day once, re-aggregate partials) instead of re-scanning history;
+    it is exact, unlike float sums, for the same reason the determinism
+    contract holds."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.year("ts").cast("int").alias("y"),
+        F.month("ts").cast("int").alias("m"),
+        F.dayofmonth("ts").cast("int").alias("d"),
+    ).agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("psum"),
+    )
+    return daily.groupBy("y", "m").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("double").alias("sum_value"),
+    )
