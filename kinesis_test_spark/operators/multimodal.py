@@ -195,3 +195,120 @@ def q_mm_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return d.mapInArrow(decode_batch_arrow, schema=DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, thumb_w int, thumb_h int, thumb_md5 string"
+
+
+def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Thumbnail stub: halve the (fake-decoded) dimensions and checksum the
+    payload+target — a real resampler slots in at the md5 line (bytes +
+    target dims in → thumbnail bytes out), everything else unchanged."""
+    import hashlib
+
+    for pdf in batches:
+        n = pdf["payload"].map(len)
+        w = (n % 64).astype("int32")
+        h = ((n * 7) % 64).astype("int32")
+        tw, th = (w // 2).astype("int32"), (h // 2).astype("int32")
+        md5s = [
+            hashlib.md5(p + f":{a}x{b}".encode()).hexdigest()
+            for p, a, b in zip(pdf["payload"], tw, th)
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": w,
+                "height": h,
+                "thumb_w": tw,
+                "thumb_h": th,
+                "thumb_md5": md5s,
+            }
+        )
+
+
+@query(
+    "q_mm_resize",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) % 64 AS INT) AS width,
+       CAST((length(text) * 7) % 64 AS INT) AS height,
+       CAST((length(text) % 64) // 2 AS INT) AS thumb_w,
+       CAST(((length(text) * 7) % 64) // 2 AS INT) AS thumb_h,
+       md5(text || ':' || CAST((length(text) % 64) // 2 AS VARCHAR)
+                || 'x' || CAST(((length(text) * 7) % 64) // 2 AS VARCHAR)) AS thumb_md5
+FROM documents
+""",
+)
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode→resize stage of an image pipeline as mapInPandas: payload in,
+    halved-resolution thumbnail descriptor + content checksum out. The
+    oracle restates the stub arithmetic, pinning the batch plumbing."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(resize_batch, schema=RESIZE_SCHEMA)
+
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, f_ag double, f_hn double, f_ou double, f_vz double, n_alpha bigint"
+)
+
+
+def feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Feature extraction stub: a 4-bucket character-class histogram over
+    the payload, L1-normalized — the byte-histogram shape a real extractor
+    (CLIP embedding, MFCC, color histogram) produces, vectorized per
+    Arrow batch with no per-row Python beyond the regex counts."""
+    for pdf in batches:
+        text = pdf["payload"].map(lambda b: b.decode("utf-8"))
+        counts = {
+            "f_ag": text.str.count("[a-g]"),
+            "f_hn": text.str.count("[h-n]"),
+            "f_ou": text.str.count("[o-u]"),
+            "f_vz": text.str.count("[v-z]"),
+        }
+        total = sum(counts.values())
+        out = {"doc_id": pdf["doc_id"]}
+        for k, v in counts.items():
+            # raw ratio; rounding happens JVM-side (F.round = SQL half-up,
+            # matching DuckDB ROUND — pandas .round is banker's and differs
+            # on exact .5 cases like 87/384)
+            out[k] = v / total
+        out["n_alpha"] = total.astype("int64")
+        yield pd.DataFrame(out)
+
+
+@query(
+    "q_mm_features",
+    oracle="""
+WITH c AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(text, '[^a-g]', '', 'g')) AS BIGINT) AS ag,
+         CAST(length(regexp_replace(text, '[^h-n]', '', 'g')) AS BIGINT) AS hn,
+         CAST(length(regexp_replace(text, '[^o-u]', '', 'g')) AS BIGINT) AS ou,
+         CAST(length(regexp_replace(text, '[^v-z]', '', 'g')) AS BIGINT) AS vz
+  FROM documents)
+SELECT doc_id,
+       ROUND(ag / (ag + hn + ou + vz), 6) AS f_ag,
+       ROUND(hn / (ag + hn + ou + vz), 6) AS f_hn,
+       ROUND(ou / (ag + hn + ou + vz), 6) AS f_ou,
+       ROUND(vz / (ag + hn + ou + vz), 6) AS f_vz,
+       ag + hn + ou + vz AS n_alpha
+FROM c
+""",
+)
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload→feature-vector stage as mapInPandas: 4-bucket normalized
+    char-class histogram per document (stand-in for any per-item embedding
+    extractor); output is a typed feature row ready to join against the
+    embeddings table."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    raw = d.mapInPandas(feature_batch, schema=FEATURE_SCHEMA)
+    return raw.select(
+        "doc_id",
+        *[F.round(c, 6).alias(c) for c in ("f_ag", "f_hn", "f_ou", "f_vz")],
+        "n_alpha",
+    )
