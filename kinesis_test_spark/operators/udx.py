@@ -198,3 +198,62 @@ def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
           PARTITION BY user_id ORDER BY (ts, event_id))
         """
     )
+
+
+COGROUP_SCHEMA = "p_id bigint, user_id bigint, n_clicks_before bigint"
+
+
+def _clicks_before(clicks: "pd.DataFrame", purchases: "pd.DataFrame") -> "pd.DataFrame":
+    """Per-user pandas merge: for each purchase, how many of the user's
+    clicks happened strictly before it (vectorized searchsorted — no
+    per-row Python)."""
+    import numpy as np
+    import pandas as pd
+
+    if purchases.empty:
+        return pd.DataFrame({"p_id": [], "user_id": [], "n_clicks_before": []}).astype(
+            {"p_id": "int64", "user_id": "int64", "n_clicks_before": "int64"}
+        )
+    click_ts = np.sort(clicks["ts"].to_numpy()) if not clicks.empty else np.array([], "datetime64[us]")
+    n = np.searchsorted(click_ts, purchases["ts"].to_numpy(), side="left")
+    return pd.DataFrame(
+        {
+            "p_id": purchases["event_id"].to_numpy(),
+            "user_id": purchases["user_id"].to_numpy(),
+            "n_clicks_before": n.astype("int64"),
+        }
+    )
+
+
+@query(
+    "q_cogroup_clickcount",
+    oracle="""
+SELECT p.event_id AS p_id, p.user_id,
+       CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_before
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+""",
+)
+def q_cogroup_clickcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (the remaining pandas extension point after
+    scalar/grouped-agg/grouped-map/mapInPandas/mapInArrow/state): clicks
+    and purchases each grouped on user_id, cogrouped into one pandas
+    function per key — Spark co-shuffles both sides once and the pandas
+    body does a vectorized searchsorted instead of a per-user SQL
+    correlated count. The shape for custom two-sided per-key merges
+    (as-of variants, interval matching) that SQL can't express cleanly."""
+    from kinesis_test_spark.sources import t as load_t
+
+    ev = load_t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(_clicks_before, schema=COGROUP_SCHEMA)
+    )

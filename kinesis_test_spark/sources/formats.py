@@ -254,3 +254,27 @@ def q_source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         pass  # driver collects lazily; cache is released with the session
+
+
+@query(
+    "q_source_resilient",
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def q_source_resilient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-file resilience: a garbage .parquet file is planted next to
+    the real ones; with spark.sql.files.ignoreCorruptFiles the scan skips
+    it and every clean row still lands — the posture a 100 TB lake needs
+    (one torn upload must not kill the nightly job; pair with a manifest
+    audit like q_text_shard_export's to notice the loss)."""
+    from kinesis_test_spark.streaming.pipeline import scratch_dir
+
+    d = scratch_dir("src_resilient")
+    pq = d / "pq"
+    _events_typed(spark, sf_dir).withColumn(
+        "event_type", F.col("event_type")
+    ).write.parquet(str(pq))
+    (pq / "part-corrupt.parquet").write_bytes(b"PAR1 this is not a parquet file")
+    # per-read option (not the session conf) so the tolerance is baked into
+    # THIS plan and evaluated with it — session state stays untouched
+    back = spark.read.option("ignoreCorruptFiles", "true").parquet(str(pq))
+    return back.groupBy("event_type").agg(F.count("*").alias("n"))
