@@ -51,7 +51,7 @@ _PRIORITY = [
     "q_text_shard_export", "q_window_ntile", "q_scd2_intervals",
     "q_graph_degree", "q_text_logprob", "q_tpch_q6", "q_funnel",
     "q_rollup_incremental", "q_mm_resize", "q_mm_features",
-    "q_cogroup_clickcount", "q_source_resilient",
+    "q_cogroup_clickcount", "q_source_resilient", "q_sink_python",
     # LLM-pipeline depth (dedup / similarity / text / multimodal).
     "q_dedup_simhash", "q_dedup_simhash_hamming", "q_dedup_ngram_jaccard",
     "q_dedup_clusters", "q_dedup_keeplist", "q_dedup_embedding",

@@ -278,3 +278,29 @@ def q_source_resilient(spark: SparkSession, sf_dir: str) -> DataFrame:
     # THIS plan and evaluated with it — session state stays untouched
     back = spark.read.option("ignoreCorruptFiles", "true").parquet(str(pq))
     return back.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_sink_python",
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def q_sink_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSink (Spark 4 DataSource writer API): events leave
+    through a user-defined partition-parallel JSONL writer (task-unique
+    file + commit message — the same commit protocol a real object-store
+    sink implements), then the written files are read back and aggregated
+    against the source truth. Completes the Python DataSource story:
+    batch read (q_source_python), streaming read (s_python_source), and
+    now the write side."""
+    from kinesis_test_spark.sources import pysource
+    from kinesis_test_spark.streaming.pipeline import scratch_dir
+
+    pysource.register_sink(spark)
+    d = scratch_dir("py_sink")
+    out = d / "jsonl"
+    ev = _events_typed(spark, sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    ev.write.format("jsonl_sink").option("path", str(out)).mode("append").save()
+    back = spark.read.json(str(out))
+    return back.groupBy("event_type").agg(F.count("*").alias("n"))

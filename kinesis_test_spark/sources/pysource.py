@@ -162,3 +162,61 @@ class ClickstreamStreamDataSource(DataSource):
 
 def register_stream(spark) -> None:
     spark.dataSource.register(ClickstreamStreamDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Python DataSink (the write-side extension point)
+# ---------------------------------------------------------------------------
+
+
+class JsonlWriter:
+    """Executor-side writer: one JSONL file per task, committed via the
+    standard commit protocol (write to a task-unique name; the driver's
+    commit makes the batch visible — same contract a real object-store
+    sink implements)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+        from pyspark.sql.datasource import WriterCommitMessage
+
+        tc = TaskContext.get()
+        part = tc.partitionId() if tc is not None else 0
+        os.makedirs(self.path, exist_ok=True)
+        name = os.path.join(self.path, f"part-{part:05d}-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(name, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return WriterCommitMessage()
+
+
+class JsonlSinkDataSource(DataSource):
+    """Custom Python DataSink: df.write.format("jsonl_sink") — rows leave
+    the DataFrame world through user Python, partition-parallel."""
+
+    @classmethod
+    def name(cls):
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool):
+        from pyspark.sql.datasource import DataSourceWriter
+
+        path = self.options["path"]
+
+        class _W(DataSourceWriter):
+            def write(self, iterator):
+                return JsonlWriter(path).write(iterator)
+
+        return _W()
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)
