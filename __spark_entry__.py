@@ -43,27 +43,31 @@ _PRIORITY = [
     "q_udf_s3key", "q_udaf_weighted", "q_udtf_expand", "q_udtf_table_arg",
     "s_ingest", "s_tumbling", "s_sliding", "s_session", "s_dedup",
     "s_checkpoint", "s_stateful_count", "s_sink_partitioned", "s_watermark",
-    # New round-2 keys.
-    "q_source_avro", "q_schema_evolve", "q_emb_normalize", "q_emb_centroid",
-    "q_ann_batch", "q_text_bigrams", "q_text_contamination", "q_stats_profile",
-    "q_emb_pq", "q_resample_ffill", "q_agg_approx_quantile", "s_rate_limited",
-    "q_agg_hll_merge", "q_dedup_fuzzy", "q_join_nearest", "s_upsert",
-    "q_text_shard_export", "q_window_ntile", "q_scd2_intervals",
-    "q_graph_degree", "q_text_logprob", "q_tpch_q6", "q_funnel",
-    "q_rollup_incremental", "q_mm_resize", "q_mm_features",
-    "q_cogroup_clickcount", "q_source_resilient", "q_sink_python",
-    # LLM-pipeline depth (dedup / similarity / text / multimodal).
+    # Round-1 LLM-pipeline depth (dedup / similarity / text / multimodal) —
+    # the families VERDICT.md names as the unchecked-tail risk.
     "q_dedup_simhash", "q_dedup_simhash_hamming", "q_dedup_ngram_jaccard",
     "q_dedup_clusters", "q_dedup_keeplist", "q_dedup_embedding",
     "q_dedup_minhash_mllib",
     "q_sim_search_ivf", "q_sim_search_ivf_multiprobe", "q_sim_lsh",
     "q_kmeans_step", "q_kmeans",
     "q_pipeline_llm", "q_text_tokenize_ids", "q_text_pack", "q_mixture",
-    "q_text_tfidf", "q_text_quality", "q_text_tokens", "q_text_wordcount",
-    "q_text_langid", "q_text_langid_ngram", "q_text_fingerprint",
-    "q_text_chunk",
+    "q_text_tfidf",
     "q_mm_decode", "q_mm_frames", "q_mm_decode_arrow",
-    "q_grouped_map", "q_sessionize", "q_session_native",
+    # Flagship round-2 keys (fill the rest of a 50-entry window).
+    "q_schema_evolve", "q_ann_batch", "q_emb_pq",
+    # Remaining round-1 text/session depth.
+    "q_text_quality", "q_text_tokens", "q_text_wordcount",
+    "q_text_langid", "q_text_langid_ngram", "q_text_fingerprint",
+    "q_text_chunk", "q_grouped_map", "q_sessionize", "q_session_native",
+    # Remaining round-2 keys.
+    "q_source_avro", "q_emb_normalize", "q_emb_centroid", "q_text_bigrams",
+    "q_text_contamination", "q_stats_profile", "q_resample_ffill",
+    "q_agg_approx_quantile", "s_rate_limited", "q_agg_hll_merge",
+    "q_dedup_fuzzy", "q_join_nearest", "s_upsert", "q_text_shard_export",
+    "q_window_ntile", "q_scd2_intervals", "q_graph_degree", "q_text_logprob",
+    "q_tpch_q6", "q_funnel", "q_rollup_incremental", "q_mm_resize",
+    "q_mm_features", "q_cogroup_clickcount", "q_source_resilient",
+    "q_sink_python",
 ]
 
 
