@@ -65,7 +65,8 @@ _PRIORITY = [
     "q_agg_approx_quantile", "s_rate_limited", "q_agg_hll_merge",
     "q_dedup_fuzzy", "q_join_nearest", "s_upsert", "q_text_shard_export",
     "q_window_ntile", "q_scd2_intervals", "q_graph_degree", "q_text_logprob",
-    "q_tpch_q6", "q_funnel", "q_rollup_incremental", "q_mm_resize",
+    "q_tpch_q6", "q_tpch_q13", "q_tpch_q18", "q_funnel",
+    "q_rollup_incremental", "q_mm_resize",
     "q_mm_features", "q_cogroup_clickcount", "q_source_resilient",
     "q_sink_python",
 ]

@@ -117,3 +117,78 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     views(spark, sf_dir)
     return spark.sql(_Q6_SQL)
+
+
+Q18_QTY_THRESHOLD = 300
+
+
+@query(
+    "q_tpch_q18",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > {Q18_QTY_THRESHOLD})
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+       {sql_dsum("l.l_quantity", "sum_qty")}
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_custkey, o.o_orderkey, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape (large-volume orders): a HAVING-filtered aggregate over the
+    fact table becomes the semi-join probe — the aggregate's output is
+    tiny (orders over the threshold), so it broadcasts into the
+    fact-dimension join and the big table is scanned once for the filter
+    and once for the final rollup. Heap top-100 on (totalprice, orderkey)."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty_all"))
+        .filter(F.col("sum_qty_all") > Q18_QTY_THRESHOLD)
+        .select("l_orderkey")
+    )
+    o = t(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    )
+    c = t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+GROUP BY c_count
+""",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape (customer order distribution): left join with a join-side
+    predicate (not a WHERE — zero-order customers must survive), per-key
+    count, then a histogram of the counts. Two partial+final aggregates;
+    the second one's input is |customers| rows."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
