@@ -803,3 +803,109 @@ def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
         )
     )
+
+
+def _pipeline_clean_oracle() -> str:
+    from kinesis_test_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        NGRAM_DF_CAP,
+        SQL_SHINGLES,
+    )
+
+    return f"""
+WITH RECURSIVE {SQL_SHINGLES},
+hot AS (SELECT s FROM shingles GROUP BY s HAVING COUNT(*) > {NGRAM_DF_CAP}),
+kept_sh AS (SELECT doc_id, s FROM shingles WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept_sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM kept_sh a JOIN kept_sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_inter / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+clusters AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+contam AS (
+  SELECT DISTINCT c.doc_id
+  FROM kept_sh c JOIN kept_sh b ON c.s = b.s
+  WHERE b.doc_id % {50} = 0 AND c.doc_id % {50} <> 0
+  GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= {3})
+SELECT d.doc_id, d.lang, CAST(length(d.text) AS INT) AS n_chars
+FROM documents d
+JOIN clusters cl ON cl.doc_id = d.doc_id AND cl.cluster_id = d.doc_id
+WHERE len(string_split(d.text, ' ')) >= 20
+  AND d.doc_id % {50} <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+"""
+
+
+@query("q_pipeline_clean", oracle=_pipeline_clean_oracle())
+def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-cleaning capstone, composed from the registered family:
+    length filter → near-dup removal (keep each cluster's canonical doc,
+    via q_dedup_clusters' label propagation) → eval-set holdout removal →
+    benchmark-decontamination (q_text_contamination's >= 3-shared-shingle
+    rule). Output = the surviving clean corpus a tokenizer would consume.
+    Every stage is a join against a (small or bounded) derived table, so
+    the corpus is streamed through, never collected."""
+    from kinesis_test_spark.operators.dedup import q_dedup_clusters
+    from kinesis_test_spark.operators.text import (  # self-import for clarity
+        BENCH_MOD,
+        CONTAM_MIN_SHARED,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    clusters = q_dedup_clusters(spark, sf_dir)
+    canonical = clusters.filter(F.col("cluster_id") == F.col("doc_id")).select("doc_id")
+    contam = (
+        q_text_contamination(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        d.filter(F.size(F.split("text", " ")) >= 20)
+        .filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(canonical, "doc_id", "left_semi")
+        .join(F.broadcast(contam), "doc_id", "left_anti")
+        .select("doc_id", "lang", F.length("text").cast("int").alias("n_chars"))
+    )
+
+
+def _split_oracle() -> str:
+    h = sql_hex16("'split|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT CASE WHEN {h} < 58982 THEN 'train'
+            WHEN {h} < 62259 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM documents
+GROUP BY split
+"""
+
+
+@query("q_sample_split", oracle=_split_oracle())
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~90/5/5) by salted content hash:
+    the same document lands in the same split on any engine, partitioning,
+    or rerun — the reproducibility property a training recipe needs
+    (random() splits are neither rerunnable nor cross-engine checkable).
+    Thresholds are 0.9/0.95 of the 16-bit hash space."""
+    h = spark_hex16(F.concat(F.lit("split|"), F.col("doc_id").cast("string")))
+    split = (
+        F.when(h < 58982, "train").when(h < 62259, "val").otherwise("test")
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+    )
