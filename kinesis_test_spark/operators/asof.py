@@ -195,3 +195,41 @@ def q_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("p_id", "user_id", "c_id", "dt_ms")
     )
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderdate, next_event_id, next_event_ts
+FROM (
+  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+         e.event_id AS next_event_id, e.ts AS next_event_ts,
+         row_number() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY e.ts ASC, e.event_id ASC) AS rn
+  FROM orders o
+  LEFT JOIN events e ON e.user_id = o.o_custkey AND e.ts > o.o_orderdate
+) WHERE rn = 1
+""",
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for each order, the EARLIEST event of that user
+    strictly after the order date (the 'next touch after purchase'
+    direction — backward as-of's mirror; together with q_join_nearest the
+    three temporal-join directions are covered). Same ranked-window
+    formulation and the same bucketed mitigation path at scale."""
+    o = t(spark, sf_dir, "orders")
+    e = t(spark, sf_dir, "events")
+    joined = o.join(e, (e.user_id == o.o_custkey) & (e.ts > o.o_orderdate), "left")
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        joined.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.col("event_id").alias("next_event_id"),
+            F.col("ts").alias("next_event_ts"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

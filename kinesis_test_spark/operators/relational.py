@@ -895,3 +895,37 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.sum("psum").cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+SELECT user_id, event_type AS modal_type, n AS modal_n
+FROM (
+  SELECT user_id, event_type, COUNT(*) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type)
+WHERE rn = 1
+""",
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key modal value (each user's most frequent event type, ties to
+    the lexicographically first type): count aggregate then per-user
+    arg-max — the deterministic form of mode()/max_by(), both of which
+    leave ties unspecified. Two partial+final aggregates; the arg-max
+    input is |users|×|types| rows."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("n").alias("modal_n"),
+        )
+    )
