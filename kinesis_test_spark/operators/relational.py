@@ -929,3 +929,79 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("modal_n"),
         )
     )
+
+
+@query(
+    "q_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS wk FROM events e)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+       CAST((epoch_ms(a.wk) - epoch_ms(f.cohort)) // 604800000 AS INT) AS week_offset,
+       COUNT(*) AS n_users
+FROM activity a JOIN first_seen f ON f.user_id = a.user_id
+GROUP BY 1, 2
+""",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week, counted
+    in every later week they were active — the (cohort, offset) grid a
+    product dashboard plots. Two aggregates + one join, all keyed on
+    user_id then (cohort, offset); both engines truncate weeks to Monday
+    so the offset is an exact multiple."""
+    ev = t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                (F.unix_millis("wk") - F.unix_millis("cohort")) / 604800000
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "q_outliers",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu,
+         ROUND(stddev_samp(value), 6) AS sigma
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - s.mu) / s.sigma, 4) AS z
+FROM events e JOIN stats s ON s.event_type = e.event_type
+WHERE abs(ROUND((e.value - s.mu) / s.sigma, 4)) > 2.5
+""",
+)
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly filter per event type: group stats (decimal-exact
+    mean, 6dp-rounded sample stddev) broadcast back onto the stream,
+    events beyond |z| > 2.5 flagged — the data-quality gate before
+    training ingestion. One aggregate + one broadcast join; no second
+    scan shuffle."""
+    ev = t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*")
+        ).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sigma"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.5)
+    )
