@@ -308,3 +308,60 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", fmt).alias("valid_from"),
         F.date_format(F.lead("ts").over(w), fmt).alias("valid_to"),
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts over each user's event sequence (the
+    behavioral fingerprint clickstream models train on): lag per user with
+    the event_id tie-break, then one hash aggregate over (prev, next).
+    One shuffle on user_id for the sequence + the tiny |types|² combine."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_wow_change",
+    oracle="""
+WITH weekly AS (
+  SELECT event_type, date_trunc('week', ts) AS wk, COUNT(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, strftime(wk, '%Y-%m-%d') AS week_start, n,
+       n - lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS wow_delta
+FROM weekly
+""",
+)
+def q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week change per event type: weekly counts then a lag
+    window over the aggregated series — the trend/alerting query every
+    metrics pipeline runs. The window's input is |types|×|weeks| rows
+    (post-aggregate), so the second pass is near-free at any scale."""
+    ev = t(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("wk")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("wk")
+    return weekly.select(
+        "event_type",
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+        "n",
+        (F.col("n") - F.lag("n").over(w)).alias("wow_delta"),
+    )
