@@ -295,7 +295,7 @@ SELECT doc_id,
        ROUND(ou / (ag + hn + ou + vz), 6) AS f_ou,
        ROUND(vz / (ag + hn + ou + vz), 6) AS f_vz,
        ag + hn + ou + vz AS n_alpha
-FROM c
+FROM c WHERE ag + hn + ou + vz > 0
 """,
 )
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,7 +306,9 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    raw = d.mapInPandas(feature_batch, schema=FEATURE_SCHEMA)
+    raw = d.mapInPandas(feature_batch, schema=FEATURE_SCHEMA).filter(
+        F.col("n_alpha") > 0  # an all-symbol payload has no histogram
+    )
     return raw.select(
         "doc_id",
         *[F.round(c, 6).alias(c) for c in ("f_ag", "f_hn", "f_ou", "f_vz")],

@@ -983,7 +983,7 @@ WITH stats AS (
 SELECT e.event_id, e.event_type, e.value,
        ROUND((e.value - s.mu) / s.sigma, 4) AS z
 FROM events e JOIN stats s ON s.event_type = e.event_type
-WHERE abs(ROUND((e.value - s.mu) / s.sigma, 4)) > 2.5
+WHERE s.sigma > 0 AND abs(ROUND((e.value - s.mu) / s.sigma, 4)) > 2.5
 """,
 )
 def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -991,7 +991,8 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean, 6dp-rounded sample stddev) broadcast back onto the stream,
     events beyond |z| > 2.5 flagged — the data-quality gate before
     training ingestion. One aggregate + one broadcast join; no second
-    scan shuffle."""
+    scan shuffle. The sigma > 0 guard keeps a constant-valued group from
+    tripping ANSI division (CLAUDE.md: guard data-dependent denominators)."""
     ev = t(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
         (
@@ -1002,6 +1003,7 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
     return (
         ev.join(F.broadcast(stats), "event_type")
+        .filter(F.col("sigma") > 0)
         .select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) > 2.5)
     )
