@@ -874,7 +874,10 @@ def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.size(F.split("text", " ")) >= 20)
         .filter(F.col("doc_id") % BENCH_MOD != 0)
         .join(canonical, "doc_id", "left_semi")
-        .join(F.broadcast(contam), "doc_id", "left_anti")
+        # no broadcast hint: the contaminated set is usually tiny but is
+        # corpus-bounded in the worst case (a fully-leaked corpus) — let
+        # AQE pick broadcast vs shuffle from the actual size
+        .join(contam, "doc_id", "left_anti")
         .select("doc_id", "lang", F.length("text").cast("int").alias("n_chars"))
     )
 
