@@ -365,3 +365,38 @@ def q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n") - F.lag("n").over(w)).alias("wow_delta"),
     )
+
+
+@query(
+    "q_cumulative",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderstatus, date_trunc('day', o_orderdate) AS d, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2)
+SELECT o_orderstatus, strftime(d, '%Y-%m-%d') AS day, n,
+       CAST(SUM(n) OVER (PARTITION BY o_orderstatus ORDER BY d
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_total
+FROM daily
+""",
+)
+def q_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative flow: daily order counts per status with a running total
+    — the backlog/burn-down series. Window runs over the AGGREGATED
+    series (|statuses| × |days| rows), so the expensive pass is the one
+    hash aggregate; the cumulative sum is integer (exact, no decimal
+    detour needed)."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderstatus", F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "o_orderstatus",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.sum("n").over(w).alias("running_total"),
+    )
