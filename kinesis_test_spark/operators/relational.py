@@ -1007,3 +1007,131 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) > 2.5)
     )
+
+
+@query(
+    "q_fk_orphans",
+    oracle="""
+SELECT 'orders_without_customer' AS check_name, COUNT(*) AS n_orphans FROM (
+  SELECT o.o_orderkey FROM orders o
+  LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_custkey IS NULL)
+UNION ALL
+SELECT 'lineitem_without_order', COUNT(*) FROM (
+  SELECT l.l_orderkey FROM lineitem l
+  LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderkey IS NULL)
+UNION ALL
+SELECT 'events_without_known_user', COUNT(*) FROM (
+  SELECT e.event_id FROM events e
+  LEFT JOIN customer c ON c.c_custkey = e.user_id
+  WHERE c.c_custkey IS NULL)
+""",
+)
+def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts
+    for each foreign-key edge via anti-join (orders→customer,
+    lineitem→orders, events→customer). The ingest gate that catches a
+    half-loaded dimension before a training join silently drops rows.
+    Each check is one anti-join keyed on the FK — broadcast when the
+    parent is a dim, shuffle otherwise, AQE decides."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+    ev = t(spark, sf_dir, "events")
+
+    def check(name: str, child: DataFrame, key, parent: DataFrame, pkey) -> DataFrame:
+        return (
+            child.join(parent, child[key] == parent[pkey], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(name).alias("check_name"), "n_orphans")
+        )
+
+    return (
+        check("orders_without_customer", o, "o_custkey", c, "c_custkey")
+        .unionByName(check("lineitem_without_order", li, "l_orderkey", o, "o_orderkey"))
+        .unionByName(check("events_without_known_user", ev, "user_id", c, "c_custkey"))
+    )
+
+
+@query(
+    "q_revenue_share",
+    oracle="""
+WITH seg AS (
+  SELECT c.c_mktsegment,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS seg_rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_mktsegment)
+SELECT c_mktsegment, seg_rev,
+       ROUND(seg_rev / SUM(seg_rev) OVER (), 6) AS rev_share
+FROM seg
+""",
+)
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: per-segment revenue and its share of the total via
+    an unpartitioned window over the AGGREGATED series (5 rows — the
+    global window is free after the rollup; running it pre-aggregate
+    would serialize the whole table through one partition). Decimal sums
+    then one double division, deterministic on both engines."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    seg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("seg_rev")
+        )
+    )
+    from pyspark.sql import Window
+
+    return seg.select(
+        "c_mktsegment",
+        "seg_rev",
+        F.round(
+            F.col("seg_rev") / F.sum("seg_rev").over(Window.partitionBy()), 6
+        ).alias("rev_share"),
+    )
+
+
+@query(
+    "q_gap_histogram",
+    oracle="""
+WITH gaps AS (
+  SELECT (epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))) // 1000 AS gap_s
+  FROM events)
+SELECT CASE WHEN gap_s < 60 THEN '<1m'
+            WHEN gap_s < 3600 THEN '1m-1h'
+            WHEN gap_s < 86400 THEN '1h-1d'
+            ELSE '>=1d' END AS gap_bucket,
+       COUNT(*) AS n
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY gap_bucket
+""",
+)
+def q_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per user (the empirical basis for the
+    30-minute session threshold): per-user lag, integer-second gaps into
+    coarse buckets, one hash aggregate. The analytics behind choosing
+    GAP_MS in the sessionizer rather than assuming it."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.floor(
+        (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))) / 1000
+    )
+    bucket = (
+        F.when(gap_s < 60, "<1m")
+        .when(gap_s < 3600, "1m-1h")
+        .when(gap_s < 86400, "1h-1d")
+        .otherwise(">=1d")
+    )
+    return (
+        ev.select(gap_s.alias("gap_s"), bucket.alias("gap_bucket"))
+        .filter(F.col("gap_s").isNotNull())
+        .groupBy("gap_bucket")
+        .agg(F.count("*").alias("n"))
+    )
