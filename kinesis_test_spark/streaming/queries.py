@@ -811,3 +811,31 @@ def s_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
         F.col("value").alias("last_value"),
     )
+
+
+@query(
+    "s_window_users",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+""",
+)
+def s_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per hour window on a STREAM: COUNT(DISTINCT) isn't a
+    streaming aggregate, so the exact form is stateful dedup on
+    (window, user) followed by a plain count — dropDuplicates state keyed
+    exactly like the aggregate that follows it, both on the RocksDB
+    store. The dashboard query (hourly active users) with exact, not
+    sketched, semantics."""
+    d = scratch_dir("s_window_users")
+    name = _mem_name("wusers")
+    counts = (
+        read_events_stream(spark, sf_dir)
+        .select(F.window("ts", "1 hour").start.alias("window_start"), "user_id")
+        .dropDuplicates(["window_start", "user_id"])
+        .groupBy("window_start")
+        .agg(F.count("*").alias("n_users"))
+    )
+    run_to_memory(counts, name, d / "cp", output_mode="complete")
+    return spark.table(name)
