@@ -400,3 +400,33 @@ def q_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.sum("n").over(w).alias("running_total"),
     )
+
+
+@query(
+    "q_window_rolling_median",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(quantile_cont(value, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_med
+FROM events
+""",
+)
+def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over each user's last 5 events — the robust
+    (outlier-immune) smoother a sensor/metrics pipeline prefers to a
+    rolling mean. Spark runs the exact percentile aggregate AS a window
+    function over the bounded ROWS frame; per-row state is the 5-element
+    frame, so cost is O(frame) per row after the one user_id shuffle.
+    6dp round on both engines (interpolation arithmetic)."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("roll_med"),
+    )
