@@ -58,7 +58,7 @@ _PRIORITY = [
     "q_sample_split", "q_join_asof_forward", "q_agg_mode", "q_retention",
     "q_outliers", "q_event_transitions", "q_wow_change", "q_cumulative",
     "q_fk_orphans", "q_revenue_share", "q_gap_histogram", "s_window_users",
-    "q_window_rolling_median",
+    "q_window_rolling_median", "s_alert", "q_calendar_dim",
     # Remaining round-1 text/session depth.
     "q_text_quality", "q_text_tokens", "q_text_wordcount",
     "q_text_langid", "q_text_langid_ngram", "q_text_fingerprint",

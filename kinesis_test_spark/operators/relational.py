@@ -1135,3 +1135,36 @@ def q_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gap_bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "q_calendar_dim",
+    oracle="""
+SELECT CAST(d AS VARCHAR)[:10] AS day,
+       CAST(isodow(d) AS INT) AS dow,
+       CAST(month(d) AS INT) AS m,
+       CAST(quarter(d) AS INT) AS q,
+       isodow(d) >= 6 AS is_weekend
+FROM (SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                    TIMESTAMP '1995-12-31',
+                                    INTERVAL 1 DAY)) AS d)
+""",
+)
+def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension (one year of days with ISO weekday,
+    month, quarter, weekend flag) — the zero-input generator every star
+    schema joins for fiscal rollups; at scale it's a broadcast table by
+    construction. sequence+explode on Spark ≙ generate_series in the
+    oracle; dates travel as strings per the no-DATE rule."""
+    days = spark.sql(
+        "SELECT explode(sequence(timestamp'1995-01-01', "
+        "timestamp'1995-12-31', interval 1 day)) AS d"
+    )
+    dow = F.expr("extract(dayofweek_iso FROM d)").cast("int")
+    return days.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        dow.alias("dow"),
+        F.month("d").cast("int").alias("m"),
+        F.quarter("d").cast("int").alias("q"),
+        (dow >= 6).alias("is_weekend"),
+    )

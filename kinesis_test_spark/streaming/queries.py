@@ -839,3 +839,34 @@ def s_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(counts, name, d / "cp", output_mode="complete")
     return spark.table(name)
+
+
+ALERT_THRESHOLD = 20
+
+
+@query(
+    "s_alert",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type, COUNT(*) AS n
+FROM events WHERE event_type = 'error'
+GROUP BY 1, 2 HAVING COUNT(*) > {ALERT_THRESHOLD}
+""",
+)
+def s_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming threshold alerting: hourly error counts filtered to
+    windows breaching the threshold — the windowed-HAVING shape every
+    on-call alert rule compiles to. The pre-aggregation filter prunes the
+    stream before any state (only 'error' rows enter the window store);
+    the post-aggregation filter runs on the drained result."""
+    d = scratch_dir("s_alert")
+    name = _mem_name("alert")
+    win = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    run_to_memory(win, name, d / "cp", output_mode="complete")
+    return spark.table(name).filter(F.col("n") > ALERT_THRESHOLD)
