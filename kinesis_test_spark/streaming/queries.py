@@ -841,7 +841,7 @@ def s_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-ALERT_THRESHOLD = 20
+ALERT_THRESHOLD = 5  # fires on the upper tail at every test SF
 
 
 @query(
