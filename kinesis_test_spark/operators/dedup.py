@@ -721,3 +721,71 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))
+
+
+def _verify_oracle() -> str:
+    return f"""
+WITH {SQL_SHINGLES},
+seeds AS (SELECT unnest([{_seed_list}]) AS seed),
+mh AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS h
+  FROM shingles, seeds GROUP BY doc_id, seed),
+sig AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b, sig[2*b + 1] || sig[2*b + 2] AS bkey
+  FROM sig, (SELECT unnest([{_band_cases}]) AS b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+est AS (
+  SELECT doc_a, doc_b,
+         len([i FOR i IN generate_series(1, {N_SEEDS}) IF sa.sig[i] = sb.sig[i]])
+           / {N_SEEDS}.0 AS est_jaccard
+  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b),
+hot AS (SELECT s FROM shingles GROUP BY s HAVING COUNT(*) > {NGRAM_DF_CAP}),
+kept AS (SELECT doc_id, s FROM shingles WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       COALESCE(i.n_inter / (sa.n + sb.n - i.n_inter), 0.0) AS jaccard
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes sa ON sa.doc_id = e.doc_a JOIN sizes sb ON sb.doc_id = e.doc_b
+"""
+
+
+@query("q_dedup_verify", oracle=_verify_oracle())
+def q_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical two-stage near-dup pipeline in one plan: LSH banding
+    PROPOSES candidates (cheap, recall-oriented), exact capped Jaccard
+    VERIFIES them (precision) — the estimate and the truth side by side
+    per candidate pair. At 100 TB the verify join touches only LSH
+    collisions, so exactness costs |candidates|, not n². Pairs the LSH
+    candidate set (threshold 0 — every collision) with the inverted-index
+    intersection via a left join (candidates sharing no post-cap shingle
+    verify to 0)."""
+    sh = _spark_shingles(spark, sf_dir)
+    est = minhash_pairs(sh, threshold=0.0)
+    exact = _jaccard_pairs(sh).select("doc_a", "doc_b", "jaccard")
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+        .select("s")
+    )
+    kept = sh.join(F.broadcast(hot), "s", "left_anti")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return (
+        est.join(exact, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+        )
+    )
