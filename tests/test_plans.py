@@ -117,3 +117,28 @@ def test_emb_centroid_partial_final_agg(spark, sf_dir):
     """Centroid means: map-side combine before the (label, dim) shuffle."""
     plan = plans.formatted(q("q_emb_centroid", spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q18_semi_probe_is_broadcast(spark, sf_dir):
+    """Q18: the HAVING-filtered aggregate must reach orders as a broadcast
+    LEFT SEMI probe, not a shuffled join."""
+    plan = plans.formatted(q("q_tpch_q18", spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_nearest_join_uses_window_group_limit(spark, sf_dir):
+    """Bounded nearest-event join: the per-purchase argmin must push into
+    the window sort (WindowGroupLimit), and candidates must come from an
+    equi-join (no BroadcastNestedLoopJoin over the band predicate)."""
+    plan = plans.formatted(q("q_join_nearest", spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_codebook_is_broadcast(spark, sf_dir):
+    """Product quantization: the (m, code) codebook side must broadcast —
+    the corpus never shuffles for the assignment."""
+    plan = plans.formatted(q("q_emb_pq", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
