@@ -55,6 +55,7 @@ _PRIORITY = [
     "q_mm_decode", "q_mm_frames", "q_mm_decode_arrow",
     # Flagship round-2 keys (fill the rest of a 50-entry window).
     "q_schema_evolve", "q_ann_batch", "q_emb_pq", "q_dedup_verify",
+    "q_dedup_normalized",
     "q_pipeline_clean",
     "q_sample_split", "q_join_asof_forward", "q_agg_mode", "q_retention",
     "q_outliers", "q_event_transitions", "q_wow_change", "q_cumulative",

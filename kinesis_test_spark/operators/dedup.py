@@ -789,3 +789,36 @@ def q_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
         )
     )
+
+
+@query(
+    "q_dedup_normalized",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM documents)
+SELECT norm_text, COUNT(*) AS n_variants, MIN(doc_id) AS canonical_doc
+FROM norm GROUP BY norm_text HAVING COUNT(*) > 1
+""",
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup: lowercase, strip punctuation, collapse
+    whitespace, THEN group — catches trivially-reformatted copies that
+    byte-exact dedup (q_dedup_exact) misses and shingle methods
+    over-spend on. The cheapest rung of the dedup ladder after raw
+    equality; one groupBy on the normalized content (in production, on
+    its hash — same shuffle key either way)."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return (
+        d.select("doc_id", norm.alias("norm_text"))
+        .groupBy("norm_text")
+        .agg(F.count("*").alias("n_variants"), F.min("doc_id").alias("canonical_doc"))
+        .filter(F.col("n_variants") > 1)
+    )
