@@ -794,11 +794,16 @@ def q_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_normalized",
     oracle="""
-WITH norm AS (
-  SELECT doc_id, lang,
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, upper(text) || ' !!' FROM documents
+  WHERE doc_id % 10 = 0),
+norm AS (
+  SELECT doc_id,
          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
                              ' +', ' ', 'g')) AS norm_text
-  FROM documents)
+  FROM corpus)
 SELECT norm_text, COUNT(*) AS n_variants, MIN(doc_id) AS canonical_doc
 FROM norm GROUP BY norm_text HAVING COUNT(*) > 1
 """,
@@ -807,17 +812,24 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized exact dedup: lowercase, strip punctuation, collapse
     whitespace, THEN group — catches trivially-reformatted copies that
     byte-exact dedup (q_dedup_exact) misses and shingle methods
-    over-spend on. The cheapest rung of the dedup ladder after raw
-    equality; one groupBy on the normalized content (in production, on
-    its hash — same shuffle key either way)."""
+    over-spend on. A reformatted copy of every 10th doc is planted
+    (uppercased + punctuation, new ids) so the normalization is actually
+    exercised; the cheapest rung of the dedup ladder after raw equality —
+    one groupBy on the normalized content (in production, on its hash —
+    same shuffle key either way)."""
     d = t(spark, sf_dir, "documents")
+    variants = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit(" !!")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(variants)
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
         )
     )
     return (
-        d.select("doc_id", norm.alias("norm_text"))
+        corpus.select("doc_id", norm.alias("norm_text"))
         .groupBy("norm_text")
         .agg(F.count("*").alias("n_variants"), F.min("doc_id").alias("canonical_doc"))
         .filter(F.col("n_variants") > 1)
