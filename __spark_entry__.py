@@ -136,6 +136,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "org.apache.spark.sql.execution.streaming.state."
                 "RocksDBStateStoreProvider",
             )
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled",
+                "true",
+            )
             return fn(spark, sf_dir)
 
         return run

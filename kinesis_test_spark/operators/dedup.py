@@ -70,13 +70,22 @@ def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     words = F.split("text", " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0)))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+    # Empty-safe: sequence(1, size-2) is DESCENDING (not empty) for docs
+    # under 3 words, and element_at(words, 0) errors under Spark 4 ANSI.
+    # The lazy CASE WHEN matches DuckDB's generate_series(1, <=0) → empty.
+    idx = F.sequence(F.lit(1), F.size(words) - 2)
+    sh = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+            ),
         ),
-    )
+    ).otherwise(F.slice(words, 1, 0))
     return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("s"))
 
 

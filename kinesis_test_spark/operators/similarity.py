@@ -456,7 +456,7 @@ SELECT vec_id, label,
        ROUND(sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)), 6)
          AS l2_norm,
        ROUND(list_reduce(e, (a, b) -> a + b)
-             / sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)), 6)
+             / NULLIF(sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)), 0), 6)
          AS unit_sum
 FROM v
 """,
@@ -470,11 +470,14 @@ def q_emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir)
     norm = F.sqrt(_dot(F.col("e"), F.col("e")))
     comp_sum = F.aggregate("e", F.lit(0.0), lambda a, x: a + x)
+    # try_divide: a zero embedding vector would make 0.0/0.0 error under
+    # Spark 4 ANSI; the oracle's NULLIF(norm, 0) yields NULL the same way
+    # (CLAUDE.md rule: guard every data-dependent denominator).
     return v.select(
         "vec_id",
         "label",
         F.round(norm, 6).alias("l2_norm"),
-        F.round(comp_sum / norm, 6).alias("unit_sum"),
+        F.round(F.try_divide(comp_sum, norm), 6).alias("unit_sum"),
     )
 
 

@@ -652,11 +652,18 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     words = F.split("text", " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(0)))
-    bigrams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
-    )
+    # Empty-safe bigram construction: sequence(1, size-1) is DESCENDING (not
+    # empty) when size == 1, and element_at(words, 0) then errors under
+    # Spark 4 ANSI.  Guard behind a lazy CASE WHEN so single-word / empty
+    # docs yield an empty array, matching DuckDB's generate_series(1, 0).
+    idx = F.sequence(F.lit(1), F.size(words) - 1)
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+        ),
+    ).otherwise(F.slice(words, 1, 0))
     return (
         d.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
@@ -758,6 +765,10 @@ def q_text_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs.repartition("shard").write.partitionBy("shard").mode("overwrite").json(str(out))
     back = spark.read.option("basePath", str(out)).json(str(out))
+    # partition-dir inference types `shard` as INT; the oracle's hash
+    # arithmetic is BIGINT — align dtypes before the aggregate (CLAUDE.md
+    # nullable-int rule).
+    back = back.withColumn("shard", F.col("shard").cast("bigint"))
     return back.groupBy("shard").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("n_chars"),

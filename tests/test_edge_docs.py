@@ -1,0 +1,75 @@
+"""Regression tests for round-2 ADVICE: short/empty documents and zero
+embedding vectors.
+
+The fixture corpora contain no single-word or empty documents, so
+``sequence(1, size-1)`` descending-sequence bugs (Spark yields [1, 0], then
+``element_at(words, 0)`` errors under ANSI) pass parity silently until real
+data hits them.  Here we restage sf0.001 with planted adversarial rows and
+re-run the same oracle gate the driver uses.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kinesis_test_spark.oracle import check_query
+
+SF_SRC = "/root/testdata/sf0.001"
+
+# Keys whose Spark plan walks word n-grams over `documents.text` and must
+# survive docs with fewer words than the n-gram order.
+NGRAM_KEYS = [
+    "q_text_bigrams",
+    "q_dedup_ngram_jaccard",
+    "q_text_contamination",
+    "q_dedup_minhash",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_sf")
+    for f in Path(SF_SRC).glob("*.parquet"):
+        shutil.copy(f, d / f.name)
+
+    docs = pq.read_table(d / "documents.parquet")
+    extra = pa.table(
+        {
+            "doc_id": [90000001, 90000002, 90000003, 90000004],
+            "text": ["", "one", "two words", "exactly three words"],
+            "lang": ["en"] * 4,
+            "source": ["edge"] * 4,
+            "n_chars": [0, 3, 9, 19],
+        },
+        schema=docs.schema,
+    )
+    pq.write_table(pa.concat_tables([docs, extra]), d / "documents.parquet")
+
+    emb = pq.read_table(d / "embeddings.parquet")
+    dim = len(emb.column("embedding")[0])
+    zero = pa.table(
+        {
+            "vec_id": [90000001],
+            "embedding": [[0.0] * dim],
+            "label": [0],
+        },
+        schema=emb.schema,
+    )
+    pq.write_table(pa.concat_tables([emb, zero]), d / "embeddings.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", NGRAM_KEYS)
+def test_short_docs_parity(spark, edge_sf_dir, name):
+    problems = check_query(spark, edge_sf_dir, name)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_zero_vector_normalize_parity(spark, edge_sf_dir):
+    problems = check_query(spark, edge_sf_dir, "q_emb_normalize")
+    assert not problems, "q_emb_normalize: " + "; ".join(problems)
