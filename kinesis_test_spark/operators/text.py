@@ -651,19 +651,18 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    words = F.split("text", " ")
-    # Empty-safe bigram construction: sequence(1, size-1) is DESCENDING (not
-    # empty) when size == 1, and element_at(words, 0) then errors under
-    # Spark 4 ANSI.  Guard behind a lazy CASE WHEN so single-word / empty
-    # docs yield an empty array, matching DuckDB's generate_series(1, 0).
-    idx = F.sequence(F.lit(1), F.size(words) - 1)
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
-        ),
-    ).otherwise(F.slice(words, 1, 0))
+    # split() hoisted into a real column (no CSE inside higher-order-function
+    # lambdas — element_at(split(...), i) would re-tokenize per element).
+    # slice/zip_with is empty-safe: greatest(size-1, 0) yields zero-length
+    # slices for single-word/empty docs (sequence(1, size-1) would be
+    # DESCENDING there, and element_at(words, 0) errors under Spark 4 ANSI),
+    # matching DuckDB's empty generate_series(1, 0).
+    d = d.withColumn("w", F.split("text", " "))
+    w = F.col("w")
+    k = F.greatest(F.size(w) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(w, 1, k), F.slice(w, 2, k), lambda a, b: F.concat_ws(" ", a, b)
+    )
     return (
         d.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
@@ -701,17 +700,9 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side hash join over the corpus shingles, the shape that lets a
     100 TB corpus be swept against every public benchmark in one pass.
     Shares the NGRAM_DF_CAP stop-shingle guard with the dedup family."""
-    from kinesis_test_spark.operators.dedup import _jaccard_pairs, _spark_shingles  # noqa: F401
-    from kinesis_test_spark.operators.dedup import NGRAM_DF_CAP
+    from kinesis_test_spark.operators.dedup import _kept_shingles
 
-    sh = _spark_shingles(spark, sf_dir)
-    hot = (
-        sh.groupBy("s")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > NGRAM_DF_CAP)
-        .select("s")
-    )
-    kept = sh.join(F.broadcast(hot), "s", "left_anti")
+    kept = _kept_shingles(spark, sf_dir)
     bench = kept.filter(F.col("doc_id") % BENCH_MOD == 0).select(
         F.col("doc_id").alias("bench_doc_id"), "s"
     )
