@@ -54,9 +54,53 @@ BENCH_QUERIES = [
 
 COLLECT_OK = {"q_sim_search", "q_topk_per_group", "q_text_wordcount"}
 
+# Per-query slowdown vs the previous round's recorded bench that gets
+# flagged in the output — catches a regression in-round instead of at
+# judge time (round-2 lesson: q_dedup_ngram_jaccard drifted to 2.45×
+# unnoticed).
+REGRESSION_RATIO = 1.5
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def previous_bench(
+    here: str, sf: float | None = None
+) -> tuple[str | None, dict[str, float]]:
+    """Latest BENCH_r*.json per-query timings (empty if none parseable).
+
+    When ``sf`` is given, only a baseline recorded at the same scale factor
+    qualifies — timings across scales aren't comparable."""
+    import glob
+
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            queries = data["parsed"]["queries"]
+            prev_sf = data["parsed"].get("sf")
+        except (OSError, ValueError, KeyError, TypeError):
+            continue
+        if sf is not None and prev_sf != sf:
+            continue
+        if isinstance(queries, dict) and queries:
+            return os.path.basename(path), {k: float(v) for k, v in queries.items()}
+    return None, {}
+
+
+def flag_regressions(
+    timings: dict[str, float],
+    prev: dict[str, float],
+    ratio: float = REGRESSION_RATIO,
+) -> dict[str, dict[str, float]]:
+    """Queries slower than ``ratio`` × their previous-round time."""
+    flagged: dict[str, dict[str, float]] = {}
+    for name, cur in timings.items():
+        old = prev.get(name)
+        if old is not None and old > 0 and cur > ratio * old:
+            flagged[name] = {"prev": old, "cur": cur, "ratio": round(cur / old, 2)}
+    return flagged
 
 
 def main() -> None:
@@ -84,6 +128,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    baseline, prev = previous_bench(os.path.dirname(os.path.abspath(__file__)), sf)
     print(
         json.dumps(
             {
@@ -92,6 +137,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "regressions": {
+                    "baseline": baseline,
+                    "threshold_ratio": REGRESSION_RATIO,
+                    "flagged": flag_regressions(timings, prev),
+                },
             }
         )
     )

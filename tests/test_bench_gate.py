@@ -1,0 +1,57 @@
+"""Unit tests for bench.py's in-round regression gate (no Spark needed)."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+_spec = importlib.util.spec_from_file_location(
+    "bench", Path(__file__).resolve().parent.parent / "bench.py"
+)
+bench = importlib.util.module_from_spec(_spec)
+sys.modules.setdefault("bench", bench)
+_spec.loader.exec_module(bench)
+
+
+def test_flags_only_above_ratio():
+    prev = {"q_a": 1.0, "q_b": 2.0, "q_c": 4.0}
+    cur = {"q_a": 1.49, "q_b": 3.1, "q_c": 4.0, "q_new": 9.0}
+    flagged = bench.flag_regressions(cur, prev, ratio=1.5)
+    assert set(flagged) == {"q_b"}
+    assert flagged["q_b"] == {"prev": 2.0, "cur": 3.1, "ratio": 1.55}
+
+
+def test_no_previous_bench_flags_nothing():
+    assert bench.flag_regressions({"q_a": 99.0}, {}) == {}
+
+
+def test_previous_bench_picks_latest_parseable(tmp_path):
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"parsed": {"queries": {"q_a": 1.0}}})
+    )
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"parsed": {"queries": {"q_a": 2.0}}})
+    )
+    (tmp_path / "BENCH_r03.json").write_text("{not json")
+    name, prev = bench.previous_bench(str(tmp_path))
+    assert name == "BENCH_r02.json"
+    assert prev == {"q_a": 2.0}
+
+
+def test_previous_bench_none_when_absent(tmp_path):
+    assert bench.previous_bench(str(tmp_path)) == (None, {})
+
+
+def test_previous_bench_requires_matching_sf(tmp_path):
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"parsed": {"queries": {"q_a": 1.0}, "sf": 0.1}})
+    )
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"parsed": {"queries": {"q_a": 2.0}, "sf": 0.001}})
+    )
+    name, prev = bench.previous_bench(str(tmp_path), sf=0.1)
+    assert name == "BENCH_r01.json"
+    assert prev == {"q_a": 1.0}
+    assert bench.previous_bench(str(tmp_path), sf=0.5) == (None, {})
