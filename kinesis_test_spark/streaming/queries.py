@@ -536,6 +536,108 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query("s_stream_join_left")  # rows-only: final-watermark emission isn't batch SQL
+def s_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream join — the attribution shape:
+    every click paired with the same user's purchases in the following
+    5 minutes, and clicks with NO such purchase emitted once with NULL
+    purchase columns after the watermark closes their join window.
+
+    AvailableNow caveat (the reason this is rows-only): an outer NULL row
+    emits only when a LATER batch advances the watermark past the left
+    row's eviction point — after the final data batch there may be no such
+    batch, so a single drain would hold the tail of unmatched clicks in
+    state forever. The drain is therefore phased: real events first, then
+    two far-future sentinel arrivals whose batches close every real join
+    window. In production the steady arrival of new data plays the
+    sentinel's role. The parquet sink + checkpoint make emission
+    exactly-once across the restarts.
+
+    Subtlety (found live): the sentinel must SURVIVE the per-side filters.
+    Catalyst pushes a deterministic predicate on a non-event-time column
+    BELOW the EventTimeWatermark node, so a row the filter rejects never
+    reaches the watermark accumulator — a 'sentinel' event_type would be
+    invisible and the watermark would freeze at
+    min(max click ts, max purchase ts) - delay, permanently stranding the
+    last clicks in state. The sentinels are therefore staged as one real
+    'click' and one 'purchase' with negative ids/users (they match
+    nothing), and are dropped from the BATCH read-back — not from the
+    streaming plan, where the filter would be pushed down again.
+
+    Reference: consumer.py:292-303 batches are joined to their retries only
+    when present; unmatched must still land in the sink exactly once."""
+    d = scratch_dir("s_stream_join_left")
+    stage, out, cp = d / "src", d / "out", d / "cp"
+
+    from pathlib import Path
+    import shutil
+
+    from kinesis_test_spark.streaming.pipeline import events_schema
+
+    stage.mkdir(parents=True, exist_ok=True)  # stream defined before first arrival
+    raw_schema = events_schema(spark, sf_dir)
+    max_ns = spark.read.parquet(f"{sf_dir}/events.parquet").agg(F.max("ts")).first()[0]
+
+    def stage_sentinel(name: str, hours_ahead: int) -> None:
+        far = int(max_ns) + hours_ahead * 3_600_000_000_000
+        rows = [
+            (-1, far, -1, "click", 0.0, "{}"),
+            (-2, far, -2, "purchase", 0.0, "{}"),
+        ]
+        tmp = stage.parent / f"_tmp_{name}"
+        spark.createDataFrame(rows, schema=raw_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        part = next(Path(tmp).glob("part-*.parquet"))
+        stage.mkdir(parents=True, exist_ok=True)
+        shutil.move(str(part), stage / f"{name}.parquet")
+        shutil.rmtree(tmp)
+
+    def side(alias_id: str, etype: str, uid: str, ts: str) -> DataFrame:
+        return (
+            read_staged_stream(spark, sf_dir, stage)
+            .withWatermark("ts", "10 minutes")
+            .filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(alias_id),
+                F.col("user_id").alias(uid),
+                F.col("ts").alias(ts),
+            )
+        )
+
+    clicks = side("click_id", "click", "user_id", "ts_a")
+    purchases = side("purchase_id", "purchase", "user_id_b", "ts_b")
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("user_id_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+        "leftOuter",
+    ).select("click_id", "purchase_id", "user_id")
+
+    def run_once() -> None:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(cp))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage_events(spark, sf_dir, stage, "events")
+    run_once()
+    stage_sentinel("sentinel_1", hours_ahead=1)
+    run_once()
+    stage_sentinel("sentinel_2", hours_ahead=2)
+    run_once()
+    return (
+        spark.read.parquet(str(out))
+        .filter(F.col("click_id") >= 0)  # drop sentinel outer rows (see docstring)
+        .select("click_id", "purchase_id", "user_id")
+    )
+
+
 @query(
     "s_python_source",
     oracle="""

@@ -166,3 +166,47 @@ def test_hll_merge_matches_whole_and_exact(spark, sf_dir):
     row = registry.QUERIES["q_agg_hll_merge"](spark, sf_dir).toPandas().iloc[0]
     assert row.est_merged == row.est_whole
     assert abs(row.est_merged - row.n_exact) / row.n_exact <= 0.02
+
+
+def test_stream_join_left_matches_batch_left_outer(spark, sf_dir):
+    """The streamed left-outer result, fully drained (sentinel phases), must
+    equal the batch left-outer join exactly: every matched (click, purchase)
+    pair present, every unmatched click present exactly once with NULL."""
+    streamed = registry.QUERIES["s_stream_join_left"](spark, sf_dir).toPandas()
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("ts_a")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("user_id_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    batch = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("user_id_b"))
+            & (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+            "leftOuter",
+        )
+        .select("click_id", "purchase_id", "user_id")
+        .toPandas()
+    )
+
+    def canon(pdf):
+        return sorted(
+            (int(c), None if p != p or p is None else int(p), int(u))
+            for c, p, u in pdf.itertuples(index=False)
+        )
+
+    s, b = canon(streamed), canon(batch)
+    assert len(s) == len(b)
+    assert s == b
+    # unmatched clicks appear exactly once each
+    unmatched = [row for row in s if row[1] is None]
+    assert len(unmatched) == len({row[0] for row in unmatched})
+    assert unmatched, "fixture should contain clicks with no purchase in-window"
