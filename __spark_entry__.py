@@ -56,9 +56,10 @@ _PRIORITY = [
     # Flagship round-2 keys (fill the rest of a 50-entry window).
     "q_schema_evolve", "q_ann_batch", "q_emb_pq", "q_dedup_verify",
     "q_dedup_normalized",
-    # Round-3 key: the left-outer stream-stream join wants a driver row in
-    # its first round (rows-only check), so it rides near the window head.
-    "s_stream_join_left",
+    # Round-3 keys: the left-outer stream-stream join wants a driver row in
+    # its first round (rows-only check), so it rides near the window head;
+    # q_mm_decode_real registers only when Pillow is importable.
+    "s_stream_join_left", "q_mm_decode_real",
     "q_pipeline_clean",
     "q_sample_split", "q_join_asof_forward", "q_agg_mode", "q_retention",
     "q_outliers", "q_event_transitions", "q_wow_change", "q_cumulative",

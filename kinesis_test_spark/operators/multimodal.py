@@ -83,12 +83,95 @@ def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def pil_available() -> bool:
+    """True when a real image codec (Pillow) is importable. q_mm_decode_real
+    registers only then — same conditional pattern as q_source_avro
+    (sources/formats.py). This container has no PIL; the probe keeps the
+    real path one `pip install pillow` away from active."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def decode_batch_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Real media decode — requires PIL/ffmpeg, not present in this build."""
-    raise NotImplementedError(
-        "real image/audio decode needs codec libraries; use decode_batch "
-        "(deterministic stub) — the Spark plumbing is identical"
+    """Real media decode — requires a codec library. When Pillow is present
+    the registered q_mm_decode_real query uses _pil_decode_batch below; in
+    a codec-less build this raises so nobody silently gets fake dims."""
+    if not pil_available():
+        raise NotImplementedError(
+            "real image/audio decode needs codec libraries; use decode_batch "
+            "(deterministic stub) — the Spark plumbing is identical"
+        )
+    return _pil_decode_batch(batches)
+
+
+def _pil_png_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode one real PNG per doc (dims derived from doc_id) — the
+    synthesizing half of the real-codec round trip."""
+    import io
+
+    from PIL import Image
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            w, h = int(doc_id) % 64 + 1, (int(doc_id) * 7) % 64 + 1
+            buf = io.BytesIO()
+            Image.new("RGB", (w, h), (doc_id % 256, 0, 0)).save(buf, format="PNG")
+            payloads.append(buf.getvalue())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _pil_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode real image bytes with Pillow: bytes in → typed dims out —
+    the exact slot decode_batch stubs."""
+    import io
+
+    from PIL import Image
+
+    for pdf in batches:
+        rows = {"doc_id": [], "payload_len": [], "width": [], "height": [], "format": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            with Image.open(io.BytesIO(payload)) as img:
+                rows["doc_id"].append(doc_id)
+                rows["payload_len"].append(len(payload))
+                rows["width"].append(img.width)
+                rows["height"].append(img.height)
+                rows["format"].append(img.format)
+        out = pd.DataFrame(rows)
+        out["payload_len"] = out["payload_len"].astype("int32")
+        out["width"] = out["width"].astype("int32")
+        out["height"] = out["height"].astype("int32")
+        yield out
+
+
+if pil_available():
+
+    @query(
+        "q_mm_decode_real",
+        oracle="""
+SELECT doc_id,
+       CAST(doc_id % 64 + 1 AS INT) AS width,
+       CAST((doc_id * 7) % 64 + 1 AS INT) AS height,
+       'PNG' AS format
+FROM documents
+""",
     )
+    def q_mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """REAL codec round trip (registers only when Pillow imports):
+        synthesize a PNG per document (dims a pure function of doc_id),
+        then decode the bytes back through the same mapInPandas slot the
+        stub uses. The oracle states the dims arithmetically — agreement
+        proves actual encode/decode ran, not the fake."""
+        d = t(spark, sf_dir, "documents").select("doc_id")
+        with_png = d.mapInPandas(_pil_png_batch, schema="doc_id bigint, payload binary")
+        return with_png.mapInPandas(
+            _pil_decode_batch,
+            schema="doc_id bigint, payload_len int, width int, height int, format string",
+        ).select("doc_id", "width", "height", "format")
 
 
 @query(

@@ -177,3 +177,33 @@ def test_avro_round_trip_or_documented_skip(spark, sf_dir):
         .reset_index(drop=True)
     )
     assert avro.equals(orc)
+
+
+def test_mm_decode_real_or_documented_skip(spark, sf_dir):
+    """Real-codec decode parity when Pillow is importable; clean documented
+    skip otherwise (this container has no image libraries — the stub
+    pipeline q_mm_decode carries the plumbing oracle meanwhile)."""
+    from kinesis_test_spark import registry
+    from kinesis_test_spark.operators.multimodal import pil_available
+    from kinesis_test_spark.oracle import check_query
+
+    registry.load_all()
+    if not pil_available():
+        assert "q_mm_decode_real" not in registry.QUERIES
+        pytest.skip("Pillow not installed; real-codec path stays dormant")
+    problems = check_query(spark, sf_dir, "q_mm_decode_real")
+    assert not problems, "; ".join(problems)
+
+
+def test_transform_with_state_probe():
+    """transformWithStateInPandas needs google.protobuf inside the Python
+    worker; re-probed every round (VERDICT r2 #8). applyInPandasWithState
+    covers the custom-stateful extension point until the env provides it."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf absent; transformWithStateInPandas blocked")
+    raise AssertionError(
+        "google.protobuf is now available — implement transformWithStateInPandas "
+        "(see CLAUDE.md round-3 notes)"
+    )

@@ -183,7 +183,7 @@ def test_driver_priority_names_are_registered():
     from kinesis_test_spark import registry
 
     registry.load_all()
-    conditional = {"q_source_avro"}  # registers only when the jar exists
+    conditional = {"q_source_avro", "q_mm_decode_real"}  # env-conditional
     missing = [
         n for n in entry._PRIORITY if n not in registry.QUERIES and n not in conditional
     ]
