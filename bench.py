@@ -59,6 +59,11 @@ COLLECT_OK = {"q_sim_search", "q_topk_per_group", "q_text_wordcount"}
 # judge time (round-2 lesson: q_dedup_ngram_jaccard drifted to 2.45×
 # unnoticed).
 REGRESSION_RATIO = 1.5
+# Sub-second entries on this host show ±40% run-to-run spread (BASELINE.md
+# round-3 drift investigation), so a pure ratio gate misfires on them.
+# Ignore moves smaller than this many seconds absolute — below the
+# measurement floor, a ratio is noise, not signal.
+REGRESSION_MIN_DELTA_SEC = 0.5
 
 
 def force(df) -> None:
@@ -93,12 +98,14 @@ def flag_regressions(
     timings: dict[str, float],
     prev: dict[str, float],
     ratio: float = REGRESSION_RATIO,
+    min_delta: float = REGRESSION_MIN_DELTA_SEC,
 ) -> dict[str, dict[str, float]]:
-    """Queries slower than ``ratio`` × their previous-round time."""
+    """Queries slower than ``ratio`` × their previous-round time AND more
+    than ``min_delta`` seconds slower in absolute terms."""
     flagged: dict[str, dict[str, float]] = {}
     for name, cur in timings.items():
         old = prev.get(name)
-        if old is not None and old > 0 and cur > ratio * old:
+        if old is not None and old > 0 and cur > ratio * old and cur - old > min_delta:
             flagged[name] = {"prev": old, "cur": cur, "ratio": round(cur / old, 2)}
     return flagged
 
@@ -109,9 +116,16 @@ def main() -> None:
     registry.load_all()
     spark = get_spark("kinesis_test_spark-bench")
 
-    # warmup: session start, codegen, parquet footer caches — one untimed
-    # pass of the flagship so measurements reflect steady-state execution
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warmup: session start, codegen, parquet footers, OS page cache — one
+    # untimed sweep over every benched table plus one flagship pass, so
+    # per-query numbers reflect steady-state execution rather than whichever
+    # query happens to fault the cold file pages in first (measured: the
+    # first post-boot run inflates early entries 2-3×, BASELINE.md round-3)
+    for table in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
     force(registry.QUERIES["q_flagship"](spark, sf_dir))
 
     timings: dict[str, float] = {}

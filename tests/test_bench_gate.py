@@ -23,6 +23,16 @@ def test_flags_only_above_ratio():
     assert flagged["q_b"] == {"prev": 2.0, "cur": 3.1, "ratio": 1.55}
 
 
+def test_absolute_floor_suppresses_subsecond_noise():
+    # Sub-second entries move ±40% run-to-run on this host (BASELINE.md):
+    # a 3× ratio on a 0.2s query is noise; the same ratio with a >0.5s
+    # absolute move is a real regression.
+    prev = {"q_noise": 0.2, "q_real": 0.4}
+    cur = {"q_noise": 0.6, "q_real": 1.2}
+    flagged = bench.flag_regressions(cur, prev, ratio=1.5, min_delta=0.5)
+    assert set(flagged) == {"q_real"}
+
+
 def test_no_previous_bench_flags_nothing():
     assert bench.flag_regressions({"q_a": 99.0}, {}) == {}
 
