@@ -454,7 +454,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    cos = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4)
+    # zero-norm guard: try_divide → NULL, coalesced to DuckDB's
+    # list_cosine_similarity sentinel (-1.0) so both engines drop the row
+    # at the threshold filter instead of Spark ANSI-erroring the job
+    cos = F.round(
+        F.coalesce(
+            F.try_divide(dot(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb")),
+            F.lit(-1.0),
+        ),
+        4,
+    )
     return (
         a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", "label", cos.alias("cos_sim"))

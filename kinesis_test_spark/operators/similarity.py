@@ -14,9 +14,12 @@ Python UDFs. Scores are rounded to 6dp on both engines before ordering so
 float32→float64 promotion and summation order can't flip a rank.
 
 Zero-vector caveat: cosine divides by the norms; with Spark 4's ANSI mode
-a zero vector raises DIVIDE_BY_ZERO (loud, not silent). On a corpus that
-may contain zero embeddings, pre-filter `norm > 0` or swap the division
-for F.try_divide (NULL score) — the fixtures guarantee nonzero vectors.
+a bare division would raise DIVIDE_BY_ZERO on a zero vector (and some
+shard always contains the degenerate row at corpus scale).  `cosine`
+therefore yields -1.0 on a zero norm — the same sentinel DuckDB's
+list_cosine_similarity returns, so every oracle in this file stays
+value-aligned — and a -1 score can never enter a top-k or pass a
+similarity threshold.
 """
 
 from __future__ import annotations
@@ -38,7 +41,14 @@ def _dot(u: Column, v: Column) -> Column:
 
 
 def cosine(u: Column, v: Column, ndigits: int = 6) -> Column:
-    return F.round(_dot(u, v) / (F.sqrt(_dot(u, u)) * F.sqrt(_dot(v, v))), ndigits)
+    # try_divide → NULL on a zero norm; coalesce to DuckDB's -1.0 sentinel
+    return F.round(
+        F.coalesce(
+            F.try_divide(_dot(u, v), F.sqrt(_dot(u, u)) * F.sqrt(_dot(v, v))),
+            F.lit(-1.0),
+        ),
+        ndigits,
+    )
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:

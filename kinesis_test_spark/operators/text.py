@@ -153,7 +153,11 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = F.size(words)
     n_stop = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
     stop_ratio = n_stop / n_words.cast("bigint")
-    alpha_ratio = F.length(F.regexp_replace("text", " ", "")).cast("bigint") / F.length("text")
+    # try_divide: an empty document has length 0 and Spark 4 ANSI would
+    # error the job; DuckDB's integer 0/0 is natively NULL, so NULL aligns
+    alpha_ratio = F.try_divide(
+        F.length(F.regexp_replace("text", " ", "")).cast("bigint"), F.length("text")
+    )
     score = F.round(
         F.least(F.lit(1.0), n_words / F.lit(100.0)) * (1 - stop_ratio), 6
     )

@@ -64,12 +64,42 @@ def edge_sf_dir(tmp_path_factory):
     return str(d)
 
 
+# Keys over `documents.text` whose expressions divide by or index into
+# text-derived quantities: must survive the planted empty document (round-3
+# audit: alpha_ratio divided by length(text) — ANSI error on "" — and the
+# fingerprint / langid / chunk generators were verified total by analysis;
+# these pins keep them that way).
+DOC_EDGE_KEYS = [
+    "q_text_quality",
+    "q_text_fingerprint",
+    "q_text_langid_ngram",
+    "q_text_chunk",
+    "q_text_stats",
+]
+
+# Keys over `embeddings` that compute a cosine: must survive the planted
+# zero vector (Spark side yields DuckDB's -1.0 sentinel via
+# coalesce(try_divide(...), -1), so parity holds row-for-row).
+ZERO_VEC_KEYS = [
+    "q_emb_normalize",
+    "q_dedup_embedding",
+    "q_sim_search",
+]
+
+
 @pytest.mark.parametrize("name", NGRAM_KEYS)
 def test_short_docs_parity(spark, edge_sf_dir, name):
     problems = check_query(spark, edge_sf_dir, name)
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
-def test_zero_vector_normalize_parity(spark, edge_sf_dir):
-    problems = check_query(spark, edge_sf_dir, "q_emb_normalize")
-    assert not problems, "q_emb_normalize: " + "; ".join(problems)
+@pytest.mark.parametrize("name", DOC_EDGE_KEYS)
+def test_empty_doc_parity(spark, edge_sf_dir, name):
+    problems = check_query(spark, edge_sf_dir, name)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("name", ZERO_VEC_KEYS)
+def test_zero_vector_parity(spark, edge_sf_dir, name):
+    problems = check_query(spark, edge_sf_dir, name)
+    assert not problems, f"{name}: " + "; ".join(problems)
