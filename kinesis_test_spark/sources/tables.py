@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -26,19 +27,43 @@ TABLES = (
 )
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Dtype-adaptive `events.ts` → session-TZ TIMESTAMP (a UTC instant).
+
+    The driver has regenerated the events fixture with different parquet
+    timestamp encodings across rounds, so we dispatch on the scanned type
+    instead of hard-coding one ingestion contract:
+
+    - TIMESTAMP(NANOS): Spark has no nanos type; with
+      `spark.sql.legacy.parquet.nanosAsLong` it scans as LongType that we
+      floor-truncate to a µs timestamp — exactly what DuckDB/Arrow do when
+      reading the same file, so oracle comparisons line up.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): scans as TIMESTAMP_NTZ; the
+      session TZ is pinned UTC, so casting NTZ→TIMESTAMP is
+      instant-preserving and matches DuckDB's naive-TIMESTAMP read.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=true): already TIMESTAMP — no-op.
+    """
+    if col not in df.columns:
+        return df
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Parquet scan; pruning/pushdown left to Catalyst.
 
-    `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark lacks a
-    type for; with `spark.sql.legacy.parquet.nanosAsLong` it scans as a long
-    that we floor-truncate to a µs timestamp — exactly what DuckDB/Arrow do
-    when reading the same file, so oracle comparisons line up.
+    `events.ts` is normalized to a proper timestamp whatever the fixture's
+    parquet encoding — see `normalize_ts`.
     """
     if name not in TABLES:
         raise KeyError(name)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_ts(df)
     return df
 
 

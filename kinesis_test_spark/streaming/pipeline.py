@@ -24,7 +24,9 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import StructField, StructType
+
+from kinesis_test_spark.sources.tables import normalize_ts
 
 SCRATCH_ROOT = Path(__file__).resolve().parent.parent.parent / ".scratch"
 
@@ -41,9 +43,10 @@ def scratch_dir(name: str) -> Path:
 
 def events_schema(spark: SparkSession, sf_dir: str) -> StructType:
     """File-source streams need an explicit schema (no inference at runtime).
-    ts arrives as long nanos (see sources/tables.py)."""
+    ts arrives in whatever raw encoding the fixture carries (long nanos or
+    TIMESTAMP_NTZ micros — see sources/tables.normalize_ts); staged copies
+    preserve it, and the stream readers normalize after the scan."""
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    assert isinstance(schema["ts"].dataType, LongType)
     return StructType([StructField(f.name, f.dataType, f.nullable) for f in schema])
 
 
@@ -56,7 +59,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(raw)
 
 
 def read_staged_stream(spark: SparkSession, sf_dir: str, stage: Path, **options) -> DataFrame:
@@ -65,7 +68,7 @@ def read_staged_stream(spark: SparkSession, sf_dir: str, stage: Path, **options)
     raw = spark.readStream.schema(events_schema(spark, sf_dir)).options(**options).parquet(
         str(stage)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(raw)
 
 
 def stage_events(spark: SparkSession, sf_dir: str, stage: Path, name: str, where: str | None = None) -> None:

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_test_spark.registry import query
+from kinesis_test_spark.sources.tables import normalize_ts
 from kinesis_test_spark.streaming.pipeline import (
     partitioned_json_sink,
     read_events_stream,
@@ -234,14 +235,19 @@ def s_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns the append-mode finalized windows; tests assert no pre-cutoff
     window ever appears (the reference, by contrast, happily writes late
     events into old partitions — consumer.py:237)."""
-    # staged files keep the raw schema (ts = long nanos) — split on nanos
-    lo_ns, hi_ns = (
-        spark.read.parquet(f"{sf_dir}/events.parquet").agg(F.min("ts"), F.max("ts")).first()
-    )
-    mid_ns = (lo_ns + hi_ns) // 2
+    # staged files keep the raw schema — split the timeline in the raw ts
+    # domain (long nanos OR TIMESTAMP_NTZ micros, fixture-dependent)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo, hi = raw.agg(F.min("ts"), F.max("ts")).first()
+    if isinstance(lo, int):
+        mid = (lo + hi) // 2
+        mid_lit = str(mid)
+    else:  # naive datetimes from a TIMESTAMP_NTZ scan
+        mid = lo + (hi - lo) / 2
+        mid_lit = f"'{mid.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
     d = scratch_dir("s_watermark")
     stage = d / "src"
-    stage_events(spark, sf_dir, stage, "recent", where=f"ts >= {mid_ns}")
+    stage_events(spark, sf_dir, stage, "recent", where=f"ts >= {mid_lit}")
     name = _mem_name("wm")
     windowed = (
         read_staged_stream(spark, sf_dir, stage)
@@ -258,7 +264,7 @@ def s_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.processAllAvailable()
-    stage_events(spark, sf_dir, stage, "late", where=f"ts < {mid_ns}")
+    stage_events(spark, sf_dir, stage, "late", where=f"ts < {mid_lit}")
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
@@ -320,9 +326,9 @@ def s_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = scratch_dir("s_json_ingest")
     src = d / "src"
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    batch = normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet")).select(
         "event_id",
-        F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         "user_id",
         "event_type",
         "value",
@@ -576,10 +582,16 @@ def s_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage.mkdir(parents=True, exist_ok=True)  # stream defined before first arrival
     raw_schema = events_schema(spark, sf_dir)
-    max_ns = spark.read.parquet(f"{sf_dir}/events.parquet").agg(F.max("ts")).first()[0]
+    max_ts = spark.read.parquet(f"{sf_dir}/events.parquet").agg(F.max("ts")).first()[0]
 
     def stage_sentinel(name: str, hours_ahead: int) -> None:
-        far = int(max_ns) + hours_ahead * 3_600_000_000_000
+        # far-future ts in the RAW domain (long nanos or naive datetime)
+        if isinstance(max_ts, int):
+            far = int(max_ts) + hours_ahead * 3_600_000_000_000
+        else:
+            from datetime import timedelta
+
+            far = max_ts + timedelta(hours=hours_ahead)
         rows = [
             (-1, far, -1, "click", 0.0, "{}"),
             (-2, far, -2, "purchase", 0.0, "{}"),
@@ -701,11 +713,9 @@ def s_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = scratch_dir("s_ref_pipeline")
     src, out, cp = d / "src", d / "out", d / "cp"
     # stage the wire: events as JSON lines, WHOLE TABLE TWICE (replay)
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    batch = normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet")).select(
         "event_id",
-        F.date_format(
-            F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd HH:mm:ss.SSSSSS"
-        ).alias("ts"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         "user_id",
         "event_type",
         "value",

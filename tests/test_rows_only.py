@@ -174,9 +174,9 @@ def test_stream_join_left_matches_batch_left_outer(spark, sf_dir):
     pair present, every unmatched click present exactly once with NULL."""
     streamed = registry.QUERIES["s_stream_join_left"](spark, sf_dir).toPandas()
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from kinesis_test_spark.sources.tables import normalize_ts
+
+    ev = normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("ts_a")
     )

@@ -18,9 +18,15 @@ def test_watermark_drops_late_data(spark, sf_dir):
     assert len(out) > 0
     emitted = int(out["n"].sum())
     assert emitted < total  # late slice never counted
-    lo = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
-        "timestamp_micros(min(ts) div 1000) AS lo"
-    ).first()["lo"]
+    from pyspark.sql import functions as F
+
+    from kinesis_test_spark.sources.tables import normalize_ts
+
+    lo = (
+        normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        .agg(F.min("ts").alias("lo"))
+        .first()["lo"]
+    )
     # no finalized window from the pre-cutoff (late) half of the timeline
     assert out["window_start"].min() > pd.Timestamp(lo)
 
