@@ -79,6 +79,8 @@ _PRIORITY = [
     "q_rollup_incremental", "q_mm_resize",
     "q_mm_features", "q_cogroup_clickcount", "q_source_resilient",
     "q_sink_python",
+    # Round-5 keys (first driver check wanted promptly).
+    "q_tpch_q1", "q_tpch_q4", "q_tpch_q10", "q_tpch_q14",
 ]
 
 

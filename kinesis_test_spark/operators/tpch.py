@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_test_spark.functions.exact import dsum, sql_dsum
+from kinesis_test_spark.functions.exact import davg, dsum, sql_davg, sql_dsum
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t
 
@@ -192,3 +192,173 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q_tpch_q1",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum("l_quantity", "sum_qty", 25, 2)},
+       {sql_dsum("l_extendedprice", "sum_base_price", 25, 2)},
+       {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price", 25, 6)},
+       {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge", 25, 6)},
+       {sql_davg("l_quantity", "avg_qty", 25, 2)},
+       {sql_davg("l_extendedprice", "avg_price", 25, 2)},
+       {sql_davg("l_discount", "avg_disc", 18, 6)},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 (pricing summary report): the canonical scan-heavy aggregate —
+    one pass over the fact table, all eight measures computed in a single
+    partial+final hash aggregate over a 6-ish-group key. The shipdate
+    predicate is pushed to the scan; no join, no second shuffle. At 100 TB
+    this is bandwidth-bound, which is exactly what whole-stage codegen +
+    vectorized parquet give; the group-key cardinality stays tiny so the
+    final combine is free. (Reference composite-agg shape:
+    consumer.py:221-249 aggregates per partition before the sink.)"""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty", 25, 2),
+            dsum("l_extendedprice", "sum_base_price", 25, 2),
+            dsum(disc_price, "sum_disc_price", 25, 6),
+            dsum(disc_price * (1 + F.col("l_tax")), "sum_charge", 25, 6),
+            davg("l_quantity", "avg_qty", 25, 2),
+            davg("l_extendedprice", "avg_price", 25, 2),
+            davg("l_discount", "avg_disc", 18, 6),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape (order priority checking), adapted to this star schema's
+    columns: the fixture's lineitem has no commit/receipt dates, so the
+    EXISTS predicate is 'some line shipped after the order date' instead of
+    TPC-H's l_commitdate < l_receiptdate — same plan shape: a date-windowed
+    orders scan LEFT SEMI joined against the fact table on orderkey with a
+    non-equi residual, then a tiny grouped count. The semi join shuffles
+    only matched keys; the date filter prunes orders before the join."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_tpch_q10",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name,
+       {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue", 25, 6)},
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape (returned-item reporting): date-windowed orders and
+    return-filtered lineitem meet on the one real shuffle (orderkey);
+    customer and nation broadcast; heap top-20 on (revenue, custkey) — the
+    unique tie-break keeps cross-engine order deterministic."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 25, 6))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q14",
+    oracle="""
+SELECT ROUND(
+  100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                 THEN l.l_extendedprice * (1 - l.l_discount)
+                 ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE)
+        / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(25,6))) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1996-02-01'
+""",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape (promotion effect): conditional aggregate over a
+    fact-dimension join — part broadcasts (dimension ≪ fact), the date
+    window prunes the fact scan, and the whole thing reduces to one global
+    row. The ratio goes through try_divide + ROUND(6) (cross-engine float
+    rule; the denominator is data-dependent)."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(promo.cast("decimal(25,6)")).cast("double").alias("_promo"),
+            F.sum(disc_price.cast("decimal(25,6)")).cast("double").alias("_total"),
+        )
+        .select(
+            F.round(F.try_divide(F.lit(100.0) * F.col("_promo"), F.col("_total")), 6).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
