@@ -142,3 +142,42 @@ def test_pq_codebook_is_broadcast(spark, sf_dir):
     plan = plans.formatted(q("q_emb_pq", spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q1_is_scan_plus_single_agg(spark, sf_dir):
+    """Q1: shipdate predicate on the scan, partial+final agg, NO join —
+    the bandwidth-bound shape that survives 100 TB."""
+    df = q("q_tpch_q1", spark, sf_dir)
+    plan = plans.formatted(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+    assert "l_shipdate" in plans.pushed_filters(df)
+
+
+def test_tpch_q4_semi_join_date_pruned(spark, sf_dir):
+    """Q4: date window pushed to the orders scan; EXISTS runs as a semi
+    join (never a full join + distinct)."""
+    df = q("q_tpch_q4", spark, sf_dir)
+    plan = plans.formatted(df)
+    assert "LeftSemi" in plan
+    assert "o_orderdate" in plans.pushed_filters(df)
+
+
+def test_tpch_q10_broadcast_dims_heap_topk(spark, sf_dir):
+    """Q10: customer/nation never shuffle the fact side; top-20 is a heap
+    (TakeOrderedAndProject), not a global sort."""
+    df = q("q_tpch_q10", spark, sf_dir)
+    plan = plans.formatted(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert not plans.has(df, "TakeOrderedAndProject")
+
+
+def test_tpch_q14_broadcast_part_single_row_agg(spark, sf_dir):
+    """Q14: part is the broadcast side; the date-pruned fact scan feeds one
+    partial+final aggregate collapsing to a single row."""
+    df = q("q_tpch_q14", spark, sf_dir)
+    plan = plans.formatted(df)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "l_shipdate" in plans.pushed_filters(df)
