@@ -1,0 +1,119 @@
+"""Training-data featurization operators — repetition-based quality
+signals over documents and point-in-time feature snapshots over events.
+
+These are the shapes a large-scale pretraining pipeline runs between raw
+ingest and the training shard writer: Gopher-style repetition filters to
+drop low-quality documents, and feature-store point-in-time aggregation
+(no leakage past a cutoff) for downstream model features. (The reference's
+analogue is per-record transform-then-sink, /root/reference/consumer.py:
+284-307; these extend it with corpus-level statistics.)
+
+Scale notes: both operators are shuffle-on-a-high-cardinality-key
+(doc_id / user_id) with map-side partial aggregation — no skew hotspot,
+no driver-side state, no UDFs. The repetition scorer's explode produces
+|words| rows but they combine within the map stage before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_test_spark.registry import query
+from kinesis_test_spark.sources import t
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), counts AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+), stats AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(MAX(c) AS BIGINT) AS max_c,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS rep_c
+  FROM counts GROUP BY doc_id)
+SELECT doc_id, n_words,
+       ROUND(max_c / n_words, 6) AS top_word_frac,
+       ROUND(rep_c / n_words, 6) AS dup_word_frac,
+       CASE WHEN max_c / n_words > 0.2 OR rep_c / n_words > 0.6
+            THEN TRUE ELSE FALSE END AS repetitive
+FROM stats
+""",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of the
+    text occupied by its single most frequent word, the fraction occupied
+    by any repeated word, and the resulting drop flag. Two partial+final
+    aggregates keyed on (doc_id, word) then doc_id — word counts combine
+    map-side before either exchange, so the shuffled volume is the
+    vocabulary per document, not the token stream. Empty docs: split('')
+    yields one empty-string token in both engines, so ratios stay defined
+    and identical."""
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("max_c"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("rep_c"),
+    )
+    top_frac = F.try_divide(F.col("max_c"), F.col("n_words"))
+    dup_frac = F.try_divide(F.col("rep_c"), F.col("n_words"))
+    return stats.select(
+        "doc_id",
+        "n_words",
+        F.round(top_frac, 6).alias("top_word_frac"),
+        F.round(dup_frac, 6).alias("dup_word_frac"),
+        ((top_frac > 0.2) | (dup_frac > 0.6)).alias("repetitive"),
+    )
+
+
+FEATURE_CUTOFF = "2024-01-20 00:00:00"
+
+
+@query(
+    "q_feature_snapshot",
+    oracle=f"""
+SELECT user_id,
+       CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_clicks,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchases,
+       CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_errors,
+       CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+                AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen
+FROM events
+WHERE ts <= TIMESTAMP '{FEATURE_CUTOFF}'
+GROUP BY user_id
+""",
+)
+def q_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature snapshot (feature-store shape): per-user
+    activity counts and purchase value strictly as of a cutoff timestamp —
+    the no-leakage contract for training-set features. One pass over the
+    cutoff-pruned events scan into a partial+final aggregate on user_id;
+    the cutoff predicate pushes to the parquet reader so future data is
+    never read. last_seen is stringified (cross-engine DATE/TS rule)."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts") <= F.lit(FEATURE_CUTOFF).cast("timestamp")
+    )
+    is_type = lambda et: F.when(F.col("event_type") == et, F.lit(1))  # noqa: E731
+    return ev.groupBy("user_id").agg(
+        F.count(is_type("click")).alias("n_clicks"),
+        F.count(is_type("purchase")).alias("n_purchases"),
+        F.count(is_type("error")).alias("n_errors"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("purchase_value"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_seen"),
+    )

@@ -61,6 +61,7 @@ def load_all() -> None:
         subqueries,
         tpch,
         scale,
+        features,
     )
     from kinesis_test_spark.functions import scalar  # noqa: F401
     from kinesis_test_spark.sources import formats  # noqa: F401

@@ -75,6 +75,7 @@ DOC_EDGE_KEYS = [
     "q_text_langid_ngram",
     "q_text_chunk",
     "q_text_stats",
+    "q_text_repetition",
 ]
 
 # Keys over `embeddings` that compute a cosine: must survive the planted
