@@ -42,8 +42,10 @@ BENCH_QUERIES = [
     "q_sim_search",      # brute-force cosine top-k
     "q_text_wordcount",  # explode + global agg
     "q_text_fingerprint",
+    "q_tpch_q1",         # canonical scan-bound aggregate (round 5)
     "q_tpch_q3",         # composite: filter->3-join->agg->top-k
     "q_tpch_q5",         # composite: fact-fact shuffle + broadcast chain
+    "q_text_repetition", # per-doc repetition signals (round 5)
     "q_pipeline_llm",    # quality filter -> dedup -> token budget
     "q_dedup_embedding", # blocked cosine pairs
     "q_dedup_simhash_hamming",  # pigeonhole hamming join
@@ -128,6 +130,13 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
     force(registry.QUERIES["q_flagship"](spark, sf_dir))
 
+    # Single-shot per query, deliberately: a repeat-min would re-enter the
+    # session-shared caches (dedup.py _session_cached) warm and misreport
+    # the cached families (measured: q_dedup_ngram_jaccard 2.7s cold →
+    # 0.13s warm), and it still can't cancel host-tenant contention, which
+    # round-5 measured at ±40-60% on identical code (four runs: 39-60s
+    # suite wall, non-overlapping flag sets). Cross-round comparisons must
+    # go through BASELINE.md's noise rules, not raw ratios.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry.QUERIES[name]
