@@ -181,3 +181,20 @@ def test_tpch_q14_broadcast_part_single_row_agg(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2
     assert "l_shipdate" in plans.pushed_filters(df)
+
+
+def test_tpch_q7_broadcast_everything_but_fact(spark, sf_dir):
+    """Q7: nation-pair filter keeps all dims broadcast; no cartesian."""
+    df = q("q_tpch_q7", spark, sf_dir)
+    plan = plans.formatted(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q8_single_fact_shuffle(spark, sf_dir):
+    """Q8: seven-way join with every dimension broadcast — at most the
+    orders join shuffles the fact side."""
+    df = q("q_tpch_q8", spark, sf_dir)
+    plan = plans.formatted(df)
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
