@@ -522,11 +522,15 @@ ORDER BY s.s_suppkey
 )
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 shape (top supplier): a derived per-supplier revenue aggregate
-    probed by its own global max — the scalar subquery becomes a broadcast
-    of one row, so the revenue relation is computed ONCE (cached via a
-    self-join on the aggregated frame, not recomputed per comparison) and
-    the fact table is scanned a single time. Ties all surface (= max, no
-    arbitrary pick), ordered by suppkey."""
+    filtered by its own global max. A naive scalar-subquery translation
+    (agg → max → self-join) makes Catalyst recompute the revenue relation
+    — TWO fact scans (caught by the plan pin). Instead the max rides a
+    global window over the ALREADY-AGGREGATED relation: the fact table is
+    scanned once, and the single-partition window exchange only ever sees
+    |suppliers| rows, which stays tiny at any fact scale. Ties all surface
+    (= max, no arbitrary pick), ordered by suppkey."""
+    from pyspark.sql import Window
+
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -534,11 +538,16 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue", 25, 6)
     )
-    top = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    top = (
+        revenue.withColumn(
+            "max_rev", F.max("total_revenue").over(Window.partitionBy())
+        )
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .drop("max_rev")
+    )
     s = t(spark, sf_dir, "supplier")
     return (
-        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("max_rev"))
-        .join(s, F.col("supplier_no") == s.s_suppkey)
+        top.join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -591,4 +600,60 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
         )
         .orderBy("n_grp")
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle=f"""
+SELECT nation, o_year,
+       {sql_dsum("amount", "sum_profit", 25, 6)}
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount)
+           - 0.6 * p.p_retailprice * l.l_quantity AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%widget%')
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit, adapted: the fixture has no partsupp,
+    so supply cost is the deterministic 0.6 × p_retailprice proxy; the part
+    filter matches the synthetic '<adj> widget' names): the name-filtered
+    part table and supplier/nation broadcast, lineitem ⋈ orders is the one
+    fact shuffle, then profit per (nation, year). The amount expression
+    stays JVM-side (whole-stage codegen) and the decimal route keeps the
+    grouped sums order-independent."""
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum("amount", "sum_profit", 25, 6))
+        .orderBy("nation", F.col("o_year").desc())
     )

@@ -198,3 +198,30 @@ def test_tpch_q8_single_fact_shuffle(spark, sf_dir):
     plan = plans.formatted(df)
     assert plan.count("BroadcastHashJoin") >= 5
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q15_single_fact_scan(spark, sf_dir):
+    """Q15: the global-max filter must NOT recompute the revenue aggregate
+    — exactly one lineitem scan plus one supplier scan (formatted lists
+    each scan twice: tree + details)."""
+    df = q("q_tpch_q15", spark, sf_dir)
+    plan = plans.formatted(df)
+    assert plan.count("Scan parquet") <= 4  # 2 scans × (tree + details)
+
+
+def test_tpch_q22_anti_join_broadcast_threshold(spark, sf_dir):
+    """Q22: the balance threshold arrives as a broadcast, the no-recent-
+    orders test is an anti join, and the orders date filter is pushed."""
+    df = q("q_tpch_q22", spark, sf_dir)
+    plan = plans.formatted(df)
+    assert "LeftAnti" in plan
+    assert "o_orderdate" in plans.pushed_filters(df)
+
+
+def test_tpch_q9_broadcast_dims(spark, sf_dir):
+    """Q9: part/supplier/nation broadcast; the fact side shuffles at most
+    once (orders join)."""
+    df = q("q_tpch_q9", spark, sf_dir)
+    plan = plans.formatted(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
