@@ -117,3 +117,84 @@ def q_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("purchase_value"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_seen"),
     )
+
+
+@query(
+    "q_dq_checks",
+    oracle="""
+SELECT 'events_pk_dup' AS check_name,
+       CAST((SELECT COUNT(*) FROM (
+          SELECT event_id FROM events GROUP BY event_id HAVING COUNT(*) > 1)) AS BIGINT)
+       AS violations
+UNION ALL
+SELECT 'events_null_user',
+       CAST((SELECT COUNT(*) FROM events WHERE user_id IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'events_value_negative',
+       CAST((SELECT COUNT(*) FROM events WHERE value < 0.0) AS BIGINT)
+UNION ALL
+SELECT 'orders_fk_customer',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_discount_range',
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_discount < 0.0 OR l_discount > 1.0) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_ship_before_order',
+       CAST((SELECT COUNT(*) FROM lineitem l JOIN orders o
+             ON l.l_orderkey = o.o_orderkey
+             WHERE l.l_shipdate < o.o_orderdate) AS BIGINT)
+ORDER BY check_name
+""",
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (the dbt-test / Great-Expectations
+    shape): six constraint checks — primary-key uniqueness, null contract,
+    value range ×2, referential integrity, and a cross-table temporal
+    invariant — each reduced to a violation count and unioned into one
+    tidy report. Every check is a scan + aggregate or a semi/anti-join:
+    no check materializes violating ROWS to the driver, so the suite costs
+    one pass per table (+ one join) at any scale and the output stays six
+    rows. At 100 TB the checks share nothing, so they parallelize as
+    independent stages; a scheduler can also run them as separate jobs."""
+    ev = t(spark, sf_dir, "events")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+
+    pk_dup = (
+        ev.groupBy("event_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count("*").alias("violations"))
+    )
+    null_user = ev.filter(F.col("user_id").isNull()).agg(
+        F.count("*").alias("violations")
+    )
+    neg_value = ev.filter(F.col("value") < 0.0).agg(F.count("*").alias("violations"))
+    fk_orphan = o.join(
+        c, o.o_custkey == c.c_custkey, "left_anti"
+    ).agg(F.count("*").alias("violations"))
+    disc_range = li.filter(
+        (F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0)
+    ).agg(F.count("*").alias("violations"))
+    ship_before = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .agg(F.count("*").alias("violations"))
+    )
+
+    def tag(df: DataFrame, name: str) -> DataFrame:
+        return df.select(F.lit(name).alias("check_name"), "violations")
+
+    report = (
+        tag(pk_dup, "events_pk_dup")
+        .unionByName(tag(null_user, "events_null_user"))
+        .unionByName(tag(neg_value, "events_value_negative"))
+        .unionByName(tag(fk_orphan, "orders_fk_customer"))
+        .unionByName(tag(disc_range, "lineitem_discount_range"))
+        .unionByName(tag(ship_before, "lineitem_ship_before_order"))
+    )
+    return report.orderBy("check_name")
