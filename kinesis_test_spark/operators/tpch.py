@@ -352,10 +352,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .agg(
-            F.sum(promo.cast("decimal(25,6)")).cast("double").alias("_promo"),
-            F.sum(disc_price.cast("decimal(25,6)")).cast("double").alias("_total"),
-        )
+        .agg(dsum(promo, "_promo", 25, 6), dsum(disc_price, "_total", 25, 6))
         .select(
             F.round(F.try_divide(F.lit(100.0) * F.col("_promo"), F.col("_total")), 6).alias(
                 "promo_revenue_pct"
@@ -490,15 +487,16 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation",
         )
     )
-    share_num = F.sum(
-        F.when(F.col("nation") == "NATION_3", F.col("volume"))
-        .otherwise(F.lit(0.0))
-        .cast("decimal(25,6)")
-    ).cast("double")
-    share_den = F.sum(F.col("volume").cast("decimal(25,6)")).cast("double")
+    nat_volume = F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
     return (
         joined.groupBy("o_year")
-        .agg(F.round(F.try_divide(share_num, share_den), 6).alias("mkt_share"))
+        .agg(dsum(nat_volume, "_nat", 25, 6), dsum("volume", "_all", 25, 6))
+        .select(
+            "o_year",
+            F.round(F.try_divide(F.col("_nat"), F.col("_all")), 6).alias("mkt_share"),
+        )
         .orderBy("o_year")
     )
 
@@ -561,7 +559,9 @@ SELECT n_grp, CAST(COUNT(*) AS BIGINT) AS numcust,
 FROM (
   SELECT CAST(c.c_nationkey % 5 AS BIGINT) AS n_grp, c.c_acctbal
   FROM customer c
-  WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                              / COUNT(c_acctbal)
+                       FROM customer WHERE c_acctbal > 0.0)
     AND NOT EXISTS (SELECT 1 FROM orders o
                     WHERE o.o_custkey = c.c_custkey
                       AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
@@ -580,9 +580,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles only the filtered customer slice; the orders side is
     date-pruned at the scan and reduced to its custkey column."""
     c = t(spark, sf_dir, "customer")
-    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
-    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(davg("c_acctbal", "avg_bal"))
     o = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))

@@ -49,6 +49,19 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     if isinstance(dt, LongType):
         return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     if isinstance(dt, TimestampNTZType):
+        # NTZ→LTZ casts re-interpret the wall clock in the SESSION timezone:
+        # on a non-UTC session every instant would silently shift relative to
+        # DuckDB's naive read. Fail loudly instead of corrupting quietly (the
+        # nanos path never had this hazard — it was TZ-independent).
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise ValueError(
+                f"normalize_ts: events.ts is TIMESTAMP_NTZ and the session "
+                f"timezone is {tz!r}; the NTZ->TIMESTAMP cast is only "
+                f"instant-preserving under UTC. Set "
+                f"spark.sql.session.timeZone=UTC (the session factory and "
+                f"driver wrappers do this) before loading events."
+            )
         return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 

@@ -98,3 +98,51 @@ def test_identical_results_across_encodings(spark, encoded_dirs, key):
             results[name].compare(ref).head() if len(results[name]) == len(ref) else
             (len(results[name]), len(ref)),
         )
+
+
+def test_streaming_drain_identical_across_encodings(spark, encoded_dirs):
+    """read_events_stream / events_schema must normalize every encoding:
+    the tumbling-window drain is compared across all three stagings."""
+    results = {}
+    for name, d in encoded_dirs.items():
+        pdf = registry.QUERIES["s_tumbling"](spark, d).toPandas()
+        results[name] = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+    ref = results["micros_ntz"]
+    for name in ENCODINGS:
+        assert results[name].equals(ref), (name, len(results[name]), len(ref))
+
+
+def test_watermark_split_long_nanos_branch(spark, encoded_dirs):
+    """s_watermark's timeline split has a dedicated long-nanos arm
+    (isinstance(lo, int)) that the current micros fixture never executes —
+    run it against the nanos staging and assert the late-drop invariants."""
+    out = registry.QUERIES["s_watermark"](spark, encoded_dirs["nanos"]).toPandas()
+    total = spark.read.parquet(f"{encoded_dirs['nanos']}/events.parquet").count()
+    assert len(out) > 0
+    assert int(out["n"].sum()) < total  # late slice never counted
+
+
+def test_sentinel_staging_long_nanos_branch(spark, encoded_dirs):
+    """s_stream_join_left stages far-future sentinels in the RAW ts domain;
+    exercise the integer-nanos arm of stage_sentinel and assert the stream
+    fully drains (every click exactly once — matched or NULL-extended)."""
+    out = registry.QUERIES["s_stream_join_left"](spark, encoded_dirs["nanos"]).toPandas()
+    ev = spark.read.parquet(f"{encoded_dirs['nanos']}/events.parquet")
+    n_clicks = ev.filter("event_type = 'click'").count()
+    assert out["click_id"].nunique() == n_clicks
+
+
+def test_ntz_requires_utc_session_loudly(spark, encoded_dirs):
+    """A non-UTC session must FAIL the NTZ ingestion, not silently shift
+    every instant (the nanos path was TZ-independent; the NTZ cast is not)."""
+    import pytest as _pytest
+
+    from kinesis_test_spark.sources.tables import t as load_t
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        with _pytest.raises(ValueError, match="instant-preserving under UTC"):
+            load_t(spark, encoded_dirs["micros_ntz"], "events")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
