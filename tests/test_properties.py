@@ -189,3 +189,35 @@ def test_driver_priority_names_are_registered():
     ]
     assert not missing, missing
     assert len(set(entry._PRIORITY)) == len(entry._PRIORITY)  # no duplicates
+
+
+def test_driver_priority_stale_before_fresh():
+    """queries() emission order drains the driver-ledger staleness debt:
+    never-green keys first, then keys whose last green driver row predates
+    the round-4 testdata regen (oldest round first), then fresh keys.
+
+    The driver checks only a ~50-key prefix per round; this ordering is how
+    pre-regen confirmations get re-validated on current fixtures
+    (VERDICT r5 'Next round' #1)."""
+    import __spark_entry__ as entry
+    from kinesis_test_spark import registry
+
+    registry.load_all()
+    keys = entry._ordered_keys()
+    latest = entry._latest_green_round()
+
+    def group(k):
+        r = latest.get(k)
+        if r is None:
+            return (0, 0)
+        if r < entry._TESTDATA_REGEN_ROUND:
+            return (1, r)
+        return (2, 0)
+
+    tags = [group(k) for k in keys]
+    assert tags == sorted(tags), "emission order must be (new, stale-by-age, fresh)"
+    assert set(keys) == set(registry.QUERIES)
+    # rows-only keys with a recorded driver row count are 'green' for
+    # ordering purposes — they must not pin the front of the window.
+    if "q_kmeans" in latest:
+        assert latest["q_kmeans"] >= 1
