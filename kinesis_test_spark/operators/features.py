@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t
+from kinesis_test_spark.sources.tables import events_until
 
 
 @query(
@@ -97,12 +98,14 @@ def q_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time feature snapshot (feature-store shape): per-user
     activity counts and purchase value strictly as of a cutoff timestamp —
     the no-leakage contract for training-set features. One pass over the
-    cutoff-pruned events scan into a partial+final aggregate on user_id;
-    the cutoff predicate pushes to the parquet reader so future data is
-    never read. last_seen is stringified (cross-engine DATE/TS rule)."""
-    ev = t(spark, sf_dir, "events").filter(
-        F.col("ts") <= F.lit(FEATURE_CUTOFF).cast("timestamp")
-    )
+    cutoff-pruned events scan into a partial+final aggregate on user_id.
+    The cutoff is applied via sources/tables.events_until, which translates
+    it into the RAW scanned ts dtype (nanos-long or µs-NTZ) BEFORE
+    normalization, so the predicate reaches the parquet reader
+    (PushedFilters, pinned in tests/test_plans.py) and future row groups
+    are min/max-skipped — a normalized-domain filter would run only after
+    the scan. last_seen is stringified (cross-engine DATE/TS rule)."""
+    ev = events_until(spark, sf_dir, FEATURE_CUTOFF)
     is_type = lambda et: F.when(F.col("event_type") == et, F.lit(1))  # noqa: E731
     return ev.groupBy("user_id").agg(
         F.count(is_type("click")).alias("n_clicks"),

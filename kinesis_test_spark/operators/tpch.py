@@ -300,11 +300,18 @@ LIMIT 20
 )
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 shape (returned-item reporting): date-windowed orders and
-    return-filtered lineitem meet on the one real shuffle (orderkey);
-    customer and nation broadcast; heap top-20 on (revenue, custkey) — the
-    unique tie-break keeps cross-engine order deterministic."""
-    c = t(spark, sf_dir, "customer")
+    return-filtered lineitem meet on the one real shuffle (orderkey); the
+    fixed-cardinality nation table broadcasts into customer first, and the
+    nation-tagged customer dim carries no hard hint — customer scales with
+    the facts, so size-based planning broadcasts it at bench scale and
+    shuffles at 100 TB. Heap top-20 on (revenue, custkey) — the unique
+    tie-break keeps cross-engine order deterministic."""
     n = t(spark, sf_dir, "nation")
+    c = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    )
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -312,8 +319,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 25, 6))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
@@ -386,18 +392,35 @@ ORDER BY supp_nation, cust_nation, l_year
 )
 def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 shape (volume shipping between two trading nations, names adapted
-    to the synthetic NATION_n domain): the nation pair predicate keeps only
-    two nations per side, so both nation joins AND the filtered
-    supplier/customer dims broadcast; the fact-fact shuffle (lineitem ⋈
-    orders) is again the only exchange. Revenue per (supp, cust, year)."""
-    n1 = t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    to the synthetic NATION_n domain): the TWO-nation slice of `nation` is
+    broadcast INTO supplier/customer first, so only the nation-restricted
+    dims (2 of the nation domain) ever reach the fact side. Those restricted
+    dims carry no hard broadcast hint — supplier/customer scale with the
+    fact tables in TPC-H, so the engine lets size-based planning/AQE pick
+    broadcast at bench scale and shuffle at 100 TB; either way the nation
+    filter has already cut the dim before the exchange. lineitem ⋈ orders
+    is the one guaranteed fact shuffle. Revenue per (supp, cust, year)."""
+    trade = ["NATION_1", "NATION_2"]
+    n1 = (
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(trade))
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     )
-    n2 = t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    n2 = (
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(trade))
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
     )
-    s = t(spark, sf_dir, "supplier")
-    c = t(spark, sf_dir, "customer")
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .select("c_custkey", "cust_nation")
+    )
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
@@ -408,10 +431,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
-        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .filter(pair)
         .select(
             "supp_nation",
@@ -452,21 +473,35 @@ ORDER BY o_year
 """,
 )
 def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q8 shape (national market share, adapted names): seven-way join where
-    every dimension broadcasts — part is type-filtered, customer is
-    region-restricted through nation⋈region, supplier carries the share
-    nation — so the fact table shuffles once (orders join). The share is a
+    """Q8 shape (national market share, adapted names): the truly tiny
+    relations (region-restricted nation keys, the nation name table) are
+    broadcast INTO customer/supplier first, so the fact side only ever sees
+    region-restricted customers and nation-tagged suppliers. The scaling
+    dims (part, customer, supplier) carry NO hard broadcast hint — they
+    grow with the fact tables, so size-based planning/AQE broadcasts them
+    at bench scale and falls back to shuffle at 100 TB, with the filters
+    already applied before the exchange either way. The share is a
     conditional-over-total ratio via decimal sums, try_divide, ROUND(6)."""
     p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
-    n1 = t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    amer_keys = (
+        t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("n1_key"))
     )
     n2 = t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
-    s = t(spark, sf_dir, "supplier")
-    c = t(spark, sf_dir, "customer")
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select("s_suppkey", "nation")
+    )
+    c = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(amer_keys), F.col("c_nationkey") == F.col("n1_key"))
+        .select("c_custkey")
+    )
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
         & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp"))
@@ -474,13 +509,10 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
-        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .select(
             F.year("o_orderdate").cast("bigint").alias("o_year"),
             volume.alias("volume"),
@@ -628,26 +660,32 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     part table and supplier/nation broadcast, lineitem ⋈ orders is the one
     fact shuffle, then profit per (nation, year). The amount expression
     stays JVM-side (whole-stage codegen) and the decimal route keeps the
-    grouped sums order-independent."""
+    grouped sums order-independent. The fixed-cardinality nation table is
+    the only hard broadcast; part/supplier scale with the facts, so they
+    carry no hint — size-based planning broadcasts them at bench scale and
+    shuffles at 100 TB, with the name filter cutting part first."""
     p = (
         t(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%widget%"))
         .select("p_partkey", "p_retailprice")
     )
-    s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .select(
-            F.col("n_name").alias("nation"),
+            "nation",
             F.year("o_orderdate").cast("bigint").alias("o_year"),
             amount.alias("amount"),
         )

@@ -9,6 +9,8 @@ with ``plans.scan_info``).
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType
@@ -64,6 +66,35 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
             )
         return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
+
+
+def events_until(spark: SparkSession, sf_dir: str, cutoff: str) -> DataFrame:
+    """events with ``ts <= cutoff`` applied in the RAW scan dtype domain.
+
+    ``t(...).filter(ts <= cutoff)`` compares the normalize_ts-DERIVED column
+    (timestamp_micros(ts div 1000) on nanos fixtures, an NTZ cast on micros
+    ones), so the predicate can never reach the parquet reader. Here the
+    cutoff is translated into the scanned type BEFORE normalization —
+    nanos-long fixtures get ``ts <= cutoff_µs·1000 + 999`` (identical row
+    set to floor-truncated µs ≤ cutoff), NTZ fixtures an NTZ literal — so
+    it lands in PushedFilters and future row groups are min/max-skipped at
+    the scan. ``cutoff`` must be 'YYYY-MM-DD HH:MM:SS' (UTC, whole seconds).
+    Semantically identical to filtering after normalize_ts under every
+    fixture encoding (pinned by tests/test_ts_encoding.py).
+    """
+    cutoff_dt = datetime.datetime.strptime(cutoff, "%Y-%m-%d %H:%M:%S").replace(
+        tzinfo=datetime.timezone.utc
+    )
+    cutoff_micros = int(cutoff_dt.timestamp()) * 1_000_000
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dt = raw.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        raw = raw.filter(F.col("ts") <= F.lit(cutoff_micros * 1000 + 999))
+    elif isinstance(dt, TimestampNTZType):
+        raw = raw.filter(F.col("ts") <= F.lit(cutoff).cast("timestamp_ntz"))
+    else:
+        raw = raw.filter(F.col("ts") <= F.lit(cutoff).cast("timestamp"))
+    return normalize_ts(raw)
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

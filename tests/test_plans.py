@@ -225,3 +225,11 @@ def test_tpch_q9_broadcast_dims(spark, sf_dir):
     plan = plans.formatted(df)
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_feature_snapshot_cutoff_pushed_to_scan(spark, sf_dir):
+    """q_feature_snapshot: the leakage cutoff must reach the parquet reader
+    in the RAW ts dtype (events_until), not run post-normalization — at
+    100 TB the difference is min/max row-group skipping vs a full scan."""
+    df = q("q_feature_snapshot", spark, sf_dir)
+    assert "ts" in plans.pushed_filters(df)

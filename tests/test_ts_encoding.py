@@ -28,7 +28,16 @@ registry.load_all()
 # direct scan+derive, date functions, sessionization, as-of join, windowed
 # rollup. (Streaming keys exercise the same normalize_ts via the staged
 # readers, covered by tests/test_streaming.py.)
-PROBE_KEYS = ["q_time_partition_key", "q_fn_date", "q_sessionize", "q_time_rollup"]
+PROBE_KEYS = [
+    "q_time_partition_key",
+    "q_fn_date",
+    "q_sessionize",
+    "q_time_rollup",
+    # encoding-sensitive cutoff comparison (events_until translates the
+    # leakage cutoff into the raw scanned dtype) + the expectation suite
+    "q_feature_snapshot",
+    "q_dq_checks",
+]
 
 ENCODINGS = ["nanos", "micros_ntz", "micros_utc"]
 
