@@ -84,6 +84,8 @@ _PRIORITY = [
     "q_tpch_q1", "q_tpch_q4", "q_tpch_q10", "q_tpch_q14",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q15", "q_tpch_q22",
     "q_text_repetition", "q_feature_snapshot", "q_dq_checks",
+    # Round-6 keys (first driver check wanted promptly).
+    "q_tpch_q12", "q_tpch_q17", "q_tpch_q19", "q_tpch_q21",
 ]
 
 

@@ -693,3 +693,247 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("amount", "sum_profit", 25, 6))
         .orderBy("nation", F.col("o_year").desc())
     )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+SELECT shipmode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM (
+  SELECT CASE CAST(l.l_linenumber % 3 AS INT)
+           WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' ELSE 'AIR' END AS shipmode,
+         o.o_orderpriority
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01')
+WHERE shipmode IN ('MAIL', 'SHIP')
+GROUP BY shipmode
+ORDER BY shipmode
+""",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipping modes vs order priority; the fixture has no
+    l_shipmode/l_commitdate/l_receiptdate, so shipmode is the deterministic
+    linenumber-derived proxy and the late-delivery window is the shipdate
+    year). The CASE aggregation over priority classes rides the single
+    orderkey shuffle; the date window is the pushed scan predicate, and the
+    derived-shipmode filter (l_linenumber % 3 < 2) is evaluated in the scan
+    stage before the join, so two thirds of the date-windowed lines reach
+    the exchange."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    shipmode = (
+        F.when((F.col("l_linenumber") % 3).cast("int") == 0, F.lit("MAIL"))
+        .when((F.col("l_linenumber") % 3).cast("int") == 1, F.lit("SHIP"))
+        .otherwise(F.lit("AIR"))
+    )
+    li = li.select("l_orderkey", shipmode.alias("shipmode")).filter(
+        F.col("shipmode").isin("MAIL", "SHIP")
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("shipmode")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("shipmode")
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+             / 7.0, 6) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND l.l_quantity < 0.2 * (
+    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape (small-quantity-order revenue): the correlated per-part
+    average is NOT a scalar-subquery self-join (that re-scans the fact
+    table); it is a window aggregate over the ALREADY brand-restricted
+    lineitem relation — one fact scan, one partkey exchange bounded by the
+    brand's line count (plan-pinned). Correlation invariant: the window
+    partition holds every lineitem of that part because the join only
+    restricts WHICH parts survive, never which lines of a surviving part.
+    The threshold goes through the decimal-exact avg (davg shape) so the
+    0.2× comparison is bit-identical cross-engine."""
+    from pyspark.sql import Window
+
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    joined = li.join(p, li.l_partkey == p.p_partkey).withColumn(
+        "avg_qty",
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count("l_quantity").over(w),
+    )
+    return joined.filter(F.col("l_quantity") < 0.2 * F.col("avg_qty")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double") / 7.0,
+            6,
+        ).alias("avg_yearly")
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape (discounted revenue, disjunctive multi-predicate; the
+    fixture has no p_container/l_shipmode so the three arms select on
+    brand × size × quantity). The OR-of-ANDs straddles the join, so
+    Catalyst cannot derive per-side scan predicates from it; the engine
+    adds the IMPLIED per-side envelopes explicitly — brand ∈ {1,2,3} ∧
+    size ∈ [1,15] on part, quantity ∈ [1,30] on lineitem — which push to
+    both parquet scans (plan-pinned) while the exact disjunction runs
+    post-join. At 100 TB the envelopes are what keep the join input a few
+    percent of the fact table instead of all of it."""
+    arm1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 5)
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 11)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 20)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 20)
+        & (F.col("l_quantity") <= 30)
+    )
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            & F.col("p_size").between(1, 15)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(arm1 | arm2 | arm3)
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                25,
+                6,
+            )
+        )
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 10
+""",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept orders waiting; the fixture has no
+    l_receiptdate/l_commitdate, so 'problem line' is the returnflag='R'
+    proxy): the two correlated subqueries — EXISTS another supplier in the
+    order, NOT EXISTS another supplier with a problem line — would scan
+    the fact table three times as semi/anti joins. Instead both collapse
+    into per-order window aggregates over ONE lineitem scan: EXISTS ⟺
+    |distinct suppliers| ≥ 2, NOT-EXISTS ⟺ the problem-supplier set is
+    exactly {l1's supplier} ⟺ its size is 1 given l1 is a problem line.
+    The per-order supplier sets are bounded by lines-per-order (≤ 7 in
+    TPC-H), so the window state is O(1) per order at any fact scale; orders
+    then joins on the same orderkey partitioning and supplier attaches by
+    size-based broadcast at bench scale."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_problem_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+    )
+    l1 = li.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_problem_supp") == 1)
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .join(s, l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )

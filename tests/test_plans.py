@@ -233,3 +233,40 @@ def test_feature_snapshot_cutoff_pushed_to_scan(spark, sf_dir):
     100 TB the difference is min/max row-group skipping vs a full scan."""
     df = q("q_feature_snapshot", spark, sf_dir)
     assert "ts" in plans.pushed_filters(df)
+
+
+def test_tpch_q12_date_window_pushed(spark, sf_dir):
+    """Q12: the shipdate year window is the pushed scan predicate; one
+    orderkey shuffle feeds the CASE aggregation."""
+    df = q("q_tpch_q12", spark, sf_dir)
+    assert "l_shipdate" in plans.pushed_filters(df)
+
+
+def test_tpch_q17_single_fact_scan_window_avg(spark, sf_dir):
+    """Q17: the correlated per-part average must be a window over the
+    brand-restricted relation, NOT a scalar-subquery self-join — one
+    lineitem scan + one part scan (each listed twice: tree + details)."""
+    df = q("q_tpch_q17", spark, sf_dir)
+    plan = plans.formatted(df)
+    assert plan.count("Scan parquet") <= 4
+    assert "Window" in plan
+
+
+def test_tpch_q19_disjunctive_envelopes_pushed(spark, sf_dir):
+    """Q19: the implied per-side envelopes of the OR-of-ANDs reach both
+    parquet scans."""
+    df = q("q_tpch_q19", spark, sf_dir)
+    pf = plans.pushed_filters(df)
+    assert "l_quantity" in pf
+    assert "p_size" in pf
+
+
+def test_tpch_q21_single_fact_scan_no_self_joins(spark, sf_dir):
+    """Q21: the EXISTS / NOT-EXISTS pair must collapse into per-order
+    window aggregates — one lineitem scan (no l2/l3 self-join re-scans),
+    no semi/anti join operators."""
+    df = q("q_tpch_q21", spark, sf_dir)
+    plan = plans.formatted(df)
+    assert plan.count("Scan parquet") <= 6  # lineitem + orders + supplier
+    assert "Window" in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
