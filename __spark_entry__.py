@@ -86,6 +86,7 @@ _PRIORITY = [
     "q_text_repetition", "q_feature_snapshot", "q_dq_checks",
     # Round-6 keys (first driver check wanted promptly).
     "q_tpch_q12", "q_tpch_q17", "q_tpch_q19", "q_tpch_q21",
+    "q_dedup_incremental", "q_dedup_embedding_cells",
 ]
 
 

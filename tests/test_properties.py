@@ -221,3 +221,49 @@ def test_driver_priority_stale_before_fresh():
     # ordering purposes — they must not pin the front of the window.
     if "q_kmeans" in latest:
         assert latest["q_kmeans"] >= 1
+
+
+def test_incremental_dedup_corpus_side_is_standing_index(spark, sf_dir):
+    """q_dedup_incremental's 100 TB contract: per-run cost is O(new batch).
+    (1) the corpus band index is built once per (session, sf_dir) and every
+    call reuses the SAME persisted relation; (2) the executed plan reads it
+    from storage (InMemoryTableScan), not by re-shingling the parquet;
+    (3) every emitted pair is new × corpus — no corpus×corpus work."""
+    from kinesis_test_spark import plans, registry
+    from kinesis_test_spark.operators import dedup
+
+    registry.load_all()
+    c1 = dedup.corpus_minhash_bands(spark, sf_dir)
+    c2 = dedup.corpus_minhash_bands(spark, sf_dir)
+    assert c1 is c2  # session cache hit — the "persisted signatures" relation
+
+    df = registry.QUERIES["q_dedup_incremental"](spark, sf_dir)
+    rows = df.collect()
+    assert "InMemoryTableScan" in plans.formatted(df)
+    for r in rows:
+        assert r.new_doc % 10 == 0
+        assert r.corpus_doc % 10 != 0
+
+
+def test_incremental_dedup_matches_full_minhash_cross_pairs(spark, sf_dir):
+    """Exactness: the incremental result must equal the full-corpus MinHash
+    pair list restricted to (new × corpus) pairs — same bands, same
+    signatures, so incrementality changes cost, never the answer."""
+    from kinesis_test_spark import registry
+
+    registry.load_all()
+    full = registry.QUERIES["q_dedup_minhash"](spark, sf_dir).collect()
+    inc = registry.QUERIES["q_dedup_incremental"](spark, sf_dir).collect()
+
+    def is_new(d):
+        return d % 10 == 0
+
+    expected = {
+        (r.doc_a if is_new(r.doc_a) else r.doc_b,
+         r.doc_b if is_new(r.doc_a) else r.doc_a,
+         r.est_jaccard)
+        for r in full
+        if is_new(r.doc_a) != is_new(r.doc_b)
+    }
+    got = {(r.new_doc, r.corpus_doc, r.est_jaccard) for r in inc}
+    assert got == expected
