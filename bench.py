@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "q_dedup_embedding", # blocked cosine pairs
     "q_dedup_simhash_hamming",  # pigeonhole hamming join
     "q_dedup_clusters",  # iterative connected components
+    "q_tpch_q19",        # disjunctive-envelope pushdown (round 6)
+    "q_tpch_q21",        # exists/not-exists via window collapse (round 6)
+    "q_dedup_incremental",  # new batch vs standing signature index (round 6)
     "s_ingest",          # streaming drain throughput
     "s_sink_partitioned",# partitioned JSON sink end-to-end
 ]
@@ -70,6 +73,26 @@ REGRESSION_MIN_DELTA_SEC = 0.5
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+# Fixed single-core probe workload (hash over a constant buffer): the same
+# instruction stream every run, so its wall time moves ONLY with host
+# contention. Round-5 measured 32 identical probes spreading 1.24-2.94 s
+# under tenant load; emitting the probe time (plus loadavg) into the bench
+# JSON makes a contended run machine-detectable instead of arguable.
+_BURN_BUF = b"\xa5" * 65536
+_BURN_ITERS = 3000
+
+
+def burn_probe() -> float:
+    """Seconds for a fixed single-core md5 workload (~0.5 s quiet)."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b""
+    for _ in range(_BURN_ITERS):
+        h = hashlib.md5(_BURN_BUF + h).digest()
+    return round(time.perf_counter() - t0, 3)
 
 
 def previous_bench(
@@ -115,6 +138,8 @@ def flag_regressions(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    load_before = os.getloadavg()
+    probe_before = burn_probe()
     registry.load_all()
     spark = get_spark("kinesis_test_spark-bench")
 
@@ -152,6 +177,8 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     baseline, prev = previous_bench(os.path.dirname(os.path.abspath(__file__)), sf)
+    probe_after = burn_probe()
+    load_after = os.getloadavg()
     print(
         json.dumps(
             {
@@ -164,6 +191,16 @@ def main() -> None:
                     "baseline": baseline,
                     "threshold_ratio": REGRESSION_RATIO,
                     "flagged": flag_regressions(timings, prev),
+                },
+                # Host-contention evidence (BASELINE.md noise rules): the
+                # burn probe is a fixed single-core workload — compare
+                # against its quiet-host floor recorded in BASELINE.md
+                # before reading any timing delta as a code regression.
+                "host": {
+                    "loadavg_before": [round(x, 2) for x in load_before],
+                    "loadavg_after": [round(x, 2) for x in load_after],
+                    "burn_probe_sec_before": probe_before,
+                    "burn_probe_sec_after": probe_after,
                 },
             }
         )
