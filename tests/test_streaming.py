@@ -316,3 +316,144 @@ def test_batch_quantum_rate_limit(spark, sf_dir):
     all_ids = pd.concat(sink_rows)["event_id"]
     assert all_ids.nunique() == len(all_ids)
     assert len(all_ids) == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def test_stream_join_left_watermark_boundary(spark, sf_dir):
+    """Adversarial pin for the left-outer stream-stream join's boundary
+    semantics (VERDICT r5 #8), on a purpose-built micro stream:
+
+      * a purchase whose ts lands EXACTLY on the join-window limit
+        (ts_a + 5 min) must pair — the window is closed ([ts_a, ts_a+5m]);
+      * one 1 µs past the limit must NOT pair;
+      * unmatched clicks emit their NULL row exactly once, even when the
+        watermark advance lands exactly on the eviction boundary
+        (advancer at ts_a + window + delay ⇒ watermark == ts_a + window)
+        before a second far-future advance closes everything;
+      * no (click, purchase) emission ever duplicates across the phased
+        drains (the exactly-once contract of checkpoint + parquet sink).
+    """
+    from datetime import datetime, timedelta
+    from pathlib import Path
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from kinesis_test_spark.streaming.pipeline import (
+        events_schema,
+        read_staged_stream,
+        scratch_dir,
+    )
+
+    d = scratch_dir("sjl_boundary")
+    stage, out, cp = d / "src", d / "out", d / "cp"
+    stage.mkdir(parents=True, exist_ok=True)
+    # micro-stream (7 rows): 32 shuffle partitions would mean 4 drains ×
+    # per-partition state-store init dominating the test (measured 158 s);
+    # 2 partitions exercise identical semantics in ~a third of the time
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        schema = events_schema(spark, sf_dir)
+        ts_is_long = isinstance(schema["ts"].dataType, LongType)
+
+        EPOCH = datetime(1970, 1, 1)
+        T0_US = 1_717_200_000_000_000  # 2024-06-01 00:00:00 UTC in µs
+        MIN_US = 60_000_000
+
+        def ts_val(us: int):
+            return us * 1000 if ts_is_long else EPOCH + timedelta(microseconds=us)
+
+        def stage_batch(name, rows):
+            tmp = stage.parent / f"_tmp_{name}"
+            spark.createDataFrame(
+                [(eid, ts_val(us), uid, et, 0.0, "{}") for eid, us, uid, et in rows],
+                schema=schema,
+            ).coalesce(1).write.mode("overwrite").parquet(str(tmp))
+            part = next(Path(tmp).glob("part-*.parquet"))
+            shutil.move(str(part), stage / f"{name}.parquet")
+            shutil.rmtree(tmp)
+
+        def side(alias_id, etype, uid, ts):
+            return (
+                read_staged_stream(spark, sf_dir, stage)
+                .withWatermark("ts", "10 minutes")
+                .filter(F.col("event_type") == etype)
+                .select(
+                    F.col("event_id").alias(alias_id),
+                    F.col("user_id").alias(uid),
+                    F.col("ts").alias(ts),
+                )
+            )
+
+        joined = (
+            side("click_id", "click", "user_id", "ts_a")
+            .join(
+                side("purchase_id", "purchase", "user_id_b", "ts_b"),
+                (F.col("user_id") == F.col("user_id_b"))
+                & (F.col("ts_b") > F.col("ts_a"))
+                & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+                "leftOuter",
+            )
+            .select("click_id", "purchase_id", "user_id")
+        )
+
+        def drain():
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", str(out))
+                .option("checkpointLocation", str(cp))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        emissions: list[tuple] = []
+
+        def collect_real():
+            rows = spark.read.parquet(str(out)).filter(F.col("click_id") > 0).collect()
+            return sorted((r.click_id, r.purchase_id) for r in rows)
+
+        # batch 1: three clicks at T0 (users 1, 2, 3)
+        stage_batch(
+            "b1",
+            [(1001, T0_US, 1, "click"), (1002, T0_US, 2, "click"), (1003, T0_US, 3, "click")],
+        )
+        drain()
+        emissions.append(collect_real())
+
+        # batch 2: u1's purchase EXACTLY at the window limit, u2's 1 µs past it
+        stage_batch(
+            "b2",
+            [
+                (2001, T0_US + 5 * MIN_US, 1, "purchase"),
+                (2002, T0_US + 5 * MIN_US + 1, 2, "purchase"),
+            ],
+        )
+        drain()
+        emissions.append(collect_real())
+
+        # batch 3: advancer pair at T0 + 15 min → watermark lands EXACTLY on
+        # the clicks' eviction boundary (T0 + window). Survives the side
+        # filters as one click + one purchase with match-nothing users.
+        adv = T0_US + 15 * MIN_US
+        stage_batch("b3", [(-1, adv, -1, "click"), (-2, adv, -2, "purchase")])
+        drain()
+        emissions.append(collect_real())
+
+        # batch 4: far-future advance closes every real join window
+        far = T0_US + 120 * MIN_US
+        stage_batch("b4", [(-3, far, -3, "click"), (-4, far, -4, "purchase")])
+        drain()
+        final = collect_real()
+        emissions.append(final)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    # boundary purchase pairs; 1 µs-late one doesn't; NULLs exactly once
+    assert final == [(1001, 2001), (1002, None), (1003, None)], final
+    # exactly-once at every phase: emissions only ever grow, no duplicates
+    for phase in emissions:
+        assert len(phase) == len(set(phase)), phase
+    for earlier, later in zip(emissions, emissions[1:]):
+        assert set(earlier) <= set(later), (earlier, later)
