@@ -87,6 +87,7 @@ _PRIORITY = [
     # Round-6 keys (first driver check wanted promptly).
     "q_tpch_q12", "q_tpch_q17", "q_tpch_q19", "q_tpch_q21",
     "q_dedup_incremental", "q_dedup_embedding_cells",
+    "q_tpch_q2", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
 ]
 
 

@@ -937,3 +937,300 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# The fixture has no partsupp table, so the four partsupp-centric queries
+# (Q2 / Q11 / Q16 / Q20) run over a lineitem-DERIVED part-supplier relation:
+#   ps(ps_partkey, ps_suppkey,
+#      ps_availqty   = decimal-exact SUM(l_quantity),
+#      ps_supplycost = MIN(l_extendedprice))
+# — deterministic, data-derived (no synthetic constants), and identical in
+# the DuckDB oracles via the same CTE text. MIN is order-independent on
+# doubles, and the quantity sum goes through the decimal route, so the
+# relation is bit-identical cross-engine and partition-count-invariant.
+
+_PS_CTE = """
+ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty,
+         MIN(l_extendedprice) AS ps_supplycost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)"""
+
+
+def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived part-supplier relation (see _PS_CTE). One lineitem scan,
+    3-column projection pushed to the reader, partial+final hash agg on
+    (partkey, suppkey) — the relation is |part|×|supp per part| rows, i.e.
+    dimension-sized relative to the fact table at any scale."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("ps_availqty"),
+        F.min("l_extendedprice").alias("ps_supplycost"),
+    )
+
+
+@query(
+    "q_tpch_q2",
+    oracle=f"""
+WITH {_PS_CTE},
+scoped AS (
+  SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+         ps.ps_supplycost, ps.ps_suppkey,
+         MIN(ps.ps_supplycost) OVER (PARTITION BY p.p_partkey) AS min_cost
+  FROM ps
+  JOIN part p ON p.p_partkey = ps.ps_partkey
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+    AND p.p_type = 'PROMO' AND p.p_size BETWEEN 10 AND 30
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost, ps_suppkey
+FROM scoped
+WHERE ps_supplycost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps_suppkey
+LIMIT 100
+""",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (minimum-cost supplier; reference ref consumer.py has no
+    relational surface — this is north-star coverage): the correlated
+    min-cost subquery is a window MIN over the already region- and
+    part-restricted relation — one scan of the derived ps relation, never
+    a self-join recompute (same discipline as Q15/Q17, plan-pinned). The
+    window partition is per-partkey over suppliers-in-region, exactly the
+    correlation scope of the original subquery. part is filtered before
+    its join; supplier/nation/region broadcast (dimension-sized)."""
+    from pyspark.sql import Window
+
+    ps = _ps(spark, sf_dir)
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") & F.col("p_size").between(10, 30)
+    ).select("p_partkey", "p_name")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    scoped = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .withColumn(
+            "min_cost", F.min("ps_supplycost").over(Window.partitionBy("p_partkey"))
+        )
+    )
+    return (
+        scoped.filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "ps_supplycost", "ps_suppkey",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "ps_suppkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle=f"""
+WITH {_PS_CTE},
+agg AS (
+  SELECT ps.ps_partkey,
+         CAST(SUM(CAST(ps.ps_supplycost * ps.ps_availqty AS DECIMAL(25,6)))
+              AS DOUBLE) AS part_value
+  FROM ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_regionkey = 3
+  GROUP BY ps.ps_partkey
+),
+win AS (
+  SELECT ps_partkey, part_value,
+         CAST(SUM(CAST(part_value AS DECIMAL(25,6))) OVER () AS DOUBLE) AS total,
+         COUNT(*) OVER () AS n_parts
+  FROM agg
+)
+SELECT ps_partkey, part_value
+FROM win
+WHERE part_value > 2.0 * total / n_parts
+ORDER BY part_value DESC, ps_partkey
+""",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important stock): per-part inventory value filtered by a
+    fraction of the GLOBAL total. The scalar subquery becomes a global
+    window SUM over the already-aggregated per-part relation (Q15
+    discipline — a scalar-subquery translation recomputes the whole
+    aggregate; plan pin enforces the single ps derivation). The global
+    window exchange sees |parts| rows, not fact rows, so the
+    single-partition stage stays bounded at any fact scale. Value sums are
+    decimal-routed at both levels for cross-engine exactness. The
+    threshold is SCALE-FREE — 2× the mean per-part value, not a fixed
+    fraction of the total (TPC-H's 0.0001/SF in spirit): a fixed fraction
+    selects ~nothing once |parts| ≫ 1/fraction."""
+    from pyspark.sql import Window
+
+    ps = _ps(spark, sf_dir)
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
+    agg = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                (F.col("ps_supplycost") * F.col("ps_availqty")).cast("decimal(25,6)")
+            )
+            .cast("double")
+            .alias("part_value")
+        )
+    )
+    w = Window.partitionBy()
+    win = agg.withColumn(
+        "total",
+        F.sum(F.col("part_value").cast("decimal(25,6)")).over(w).cast("double"),
+    ).withColumn("n_parts", F.count(F.lit(1)).over(w))
+    return (
+        win.filter(F.col("part_value") > 2.0 * F.col("total") / F.col("n_parts"))
+        .select("ps_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle=f"""
+WITH {_PS_CTE}
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 4, 7, 10, 14, 19, 23, 36, 45, 49)
+  AND NOT EXISTS (SELECT 1 FROM supplier s
+                  WHERE s.s_suppkey = ps.ps_suppkey AND s.s_acctbal < 1000.0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size
+""",
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (parts/supplier relationship; the 'customer complaints'
+    supplier exclusion is the data-derived s_acctbal < 1000 proxy): the
+    NOT-IN subquery is a broadcast LEFT ANTI join against the filtered
+    supplier slice — never a shuffle of the ps relation for a
+    dimension-sized exclusion list. Distinct supplier count per part attrs
+    is a two-level hash aggregate (partial distinct map-side)."""
+    ps = _ps(spark, sf_dir)
+    complainers = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000.0)
+        .select("s_suppkey")
+    )
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 36, 45, 49)
+    )
+    return (
+        ps.join(
+            F.broadcast(complainers),
+            ps.ps_suppkey == complainers.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.countDistinct("ps_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty,
+         CAST(SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                             AND l_shipdate <  TIMESTAMP '1997-01-01'
+                            THEN l_quantity ELSE 0.0 END
+                       AS DECIMAL(18,2))) AS DOUBLE) AS qty_1996
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+    SELECT DISTINCT ps.ps_suppkey
+    FROM ps
+    WHERE ps.ps_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'cold%')
+      AND 0.5 * ps.ps_availqty > ps.qty_1996)
+  AND s.s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+ORDER BY s.s_name
+""",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (excess-inventory suppliers; no l_receiptdate in the
+    fixture, so 'excess' = 1996 shipments under half of all-time supply):
+    the classic nested IN-chain would derive ps and the 1996 shipped
+    quantity from TWO lineitem scans — here both aggregates come out of
+    ONE groupBy over one scan (conditional decimal sum), plan-pinned. The
+    part name filter is a broadcast semi join, the supplier membership a
+    broadcast semi probe; nothing fact-sized ever shuffles twice."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    in_96 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("ps_availqty"),
+        F.sum(
+            F.when(in_96, F.col("l_quantity")).otherwise(F.lit(0.0)).cast(
+                "decimal(18,2)"
+            )
+        )
+        .cast("double")
+        .alias("qty_1996"),
+    )
+    cold = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("cold%"))
+        .select("p_partkey")
+    )
+    qualified = (
+        ps.join(F.broadcast(cold), F.col("ps_partkey") == cold.p_partkey, "left_semi")
+        .filter(0.5 * F.col("ps_availqty") > F.col("qty_1996"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    nations = (
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 2)
+        .select("n_nationkey")
+    )
+    s = t(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(qualified), s.s_suppkey == F.col("ps_suppkey"), "left_semi")
+        .join(F.broadcast(nations), s.s_nationkey == F.col("n_nationkey"), "left_semi")
+        .select("s_name")
+        .orderBy("s_name")
+    )

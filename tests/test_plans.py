@@ -270,3 +270,41 @@ def test_tpch_q21_single_fact_scan_no_self_joins(spark, sf_dir):
     assert plan.count("Scan parquet") <= 6  # lineitem + orders + supplier
     assert "Window" in plan
     assert "LeftSemi" not in plan and "LeftAnti" not in plan
+
+
+def test_tpch_q2_single_ps_derivation_window_min(spark, sf_dir):
+    """Q2: the correlated min-cost subquery must be a window MIN over the
+    single derived ps relation — one lineitem scan (5 tables × tree+details
+    = 10), all dims broadcast, no sort-merge recompute."""
+    df = q("q_tpch_q2", spark, sf_dir)
+    plan = plans.formatted(df)
+    assert plan.count("Scan parquet") <= 10
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q11_global_total_window_single_scan(spark, sf_dir):
+    """Q11: the global-total threshold is a window over the aggregated
+    per-part relation — one lineitem scan (3 tables × 2 = 6), not a scalar
+    subquery recompute."""
+    df = q("q_tpch_q11", spark, sf_dir)
+    plan = plans.formatted(df)
+    assert plan.count("Scan parquet") <= 6
+    assert "Window" in plan
+
+
+def test_tpch_q16_complainer_exclusion_broadcast_anti(spark, sf_dir):
+    """Q16: the complaint-supplier NOT-IN must be a broadcast anti join."""
+    plan = plans.formatted(q("q_tpch_q16", spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q20_one_lineitem_scan_semi_probes(spark, sf_dir):
+    """Q20: availqty and the 1996 shipped quantity must come from ONE
+    lineitem groupBy (conditional sum), part/nation membership as broadcast
+    semi joins — 4 tables × 2 = 8 scans max."""
+    df = q("q_tpch_q20", spark, sf_dir)
+    plan = plans.formatted(df)
+    assert plan.count("Scan parquet") <= 8
+    assert "LeftSemi" in plan
