@@ -1106,3 +1106,65 @@ def q_dedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "cell", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# segment-level (paragraph) dedup — CCNet-style
+# ---------------------------------------------------------------------------
+
+SEG_WORDS = 10  # words per segment ("paragraph" proxy for the word-soup docs)
+
+
+@query(
+    "q_dedup_paragraph",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+segs AS (
+  SELECT doc_id,
+         md5(array_to_string(w[(i*{SEG_WORDS}+1):(i*{SEG_WORDS}+{SEG_WORDS})],
+                             ' ')) AS h
+  FROM docs,
+       UNNEST(generate_series(
+         0, CAST(ceil(len(w) / {SEG_WORDS}.0) AS BIGINT) - 1)) AS u(i)),
+seg_df AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM segs GROUP BY h)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_segs,
+       ROUND(CAST(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_ratio
+FROM segs s JOIN seg_df d ON s.h = d.h
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+""",
+)
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup (CCNet-style; the reference's corpus has no
+    newlines, so 'paragraph' = consecutive 10-word segment): hash every
+    segment, build the corpus-wide segment-document-frequency index, and
+    score each document by the fraction of its segments that also appear
+    in ANOTHER document. Both relations shuffle on the md5 segment hash —
+    bounded keys, no string payloads on the exchange — then one regroup by
+    doc_id. The index is the same relation a production pipeline persists
+    to drop boilerplate paragraphs before training. No n² anywhere: cost
+    is O(total segments) through two hash shuffles."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    seg_hash = F.expr(
+        f"transform(sequence(0, int(ceil(size(w) / {SEG_WORDS}.0)) - 1),"
+        f" i -> md5(array_join(slice(w, i*{SEG_WORDS}+1, {SEG_WORDS}), ' ')))"
+    )
+    segs = d.select("doc_id", F.explode(seg_hash).alias("h"))
+    seg_df = segs.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    dup = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+    return (
+        segs.join(seg_df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+            dup.cast("bigint").alias("n_dup_segs"),
+            F.round(dup.cast("double") / F.count(F.lit(1)), 6).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -637,3 +637,130 @@ def q_emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("m").cast("int").alias("m"), "code")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the IVF path vs brute force
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ann_recall",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_BATCH_QUERIES}),
+db AS (SELECT vec_id, e FROM v WHERE vec_id >= {N_BATCH_QUERIES}),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, db.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY ROUND(list_cosine_similarity(db.e, q.qe), 6) DESC,
+                      db.vec_id) AS rn
+    FROM db, q)
+  WHERE rn <= {BATCH_TOP_K}),
+cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {N_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT db.vec_id, db.e, cent.cid,
+           row_number() OVER (PARTITION BY db.vec_id
+             ORDER BY ROUND(list_cosine_similarity(db.e, cent.ce), 6) DESC,
+                      cent.cid) AS rn
+    FROM db, cent)
+  WHERE rn = 1),
+qcell AS (
+  SELECT qid, qe, cid FROM (
+    SELECT q.qid, q.qe, cent.cid,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY ROUND(list_cosine_similarity(q.qe, cent.ce), 6) DESC,
+                      cent.cid) AS rn
+    FROM q, cent)
+  WHERE rn = 1),
+approx AS (
+  SELECT qid, vec_id FROM (
+    SELECT qc.qid, a.vec_id,
+           row_number() OVER (PARTITION BY qc.qid
+             ORDER BY ROUND(list_cosine_similarity(a.e, qc.qe), 6) DESC,
+                      a.vec_id) AS rn
+    FROM assigned a JOIN qcell qc ON a.cid = qc.cid)
+  WHERE rn <= {BATCH_TOP_K})
+SELECT ex.qid,
+       CAST(COUNT(ap.vec_id) AS BIGINT) AS n_hit,
+       ROUND(CAST(COUNT(ap.vec_id) AS DOUBLE) / {BATCH_TOP_K}, 6)
+         AS recall_at_k
+FROM exact ex
+LEFT JOIN approx ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+GROUP BY ex.qid
+ORDER BY ex.qid
+""",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: recall@k of the IVF cell search against the
+    brute-force ground truth, per query — the evaluation every production
+    vector index needs before its recall/cost dial (probe count, cell
+    count) is trusted. One corpus scan feeds BOTH paths: the exact top-k
+    (broadcast query batch + per-query k-heap window) and the IVF path
+    (nearest-centroid assignment, query routed to its cell, top-k within
+    the cell). The hit test is a join on (qid, vec_id) between two
+    k-bounded relations — tiny regardless of corpus size. At 100 TB the
+    exact side is the expensive one BY DESIGN (it's the ground truth you
+    sample, not serve): run it over a fixed query sample, as here."""
+    v = _vectors(spark, sf_dir)
+    q = F.broadcast(
+        v.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+        )
+    )
+    db = v.filter(F.col("vec_id") >= N_BATCH_QUERIES).select("vec_id", "e")
+    wq = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    exact = (
+        db.crossJoin(q)
+        .select("qid", "vec_id", cosine(F.col("e"), F.col("qe")).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= BATCH_TOP_K)
+        .select("qid", "vec_id")
+    )
+    cent = F.broadcast(
+        v.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+        )
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("cid"))
+    assigned = (
+        db.crossJoin(cent)
+        .select("vec_id", "e", "cid", cosine(F.col("e"), F.col("ce")).alias("c_sim"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "cid")
+    )
+    wqc = Window.partitionBy("qid").orderBy(F.col("c_sim").desc(), F.col("cid"))
+    qcell = F.broadcast(
+        q.crossJoin(cent)
+        .select("qid", "qe", "cid", cosine(F.col("qe"), F.col("ce")).alias("c_sim"))
+        .withColumn("rn", F.row_number().over(wqc))
+        .filter(F.col("rn") == 1)
+        .select("qid", "qe", F.col("cid").alias("qcid"))
+    )
+    approx = (
+        assigned.join(qcell, F.col("cid") == F.col("qcid"))
+        .select("qid", "vec_id", cosine(F.col("e"), F.col("qe")).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= BATCH_TOP_K)
+        .select("qid", F.col("vec_id").alias("a_vec_id"), F.lit(1).alias("hit"))
+    )
+    # approx is k-bounded per query by construction; the planner can't see
+    # that through the window filter, so the broadcast is explicit.
+    return (
+        exact.join(
+            F.broadcast(approx),
+            (exact.qid == approx.qid) & (exact.vec_id == F.col("a_vec_id")),
+            "left",
+        )
+        .groupBy(exact.qid)
+        .agg(
+            F.count("hit").cast("bigint").alias("n_hit"),
+            F.round(F.count("hit").cast("double") / BATCH_TOP_K, 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("qid")
+    )

@@ -918,3 +918,138 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# Generic detector patterns (RE2- and Java-regex-compatible subset).
+PII_EMAIL = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+PII_PHONE = "[0-9]{3}-[0-9]{4}"
+PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+@query(
+    "q_text_pii",
+    oracle=f"""
+WITH profiles AS (
+  SELECT c_custkey,
+         c_name || ' contact ' || lower(replace(c_name, '#', '')) ||
+         '@example.com tel 555-' ||
+         lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+         ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+         CAST(CAST(trunc(c_custkey / 256) AS BIGINT) % 256 AS VARCHAR)
+           AS profile
+  FROM customer)
+SELECT c_custkey,
+       CAST(len(regexp_extract_all(profile, '{PII_EMAIL}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(profile, '{PII_PHONE}')) AS BIGINT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(
+         regexp_replace(profile, '{PII_EMAIL}', '<EMAIL>', 'g'), '{PII_IP}'))
+         AS BIGINT) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(
+         profile, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                  '{PII_IP}', '<IP>', 'g'),
+                  '{PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM profiles
+ORDER BY c_custkey
+""",
+)
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact — the pre-training scrub pass every corpus needs
+    (the fixture's word-soup documents carry no contact strings, so the
+    scan runs over deterministic customer-derived profile text; the
+    DETECTOR patterns are generic, only the test data is synthesized).
+    Counting via regexp_extract_all and a three-stage redaction chain
+    (email → ip → phone, most-specific first so '<EMAIL>' never re-matches)
+    — all JVM-side regex inside codegen, embarrassingly parallel per row,
+    no shuffle at all until the presentation sort. IP counting runs on the
+    email-redacted text in BOTH engines so the dotted host part of an
+    address is never double-counted."""
+    c = t(spark, sf_dir, "customer")
+    profile = F.concat(
+        F.col("c_name"),
+        F.lit(" contact "),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit(""))),
+        F.lit("@example.com tel 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit("."),
+        (F.floor(F.col("c_custkey") / 256) % 256).cast("string"),
+    )
+    p = c.select("c_custkey", profile.alias("profile"))
+    no_email = F.regexp_replace("profile", PII_EMAIL, "<EMAIL>")
+    return p.select(
+        "c_custkey",
+        F.size(F.regexp_extract_all("profile", F.lit(PII_EMAIL), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("profile", F.lit(PII_PHONE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(no_email, F.lit(PII_IP), F.lit(0)))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(no_email, PII_IP, "<IP>"), PII_PHONE, "<PHONE>"
+        ).alias("redacted"),
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-step pair counting (tokenizer-training primitive)
+# ---------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 20
+
+
+@query(
+    "q_bpe_pair_counts",
+    oracle=f"""
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) >= 2
+  GROUP BY w),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, n
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) AS u(i))
+SELECT pair, CAST(SUM(n) AS BIGINT) AS merge_count
+FROM pairs
+GROUP BY pair
+ORDER BY merge_count DESC, pair
+LIMIT {BPE_TOP_PAIRS}
+""",
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step: corpus-weighted adjacent-symbol pair counts,
+    top candidates first — the inner loop of byte-pair-encoding tokenizer
+    training. The trick that makes it scale: pairs are counted over the
+    DISTINCT-word relation weighted by word frequency, so the explode runs
+    on |vocab| rows (slowly growing) instead of |corpus| tokens (linear in
+    data). Words shorter than 2 chars are filtered BEFORE the sequence
+    expansion on both engines (Spark's sequence(1,0) would count DOWN, not
+    produce empty). Top-k via TakeOrderedAndProject heap."""
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "n",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("bigint").alias("merge_count"))
+        .orderBy(F.col("merge_count").desc(), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )

@@ -308,3 +308,33 @@ def test_tpch_q20_one_lineitem_scan_semi_probes(spark, sf_dir):
     plan = plans.formatted(df)
     assert plan.count("Scan parquet") <= 8
     assert "LeftSemi" in plan
+
+
+def test_dedup_paragraph_no_cartesian_hash_keys(spark, sf_dir):
+    """Paragraph dedup: segment index + regroup — hash shuffles only, no
+    pair explosion (no cartesian/nested-loop operators)."""
+    plan = plans.formatted(q("q_dedup_paragraph", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_text_pii_no_shuffle_before_sort(spark, sf_dir):
+    """PII scan: per-row regex, the only exchange is the presentation
+    sort — no joins, no aggregates."""
+    plan = plans.formatted(q("q_text_pii", spark, sf_dir))
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_bpe_pairs_topk_heap(spark, sf_dir):
+    """BPE pair counting: the top-k must be a TakeOrderedAndProject heap,
+    never a global sort of the pair relation."""
+    df = q("q_bpe_pair_counts", spark, sf_dir)
+    assert not plans.has(df, "TakeOrderedAndProject")
+
+
+def test_ann_recall_broadcast_only_joins(spark, sf_dir):
+    """Recall eval: queries/centroids/cell-routing all broadcast — the
+    corpus must never sort-merge."""
+    plan = plans.formatted(q("q_ann_recall", spark, sf_dir))
+    assert "SortMergeJoin" not in plan
