@@ -89,6 +89,7 @@ _PRIORITY = [
     "q_dedup_incremental", "q_dedup_embedding_cells",
     "q_tpch_q2", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
     "q_dedup_paragraph", "q_text_pii", "q_bpe_pair_counts", "q_ann_recall",
+    "s_observe",
 ]
 
 

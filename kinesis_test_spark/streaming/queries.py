@@ -982,3 +982,62 @@ def s_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(win, name, d / "cp", output_mode="complete")
     return spark.table(name).filter(F.col("n") > ALERT_THRESHOLD)
+
+
+@query(
+    "s_observe",
+    oracle="""
+SELECT CAST(4 AS BIGINT) AS n_batches,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+""",
+)
+def s_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight data-quality metrics via df.observe: per-micro-batch row
+    count and value sum computed INSIDE the running stream (no second scan,
+    no sink read-back) and surfaced through the query-progress channel —
+    the pattern a production pipeline uses to alert on a dead upstream or
+    a value-distribution shift while the batch is still in flight. Four
+    staged files × maxFilesPerTrigger=1 make the batch structure
+    deterministic; the per-batch sums stay DECIMAL until the final single
+    conversion, so four-batch accumulation is bit-identical to the batch
+    oracle's one-shot decimal sum."""
+    from decimal import Decimal
+
+    d = scratch_dir("s_observe")
+    stage, cp = d / "src", d / "cp"
+    for i in range(4):
+        stage_events(spark, sf_dir, stage, f"slice_{i}", where=f"user_id % 4 = {i}")
+    name = _mem_name("observe")
+    observed = read_staged_stream(
+        spark, sf_dir, stage, maxFilesPerTrigger="1"
+    ).observe(
+        "metrics",
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+    )
+    q = (
+        observed.select("event_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(cp))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_rows, total = 0, Decimal(0)
+    n_batches = 0
+    for prog in q.recentProgress:
+        om = prog.observedMetrics
+        m = om.get("metrics") if om else None
+        if m is None or not m["n"]:
+            continue
+        n_batches += 1
+        n_rows += int(m["n"])
+        total += Decimal(str(m["v"]))
+    return spark.createDataFrame(
+        [(n_batches, n_rows, float(total))],
+        "n_batches bigint, n_rows bigint, total_value double",
+    )
