@@ -90,6 +90,7 @@ _PRIORITY = [
     "q_tpch_q2", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
     "q_dedup_paragraph", "q_text_pii", "q_bpe_pair_counts", "q_ann_recall",
     "s_observe",
+    "q_domain_cap", "q_quality_gate", "q_text_entropy",
 ]
 
 

@@ -1053,3 +1053,140 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("merge_count").desc(), "pair")
         .limit(BPE_TOP_PAIRS)
     )
+
+
+# ---------------------------------------------------------------------------
+# per-domain document cap (Common-Crawl-style source rebalancing)
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAP = 15  # max docs kept per source
+
+
+@query(
+    "q_domain_cap",
+    oracle=f"""
+SELECT doc_id, source, CAST(rn AS BIGINT) AS pick_rank
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= {DOMAIN_CAP}
+ORDER BY source, pick_rank
+""",
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the source-rebalancing step that stops one
+    crawler domain from dominating the mixture: keep at most CAP docs per
+    source, chosen by salted-hash order (an unbiased, reproducible draw —
+    same docs survive on any engine, run, or partitioning; crawl order
+    would bias toward whatever the fetcher saw first). One shuffle on
+    source; the per-partition window keeps a CAP-bounded rank, and skew in
+    a giant domain is exactly what the cap removes downstream."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("cap|"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= DOMAIN_CAP)
+        .select("doc_id", "source", F.col("rn").cast("bigint").alias("pick_rank"))
+        .orderBy("source", "pick_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relative quality gate (drop the weak tail against a corpus statistic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_quality_gate",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               * len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')), 6) AS score
+  FROM documents),
+thr AS (
+  SELECT CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_score
+  FROM scored)
+SELECT s.doc_id, s.score
+FROM scored s, thr
+WHERE s.score >= 0.8 * thr.mean_score
+ORDER BY s.doc_id
+""",
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality gate: score every document (lexical
+    diversity² / length — rewards long AND non-repetitive text), then keep
+    docs above 0.8x the corpus MEAN score (drops the weak ~10% tail). The threshold is one decimal-
+    exact aggregate broadcast back over the scan — a scale-free gate with
+    NO global sort/percentile machinery (a percent-rank gate needs a total
+    order, i.e. a single-partition window; a mean-relative gate costs one
+    1-row broadcast). Two scans of the lightweight scored relation, zero
+    shuffles of document text."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_distinct = F.size(F.array_distinct(words))
+    score = F.round(
+        n_distinct.cast("double") * n_distinct / F.size(words), 6
+    )
+    scored = d.select("doc_id", score.alias("score"))
+    thr = scored.agg(
+        (F.sum(F.col("score").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "mean_score"
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("score") >= 0.8 * F.col("mean_score"))
+        .select("doc_id", "score")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-document unigram entropy (gibberish / degenerate-text detector)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_entropy",
+    oracle="""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+cnt AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word),
+tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id)
+SELECT c.doc_id, t.n AS n_tokens,
+       ROUND(CAST(SUM(CAST(-(CAST(c.c AS DOUBLE) / t.n)
+                           * log2(CAST(c.c AS DOUBLE) / t.n)
+                           AS DECIMAL(18,12))) AS DOUBLE), 6) AS entropy
+FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+GROUP BY c.doc_id, t.n
+ORDER BY c.doc_id
+""",
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy — low entropy flags degenerate or
+    boilerplate text (a standard pre-training filter signal next to the
+    Gopher repetition rules in q_text_repetition). Each -p·log2(p) term is
+    computed identically on both engines, then summed through
+    decimal(18,12) so the per-doc reduction is order-independent (double
+    addition isn't associative; at 100 TB partial-agg order is
+    scheduler-dependent). Shuffles on (doc_id, word) then doc_id — both
+    key-hashed, no global ordering anywhere except the presentation sort."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    cnt = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    win = Window.partitionBy("doc_id")
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        cnt.withColumn("n", F.sum("c").over(win).cast("bigint"))
+        .withColumn("term", (-p * F.log2(p)).cast("decimal(18,12)"))
+        .groupBy("doc_id", F.col("n").alias("n_tokens"))
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("entropy"))
+        .orderBy("doc_id")
+    )
