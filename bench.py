@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "q_tpch_q19",        # disjunctive-envelope pushdown (round 6)
     "q_tpch_q21",        # exists/not-exists via window collapse (round 6)
     "q_dedup_incremental",  # new batch vs standing signature index (round 6)
+    "q_tpch_q2",         # derived-partsupp window-min family (round 6)
+    "q_dedup_paragraph", # segment-hash index + regroup (round 6)
+    "q_text_entropy",    # (doc,word) agg + windowed reduction (round 6)
     "s_ingest",          # streaming drain throughput
     "s_sink_partitioned",# partitioned JSON sink end-to-end
 ]
