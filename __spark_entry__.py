@@ -91,6 +91,7 @@ _PRIORITY = [
     "q_dedup_paragraph", "q_text_pii", "q_bpe_pair_counts", "q_ann_recall",
     "s_observe",
     "q_domain_cap", "q_quality_gate", "q_text_entropy",
+    "q_graph_pagerank", "q_cdc_changes", "q_compaction_planner",
 ]
 
 

@@ -1168,3 +1168,104 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the co-purchase graph (authority from co-occurrence)
+# ---------------------------------------------------------------------------
+
+PR_DAMPING = 0.85
+PR_ITERATIONS = 3
+
+
+def _pagerank_oracle() -> str:
+    base = f"""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+edges AS (SELECT pa AS u, pb AS v FROM pairs
+          UNION ALL SELECT pb AS u, pa AS v FROM pairs),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+r0 AS (SELECT node, d, 1.0 / nn.n AS r FROM deg, nn)"""
+    step = """,
+r{next} AS (
+  SELECT tgt.node, tgt.d,
+         {tele} / nn.n + {damp} *
+         CAST(SUM(CAST(src.r / src.d AS DECIMAL(28,18))) AS DOUBLE) AS r
+  FROM edges e
+  JOIN r{cur} src ON src.node = e.u
+  JOIN deg tgt ON tgt.node = e.v, nn
+  GROUP BY tgt.node, tgt.d, nn.n)"""
+    for i in range(PR_ITERATIONS):
+        base += step.format(
+            next=i + 1, cur=i, tele=round(1 - PR_DAMPING, 6), damp=PR_DAMPING
+        )
+    return base + f"""
+SELECT node AS p_partkey, d AS degree, ROUND(r, 6) AS pagerank
+FROM r{PR_ITERATIONS} ORDER BY pagerank DESC, p_partkey
+LIMIT 50
+"""
+
+
+@query("q_graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (two parts are adjacent
+    when they share an order), 3 fixed iterations, d=0.85 — co-occurrence
+    authority, the same shape as doc-citation or session-transition rank.
+    The edge build is a lineitem self-join on l_orderkey — co-partitioned
+    single shuffle, and the pair explode is bounded by lines-per-order
+    (≤7 in TPC-H), so it scales as O(orders·k²), never |parts|². Each PR
+    iteration is one edges⋈ranks join + one groupBy on the target node
+    with the neighbor sum routed through decimal(28,18): ranks are
+    partial-agg-order independent, so a cluster rerun reproduces them
+    bit-for-bit. N joins in as a broadcast 1-row aggregate (no driver
+    collect). Nodes are pair endpoints — degree ≥ 1, no dangling mass."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        li.join(b, (li.l_orderkey == b.o2) & (li.l_partkey < b.pb))
+        .select(F.col("l_partkey").alias("pa"), "pb")
+        .distinct()
+    )
+    edges = pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+        pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        "node", "d", "n", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    tele = round(1 - PR_DAMPING, 6)
+    for _ in range(PR_ITERATIONS):
+        contrib = edges.join(
+            ranks.select(F.col("node").alias("src"), "d", "r"),
+            F.col("u") == F.col("src"),
+        ).select("v", (F.col("r") / F.col("d")).cast("decimal(28,18)").alias("term"))
+        summed = contrib.groupBy(F.col("v").alias("node")).agg(
+            F.sum("term").cast("double").alias("nbr_sum")
+        )
+        ranks = (
+            deg.join(summed, "node")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                "d",
+                "n",
+                (F.lit(tele) / F.col("n") + PR_DAMPING * F.col("nbr_sum")).alias("r"),
+            )
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("p_partkey"),
+            F.col("d").alias("degree"),
+            F.round("r", 6).alias("pagerank"),
+        )
+        .orderBy(F.col("pagerank").desc(), "p_partkey")
+        .limit(50)
+    )

@@ -201,3 +201,143 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tag(ship_before, "lineitem_ship_before_order"))
     )
     return report.orderBy("check_name")
+
+
+CDC_OLD_START, CDC_OLD_END = "2024-01-08", "2024-01-15"
+CDC_NEW_START, CDC_NEW_END = "2024-01-22", "2024-01-29"
+
+
+@query(
+    "q_cdc_changes",
+    oracle=f"""
+WITH a AS (
+  SELECT user_id, event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE ts >= TIMESTAMP '{CDC_OLD_START}' AND ts < TIMESTAMP '{CDC_OLD_END}'
+  GROUP BY user_id, event_type),
+b AS (
+  SELECT user_id, event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE ts >= TIMESTAMP '{CDC_NEW_START}' AND ts < TIMESTAMP '{CDC_NEW_END}'
+  GROUP BY user_id, event_type)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       COALESCE(a.event_type, b.event_type) AS event_type,
+       CASE WHEN a.user_id IS NULL THEN 'inserted'
+            WHEN b.user_id IS NULL THEN 'deleted'
+            WHEN a.val = b.val AND a.n = b.n THEN 'unchanged'
+            ELSE 'updated' END AS change_type,
+       a.val AS old_value, b.val AS new_value
+FROM a FULL OUTER JOIN b
+  ON a.user_id = b.user_id AND a.event_type = b.event_type
+ORDER BY user_id, event_type
+""",
+)
+def q_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC without a table format): per-(user, event-type)
+    state aggregated over two weekly windows, full-outer-joined and
+    classified inserted/deleted/updated/unchanged — the period-over-period
+    diff every warehouse sync job runs. Each snapshot scan carries a
+    pushed ts predicate, so a date-partitioned lake reads each period
+    exactly once (no full-history scan); the join shuffles only the
+    per-key aggregates, never events. Values go through the decimal route
+    so 'unchanged' means exactly-equal, not
+    float-accumulation-order-equal."""
+    ev = t(spark, sf_dir, "events")
+
+    def snap(start, end, uk, tk, vk, nk):
+        lo = F.lit(start).cast("timestamp")
+        hi = F.lit(end).cast("timestamp")
+        return (
+            ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+            .groupBy("user_id", "event_type")
+            .agg(
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias(vk),
+                F.count(F.lit(1)).cast("bigint").alias(nk),
+            )
+            .select(
+                F.col("user_id").alias(uk), F.col("event_type").alias(tk), vk, nk
+            )
+        )
+
+    a = snap(CDC_OLD_START, CDC_OLD_END, "ua", "ta", "old_value", "na")
+    b = snap(CDC_NEW_START, CDC_NEW_END, "ub", "tb", "new_value", "nb")
+    change = (
+        F.when(F.col("ua").isNull(), "inserted")
+        .when(F.col("ub").isNull(), "deleted")
+        .when(
+            (F.col("old_value") == F.col("new_value")) & (F.col("na") == F.col("nb")),
+            "unchanged",
+        )
+        .otherwise("updated")
+    )
+    return (
+        a.join(b, (F.col("ua") == F.col("ub")) & (F.col("ta") == F.col("tb")), "full_outer")
+        .select(
+            F.coalesce(F.col("ua"), F.col("ub")).alias("user_id"),
+            F.coalesce(F.col("ta"), F.col("tb")).alias("event_type"),
+            change.alias("change_type"),
+            "old_value",
+            "new_value",
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+COMPACT_TARGET_BYTES = 65536  # target compacted file size (planning unit)
+
+
+@query(
+    "q_compaction_planner",
+    oracle=f"""
+WITH files AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt,
+         CAST(SUM(CAST(len(props) + 64 AS BIGINT)) AS BIGINT) AS est_bytes
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d'))
+SELECT event_type, dt, est_bytes,
+       CAST(FLOOR(COALESCE(SUM(est_bytes) OVER (
+              PARTITION BY event_type ORDER BY dt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {COMPACT_TARGET_BYTES}) AS BIGINT) AS compaction_bin
+FROM files
+ORDER BY event_type, dt
+""",
+)
+def q_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (the maintenance pass behind
+    q_maintenance_compact, as a pure query): estimate per-(partition, day)
+    file sizes, then greedily pack consecutive days into target-size bins
+    via a running prefix sum — bin = floor(bytes-before / target). All
+    integer arithmetic (no float drift in bin boundaries); one shuffle to
+    the (event_type, day) grain and a per-partition ordered window whose
+    state is a single counter. At 100 TB the planner output is
+    dimension-sized (partitions × days) even though it describes the whole
+    lake."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    files = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("dt")
+    ).agg(
+        F.sum((F.length("props") + 64).cast("bigint")).cast("bigint").alias("est_bytes")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return files.select(
+        "event_type",
+        "dt",
+        "est_bytes",
+        F.floor(
+            F.coalesce(F.sum("est_bytes").over(w), F.lit(0)) / COMPACT_TARGET_BYTES
+        )
+        .cast("bigint")
+        .alias("compaction_bin"),
+    ).orderBy("event_type", "dt")

@@ -166,7 +166,17 @@ def test_partition_count_invariance(spark, sf_dir, tmp_path):
         spark.read.parquet(f"{sf_dir}/{name}.parquet").repartition(8).write.parquet(
             str(tmp_path / f"{name}.parquet")
         )
-    for key in ["q_agg_group", "q_dedup_minhash", "q_emb_centroid", "q_flagship"]:
+    for key in [
+        "q_agg_group",
+        "q_dedup_minhash",
+        "q_emb_centroid",
+        "q_flagship",
+        # round-6: segment-hash index, decimal entropy reduction, and the
+        # broadcast mean gate must not move with partition count either
+        "q_dedup_paragraph",
+        "q_text_entropy",
+        "q_quality_gate",
+    ]:
         base = registry.QUERIES[key](spark, sf_dir).toPandas()
         multi = registry.QUERIES[key](spark, str(tmp_path)).toPandas()
         cols = sorted(base.columns)
