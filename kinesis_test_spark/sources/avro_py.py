@@ -1,0 +1,179 @@
+"""Minimal pure-Python Avro Object Container File codec (no jar, no
+third-party library) — enough of the public Avro 1.x spec to ingest the
+flat record shapes the reference's wire formats use (the spark-avro jar is
+absent in this environment; `q_source_avro` stays conditional on it, and
+`q_source_avro_py` runs on this codec instead).
+
+Supported field types: "long", "double", "string", "boolean", "bytes",
+"null", and the nullable union ["null", T]. Codec "null" (uncompressed)
+only. This is deliberately the 20% of Avro that carries 99% of event
+streams: flat schemas, primitive fields.
+
+Wire format implemented (Avro spec, public):
+  - magic ``Obj\\x01``
+  - file metadata map: avro.schema (JSON) + avro.codec, zigzag-varint
+    counts, ``0`` terminator
+  - 16-byte sync marker
+  - data blocks: record count, byte size, records, sync marker
+  - primitives: zigzag varint longs, IEEE-754 LE doubles, length-prefixed
+    UTF-8 strings / bytes, 1-byte booleans, empty nulls, varint-tagged
+    unions
+
+The READ path is the distributed operator (binaryFile scan → per-file
+parse inside mapInPandas); the writer exists to stage test fixtures and
+prove the round trip. A golden-bytes test (tests/test_avro_py.py) pins the
+encoding against hand-computed byte sequences so writer and reader can't
+agree on a shared bug.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+MAGIC = b"Obj\x01"
+SYNC = bytes(range(16))  # fixed marker: deterministic files, byte-stable tests
+
+
+# ---------------------------------------------------------------------------
+# primitive encoders / decoders
+# ---------------------------------------------------------------------------
+
+
+def zigzag_encode(n: int) -> bytes:
+    """Avro long: zigzag then base-128 varint, little-endian groups."""
+    if not -(1 << 63) <= n < (1 << 63):
+        raise ValueError("long out of 64-bit range")
+    # Python's arbitrary-precision >> makes (n >> 63) the sign mask
+    z = ((n << 1) ^ (n >> 63)) & ((1 << 64) - 1)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    shift, acc = 0, 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _enc_value(v, typ) -> bytes:
+    if isinstance(typ, list):  # union, e.g. ["null", "double"]
+        if v is None:
+            return zigzag_encode(typ.index("null"))
+        branch = next(i for i, t in enumerate(typ) if t != "null")
+        return zigzag_encode(branch) + _enc_value(v, typ[branch])
+    if typ == "null":
+        return b""
+    if typ == "boolean":
+        return b"\x01" if v else b"\x00"
+    if typ == "long" or typ == "int":
+        return zigzag_encode(int(v))
+    if typ == "double":
+        return struct.pack("<d", float(v))
+    if typ == "string":
+        raw = v.encode("utf-8")
+        return zigzag_encode(len(raw)) + raw
+    if typ == "bytes":
+        return zigzag_encode(len(v)) + bytes(v)
+    raise ValueError(f"unsupported avro type: {typ}")
+
+
+def _dec_value(buf: bytes, pos: int, typ):
+    if isinstance(typ, list):
+        branch, pos = zigzag_decode(buf, pos)
+        return _dec_value(buf, pos, typ[branch])
+    if typ == "null":
+        return None, pos
+    if typ == "boolean":
+        return buf[pos] == 1, pos + 1
+    if typ == "long" or typ == "int":
+        return zigzag_decode(buf, pos)
+    if typ == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if typ == "string":
+        n, pos = zigzag_decode(buf, pos)
+        return buf[pos : pos + n].decode("utf-8"), pos + n
+    if typ == "bytes":
+        n, pos = zigzag_decode(buf, pos)
+        return bytes(buf[pos : pos + n]), pos + n
+    raise ValueError(f"unsupported avro type: {typ}")
+
+
+# ---------------------------------------------------------------------------
+# container file
+# ---------------------------------------------------------------------------
+
+
+def write_container(records: list[dict], schema: dict, block_records: int = 1000) -> bytes:
+    """Serialize records to Object Container File bytes (codec null)."""
+    fields = [(f["name"], f["type"]) for f in schema["fields"]]
+    meta = {
+        "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
+        "avro.codec": b"null",
+    }
+    out = bytearray(MAGIC)
+    out += zigzag_encode(len(meta))
+    for k, v in sorted(meta.items()):
+        kb = k.encode()
+        out += zigzag_encode(len(kb)) + kb + zigzag_encode(len(v)) + v
+    out += zigzag_encode(0)
+    out += SYNC
+    for i in range(0, len(records), block_records):
+        chunk = records[i : i + block_records]
+        body = bytearray()
+        for rec in chunk:
+            for name, typ in fields:
+                body += _enc_value(rec[name], typ)
+        out += zigzag_encode(len(chunk)) + zigzag_encode(len(body)) + body + SYNC
+    return bytes(out)
+
+
+def read_container(buf: bytes) -> tuple[dict, list[dict]]:
+    """Parse Object Container File bytes → (schema, records)."""
+    if buf[:4] != MAGIC:
+        raise ValueError("not an avro object container file")
+    pos = 4
+    n_meta, pos = zigzag_decode(buf, pos)
+    meta = {}
+    while n_meta:
+        for _ in range(abs(n_meta)):
+            klen, pos = zigzag_decode(buf, pos)
+            k = buf[pos : pos + klen].decode()
+            pos += klen
+            vlen, pos = zigzag_decode(buf, pos)
+            meta[k] = buf[pos : pos + vlen]
+            pos += vlen
+        n_meta, pos = zigzag_decode(buf, pos)
+    codec = meta.get("avro.codec", b"null")
+    if codec != b"null":
+        raise ValueError(f"unsupported codec: {codec!r}")
+    schema = json.loads(meta["avro.schema"])
+    fields = [(f["name"], f["type"]) for f in schema["fields"]]
+    sync = buf[pos : pos + 16]
+    pos += 16
+    records: list[dict] = []
+    while pos < len(buf):
+        n_rec, pos = zigzag_decode(buf, pos)
+        _size, pos = zigzag_decode(buf, pos)
+        for _ in range(n_rec):
+            rec = {}
+            for name, typ in fields:
+                rec[name], pos = _dec_value(buf, pos, typ)
+            records.append(rec)
+        if buf[pos : pos + 16] != sync:
+            raise ValueError("sync marker mismatch (corrupt block boundary)")
+        pos += 16
+    return schema, records

@@ -304,3 +304,60 @@ def q_sink_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.write.format("jsonl_sink").option("path", str(out)).mode("append").save()
     back = spark.read.json(str(out))
     return back.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@query("q_source_avro_py", oracle=_ORACLE)
+def q_source_avro_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro ingest WITHOUT the spark-avro jar: a pure-Python Object
+    Container File codec (sources/avro_py.py — public Avro 1.x wire
+    format, golden-byte-pinned) staged as 4 files, then read DISTRIBUTED:
+    binaryFile scan → per-file parse inside Arrow-batched mapInPandas →
+    typed rows → aggregate. Files are the parallelism unit, exactly how
+    any container format splits under a file source; at 100 TB the same
+    plan fans out one parse task per object. The jar-backed
+    `q_source_avro` stays conditional on its jar; this path removes the
+    environment dependency for the flat-record schemas event streams
+    actually use."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from kinesis_test_spark.sources.avro_py import read_container, write_container
+    from kinesis_test_spark.streaming.pipeline import scratch_dir
+
+    schema = {
+        "type": "record",
+        "name": "event",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "user_id", "type": "long"},
+            {"name": "event_type", "type": "string"},
+            {"name": "value", "type": ["null", "double"]},
+        ],
+    }
+    d = scratch_dir("src_avro_py")
+    src = _events_typed(spark, sf_dir)
+    for i in range(4):  # staging rig: 4 container files = 4 read tasks
+        part = src.filter(F.col("user_id") % 4 == i).toPandas()
+        (d / f"events_{i}.avro").write_bytes(
+            write_container(part.to_dict("records"), schema)
+        )
+    binfiles = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(str(d))
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, recs = read_container(bytes(content))
+                yield pd.DataFrame(
+                    recs, columns=["event_id", "user_id", "event_type", "value"]
+                )
+
+    back = binfiles.select("content").mapInPandas(
+        parse,
+        "event_id long, user_id long, event_type string, value double",
+    )
+    return _agg(back)
