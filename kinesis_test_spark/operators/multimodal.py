@@ -397,3 +397,81 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.round(c, 6).alias(c) for c in ("f_ag", "f_hn", "f_ou", "f_vz")],
         "n_alpha",
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec round trip (pure-Python PNG, no PIL) — see operators/png_py.py
+# ---------------------------------------------------------------------------
+
+PNG_W, PNG_H = 16, 16
+
+
+@query(
+    "q_mm_png_roundtrip",
+    oracle=f"""
+WITH px AS (
+  SELECT d.doc_id, x.x, y.y
+  FROM documents d,
+       (SELECT unnest(generate_series(0, {PNG_W - 1})) AS x) x,
+       (SELECT unnest(generate_series(0, {PNG_H - 1})) AS y) y)
+SELECT doc_id, CAST({PNG_W} AS INT) AS width, CAST({PNG_H} AS INT) AS height,
+       CAST(SUM((doc_id * 7 + x + y) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((doc_id * 13 + 2 * x + y) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((doc_id * 31 + x + 3 * y) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def q_mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-codec round trip with zero third-party dependencies: per
+    document, build a 16×16 RGB image from a closed-form pixel formula,
+    encode it to genuine PNG bytes (pure-Python codec, png_py.py, filter
+    type = doc_id % 5 so every scanline filter — None/Sub/Up/Average/
+    Paeth — is exercised somewhere in the corpus), decode it back, and
+    report channel sums from the DECODED bytes. The DuckDB oracle computes
+    the same sums ANALYTICALLY from the formula — it never sees a PNG — so
+    any off-spec drift in the encoder's forward filter or the decoder's
+    reconstruction breaks parity. Runs as Arrow-batched mapInPandas over
+    the doc_id column: embarrassingly parallel, the exact decode-stage
+    shape of a real multimodal pipeline (binary in, typed features out),
+    with the codec swapped from stub to real."""
+    from collections.abc import Iterator
+
+    from kinesis_test_spark.operators.png_py import decode_png, encode_png
+
+    d = t(spark, sf_dir, "documents").select("doc_id").repartition(8, "doc_id")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                pix = bytes(
+                    (
+                        (doc_id * 7 + x + y) % 256,
+                        (doc_id * 13 + 2 * x + y) % 256,
+                        (doc_id * 31 + x + 3 * y) % 256,
+                    )[c]
+                    for y in range(PNG_H)
+                    for x in range(PNG_W)
+                    for c in range(3)
+                )
+                png = encode_png(pix, PNG_W, PNG_H, filter_type=doc_id % 5)
+                w, h, out = decode_png(png)
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        sum(out[0::3]),
+                        sum(out[1::3]),
+                        sum(out[2::3]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return d.mapInPandas(
+        roundtrip,
+        "doc_id long, width int, height int, sum_r long, sum_g long, sum_b long",
+    ).orderBy("doc_id")
