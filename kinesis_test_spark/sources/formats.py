@@ -361,3 +361,91 @@ def q_source_avro_py(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id long, user_id long, event_type string, value double",
     )
     return _agg(back)
+
+
+def _stage_logged_table(spark: SparkSession, sf_dir: str):
+    """Shared rig for the commit-log table queries: v0 lands events as 3
+    files, v1 compacts two of them (no semantic change), v2 deletes
+    user_id % 7 == 0 by rewriting the files that contain them."""
+    from kinesis_test_spark.sources.tablelog import commit
+    from kinesis_test_spark.streaming.pipeline import scratch_dir
+
+    d = scratch_dir("tablelog")
+    src = _events_typed(spark, sf_dir)
+
+    def land(df, name):
+        tmp = d / f"_tmp_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        part.rename(d / name)
+        import shutil
+
+        shutil.rmtree(tmp)
+
+    for i in range(3):  # v0: initial load, 3 data files
+        land(src.filter(F.col("user_id") % 3 == i), f"f{i}.parquet")
+    commit(d, adds=["f0.parquet", "f1.parquet", "f2.parquet"], removes=[])
+    # v1: compact f0+f1 into one file — same rows, fewer files
+    land(
+        spark.read.parquet(str(d / "f0.parquet"), str(d / "f1.parquet")),
+        "c01.parquet",
+    )
+    commit(d, adds=["c01.parquet"], removes=["f0.parquet", "f1.parquet"])
+    # v2: delete user_id % 7 == 0 by rewriting both live files
+    for name, new in (("c01.parquet", "c01_d.parquet"), ("f2.parquet", "f2_d.parquet")):
+        land(
+            spark.read.parquet(str(d / name)).filter(F.col("user_id") % 7 != 0),
+            new,
+        )
+    commit(
+        d,
+        adds=["c01_d.parquet", "f2_d.parquet"],
+        removes=["c01.parquet", "f2.parquet"],
+    )
+    # an orphan data file with NO commit: must stay invisible to any read
+    land(src.limit(50), "orphan.parquet")
+    return d
+
+
+@query(
+    "q_table_snapshot",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users
+FROM events WHERE user_id % 7 <> 0 GROUP BY event_type
+""",
+)
+def q_table_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log table, latest snapshot (sources/tablelog.py — Iceberg/
+    Delta mechanics without the env-blocked jar): the read replays the
+    metadata log and scans EXACTLY the live files — the v2 delete is
+    visible, the pre-compaction files and an uncommitted orphan file are
+    not. Metadata replay is driver-side and metadata-sized (the real
+    formats' design point); the scan itself is an ordinary distributed
+    parquet read over the resolved file list."""
+    from kinesis_test_spark.sources.tablelog import live_files
+
+    d = _stage_logged_table(spark, sf_dir)
+    return _agg(spark.read.parquet(*live_files(d)))
+
+
+@query(
+    "q_table_time_travel",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users
+FROM events GROUP BY event_type
+""",
+)
+def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the commit-log table: reading version 0 replays only
+    the log prefix, so the v2 delete has not happened yet and the full
+    initial load is visible — byte-for-byte the pre-delete answer. Storage
+    is append-only (deletes are rewrites in LATER commits), which is what
+    makes historical versions free to serve."""
+    from kinesis_test_spark.sources.tablelog import live_files
+
+    d = _stage_logged_table(spark, sf_dir)
+    return _agg(spark.read.parquet(*live_files(d, version=0)))

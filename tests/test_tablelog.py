@@ -1,0 +1,51 @@
+"""Commit-log table format (sources/tablelog.py): the ACID-ish properties
+the env-blocked table formats would provide, asserted directly."""
+
+from __future__ import annotations
+
+import json
+
+from kinesis_test_spark.sources.tablelog import commit, live_files
+
+
+def _touch(d, name):
+    (d / name).write_bytes(b"x")
+
+
+def test_uncommitted_files_are_invisible(tmp_path):
+    _touch(tmp_path, "a.parquet")
+    commit(tmp_path, adds=["a.parquet"], removes=[])
+    _touch(tmp_path, "orphan.parquet")  # written, never committed
+    assert live_files(tmp_path) == [str(tmp_path / "a.parquet")]
+
+
+def test_remove_then_add_replays_in_order(tmp_path):
+    for n in ("a.parquet", "b.parquet", "c.parquet"):
+        _touch(tmp_path, n)
+    commit(tmp_path, adds=["a.parquet", "b.parquet"], removes=[])
+    commit(tmp_path, adds=["c.parquet"], removes=["a.parquet"])
+    assert live_files(tmp_path) == sorted(
+        [str(tmp_path / "b.parquet"), str(tmp_path / "c.parquet")]
+    )
+
+
+def test_time_travel_reads_log_prefix(tmp_path):
+    _touch(tmp_path, "a.parquet")
+    _touch(tmp_path, "b.parquet")
+    v0 = commit(tmp_path, adds=["a.parquet"], removes=[])
+    v1 = commit(tmp_path, adds=["b.parquet"], removes=["a.parquet"])
+    assert v0 == 0 and v1 == 1
+    assert live_files(tmp_path, version=0) == [str(tmp_path / "a.parquet")]
+    assert live_files(tmp_path, version=1) == [str(tmp_path / "b.parquet")]
+    assert live_files(tmp_path) == live_files(tmp_path, version=1)
+
+
+def test_commit_publish_is_atomic_rename(tmp_path):
+    """No partially-visible commit: the log dir only ever contains fully
+    written .json files (tmp files are dot-prefixed and renamed)."""
+    commit(tmp_path, adds=["a.parquet"], removes=[])
+    entries = list((tmp_path / "_log").iterdir())
+    assert [e.name for e in entries] == ["00000.json"]
+    payload = json.loads(entries[0].read_text())
+    assert payload["version"] == 0
+    assert payload["actions"] == [{"op": "add", "file": "a.parquet"}]
