@@ -1041,3 +1041,62 @@ def s_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_batches, n_rows, float(total))],
         "n_batches bigint, n_rows bigint, total_value double",
     )
+
+
+@query(
+    "s_table_stream",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def s_table_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sink INTO the commit-log table format (sources/
+    tablelog.py): each micro-batch lands one data file then publishes one
+    commit — so concurrent readers only ever see whole batches, and a
+    retried batch is IDEMPOTENT (the commit is named by batch id; a replay
+    sees it already published and lands nothing twice — the exactly-once
+    contract foreachBatch asks the sink to provide). Four rate-limited
+    batches; the final snapshot read must equal the batch truth."""
+    import shutil
+
+    from kinesis_test_spark.sources.tablelog import LOG_DIR, commit, live_files
+
+    d = scratch_dir("s_table_stream")
+    stage, cp, table = d / "src", d / "cp", d / "table"
+    table.mkdir(parents=True)
+    for i in range(4):
+        stage_events(spark, sf_dir, stage, f"slice_{i}", where=f"user_id % 4 = {i}")
+
+    def land(batch_df, batch_id):
+        log = table / LOG_DIR
+        marker = log / f"{batch_id:05d}.json"
+        if marker.exists():  # replayed batch: already committed, skip
+            return
+        name = f"batch_{batch_id}.parquet"
+        tmp = table / f"_tmp_{batch_id}"
+        batch_df.select("event_id", "user_id", "event_type", "value").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        part.rename(table / name)
+        shutil.rmtree(tmp)
+        commit(table, adds=[name], removes=[])
+
+    q = (
+        read_staged_stream(spark, sf_dir, stage, maxFilesPerTrigger="1")
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", str(cp))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # replay batch 0 against the published log — must be a no-op
+    replay = spark.read.parquet(str(stage)).limit(10)
+    land(replay, 0)
+    back = spark.read.parquet(*live_files(table))
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
