@@ -475,3 +475,62 @@ def q_mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundtrip,
         "doc_id long, width int, height int, sum_r long, sum_g long, sum_b long",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# REAL audio container round trip (pure-Python WAV) — see operators/wav_py.py
+# ---------------------------------------------------------------------------
+
+WAV_N = 256  # samples per clip
+
+
+@query(
+    "q_mm_wav_features",
+    oracle=f"""
+WITH s AS (
+  SELECT d.doc_id, (d.doc_id * 37 + i.i * i.i) % 2048 - 1024 AS sample
+  FROM documents d,
+       (SELECT unnest(generate_series(0, {WAV_N - 1})) AS i) i)
+SELECT doc_id, CAST({WAV_N} AS INT) AS n_samples,
+       CAST(MAX(abs(sample)) AS BIGINT) AS peak,
+       CAST(SUM(abs(sample)) AS BIGINT) AS sum_abs
+FROM s GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def q_mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-container round trip (wav_py.py — RIFF framing, PCM16):
+    per document, synthesize a 256-sample clip from an integer formula,
+    encode to genuine WAV bytes, decode back, and report waveform features
+    (peak, total magnitude) from the DECODED samples. The DuckDB oracle
+    computes the same features analytically from the formula — framing or
+    sample-packing drift on either side breaks parity. Arrow-batched
+    mapInPandas, embarrassingly parallel: the feature-extraction stage
+    shape of an audio pipeline with the codec swapped from stub to real."""
+    from collections.abc import Iterator
+
+    from kinesis_test_spark.operators.wav_py import decode_wav, encode_wav
+
+    d = t(spark, sf_dir, "documents").select("doc_id").repartition(8, "doc_id")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                clip = [
+                    (doc_id * 37 + i * i) % 2048 - 1024 for i in range(WAV_N)
+                ]
+                _rate, out = decode_wav(encode_wav(clip))
+                rows.append(
+                    (
+                        doc_id,
+                        len(out),
+                        max(abs(s) for s in out),
+                        sum(abs(s) for s in out),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "n_samples", "peak", "sum_abs"])
+
+    return d.mapInPandas(
+        roundtrip, "doc_id long, n_samples int, peak long, sum_abs long"
+    ).orderBy("doc_id")
