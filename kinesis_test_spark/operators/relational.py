@@ -1168,3 +1168,85 @@ def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("d").cast("int").alias("q"),
         (dow >= 6).alias("is_weekend"),
     )
+
+
+@query(
+    "q_ab_test",
+    oracle="""
+WITH assigned AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS variant,
+         value
+  FROM events WHERE event_type = 'purchase'),
+stats AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_v,
+         ROUND(VAR_SAMP(value), 6) AS var_v
+  FROM assigned GROUP BY variant),
+wide AS (
+  SELECT
+    MAX(CASE WHEN variant = 'control' THEN n END) AS n_c,
+    MAX(CASE WHEN variant = 'control' THEN mean_v END) AS mean_c,
+    MAX(CASE WHEN variant = 'control' THEN var_v END) AS var_c,
+    MAX(CASE WHEN variant = 'treatment' THEN n END) AS n_t,
+    MAX(CASE WHEN variant = 'treatment' THEN mean_v END) AS mean_t,
+    MAX(CASE WHEN variant = 'treatment' THEN var_v END) AS var_t
+  FROM stats)
+SELECT n_c, n_t,
+       ROUND(mean_c, 6) AS mean_control,
+       ROUND(mean_t, 6) AS mean_treatment,
+       ROUND(mean_t - mean_c, 6) AS lift,
+       ROUND((mean_t - mean_c) / sqrt(var_c / n_c + var_t / n_t), 6)
+         AS t_statistic
+FROM wide
+""",
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis (Welch's t): users hash-split into control/
+    treatment, per-variant purchase-value mean and sample variance, lift
+    and t-statistic — the readout every experimentation platform computes.
+    One scan + one two-group aggregate; the variant pivot is a 2-row
+    conditional MAX (no join, no second scan). Means go through the
+    decimal-exact route and variance/ratio land under ROUND(6), matching
+    the repo's cross-engine float rules. Variant assignment by user_id
+    parity is the deterministic stand-in for the salted-hash bucketing of
+    a real assignment service (q_sample_hash shows that machinery)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    assigned = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "control")
+        .otherwise("treatment")
+        .alias("variant"),
+        "value",
+    )
+    stats = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_v"),
+        F.round(F.var_samp("value"), 6).alias("var_v"),
+    )
+
+    def pick(col, variant):
+        return F.max(F.when(F.col("variant") == variant, F.col(col)))
+
+    wide = stats.agg(
+        pick("n", "control").alias("n_c"),
+        pick("mean_v", "control").alias("mean_c"),
+        pick("var_v", "control").alias("var_c"),
+        pick("n", "treatment").alias("n_t"),
+        pick("mean_v", "treatment").alias("mean_t"),
+        pick("var_v", "treatment").alias("var_t"),
+    )
+    return wide.select(
+        "n_c",
+        "n_t",
+        F.round("mean_c", 6).alias("mean_control"),
+        F.round("mean_t", 6).alias("mean_treatment"),
+        F.round(F.col("mean_t") - F.col("mean_c"), 6).alias("lift"),
+        F.round(
+            (F.col("mean_t") - F.col("mean_c"))
+            / F.sqrt(F.col("var_c") / F.col("n_c") + F.col("var_t") / F.col("n_t")),
+            6,
+        ).alias("t_statistic"),
+    )
