@@ -1190,3 +1190,101 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("term").cast("double"), 6).alias("entropy"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline audit: stage-survival report (observability for the clean funnel)
+# ---------------------------------------------------------------------------
+
+AUDIT_MIN_WORDS = 20
+AUDIT_MIN_SCORE = 8.0
+AUDIT_SEG_WORDS = 10
+
+
+@query(
+    "q_pipeline_audit",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               * len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')), 6) AS score
+  FROM documents),
+segs AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           w[(i*{AUDIT_SEG_WORDS}+1):(i*{AUDIT_SEG_WORDS}+{AUDIT_SEG_WORDS})],
+           ' ')) AS h
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(
+         0, CAST(ceil(len(w) / {AUDIT_SEG_WORDS}.0) AS BIGINT) - 1)) AS u(i)),
+has_earlier_twin AS (
+  SELECT DISTINCT a.doc_id
+  FROM segs a JOIN segs b ON a.h = b.h AND b.doc_id < a.doc_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(SUM(CASE WHEN n_words >= {AUDIT_MIN_WORDS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_minlen,
+       CAST(SUM(CASE WHEN n_words >= {AUDIT_MIN_WORDS}
+                      AND t.doc_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nodup,
+       CAST(SUM(CASE WHEN n_words >= {AUDIT_MIN_WORDS}
+                      AND t.doc_id IS NULL
+                      AND score >= {AUDIT_MIN_SCORE} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_gated
+FROM d LEFT JOIN has_earlier_twin t ON d.doc_id = t.doc_id
+""",
+)
+def q_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-survival audit of the cleaning funnel — the one-row report an
+    operator reads before shipping a corpus snapshot: raw count, after
+    minimum length, after near-dup removal (a doc is dropped when any of
+    its 10-word segments already appears in a LOWER-numbered doc — the
+    keep-first rule over the same segment index q_dedup_paragraph builds;
+    the fixture has zero byte-exact duplicates, so a content-hash stage
+    would be inert), after the diversity quality gate. All stage counts
+    come from one pass with nested CASE conditions plus the segment-index
+    anti-lookup — no per-stage re-scans, which is the difference between a
+    cheap per-run report and 4x the pipeline cost at 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_distinct = F.size(F.array_distinct(words))
+    base = d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.round(n_distinct.cast("double") * n_distinct / F.size(words), 6).alias(
+            "score"
+        ),
+    )
+    seg_hash = F.expr(
+        f"transform(sequence(0, int(ceil(size(w) / {AUDIT_SEG_WORDS}.0)) - 1),"
+        f" i -> md5(array_join(slice(w, i*{AUDIT_SEG_WORDS}+1, {AUDIT_SEG_WORDS}),"
+        f" ' ')))"
+    )
+    segs = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(seg_hash).alias("h"))
+    )
+    twins = (
+        segs.alias("a")
+        .join(
+            segs.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("b.doc_id") < F.col("a.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("twin_doc"))
+        .distinct()
+    )
+    joined = base.join(twins, base.doc_id == twins.twin_doc, "left")
+    minlen = F.col("n_words") >= AUDIT_MIN_WORDS
+    nodup = minlen & F.col("twin_doc").isNull()
+    gated = nodup & (F.col("score") >= AUDIT_MIN_SCORE)
+
+    def stage(cond, alias):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(alias)
+
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        stage(minlen, "n_minlen"),
+        stage(nodup, "n_nodup"),
+        stage(gated, "n_gated"),
+    )

@@ -338,3 +338,29 @@ def test_ann_recall_broadcast_only_joins(spark, sf_dir):
     corpus must never sort-merge."""
     plan = plans.formatted(q("q_ann_recall", spark, sf_dir))
     assert "SortMergeJoin" not in plan
+
+
+def test_cdc_changes_period_predicates_pushed(spark, sf_dir):
+    """CDC diff: both period windows must reach the parquet reader (raw ts
+    domain) — 2 scans max per side; the full-outer join runs over the
+    per-key aggregates, never events."""
+    df = q("q_cdc_changes", spark, sf_dir)
+    assert "ts" in plans.pushed_filters(df)
+    assert plans.formatted(df).count("Scan parquet") <= 4
+
+
+def test_ab_test_single_scan_no_join(spark, sf_dir):
+    """A/B readout: one filtered scan, one aggregate, a 2-row pivot — no
+    join operators anywhere."""
+    plan = plans.formatted(q("q_ab_test", spark, sf_dir))
+    assert plan.count("Scan parquet") <= 2
+    assert "Join" not in plan
+
+
+def test_compaction_planner_single_scan_partitioned_window(spark, sf_dir):
+    """Planner: one events scan; the prefix-sum window is PARTITIONED by
+    event_type (never a single global sort)."""
+    df = q("q_compaction_planner", spark, sf_dir)
+    plan = plans.formatted(df)
+    assert plan.count("Scan parquet") <= 2
+    assert "Window" in plan
