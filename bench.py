@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "q_tpch_q2",         # derived-partsupp window-min family (round 6)
     "q_dedup_paragraph", # segment-hash index + regroup (round 6)
     "q_text_entropy",    # (doc,word) agg + windowed reduction (round 6)
+    "q_mm_png_roundtrip",  # real-codec mapInPandas throughput (round 6)
     "s_ingest",          # streaming drain throughput
     "s_sink_partitioned",# partitioned JSON sink end-to-end
 ]
@@ -157,6 +158,14 @@ def main() -> None:
     ):
         spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
     force(registry.QUERIES["q_flagship"](spark, sf_dir))
+    # Python-worker warmup: the first mapInPandas in a session pays ~6s of
+    # worker-daemon + Arrow spin-up (measured round-6: q_mm_png_roundtrip
+    # 7.8s cold / 1.8s warm). Warm it with a tiny pass so Python-path
+    # entries measure steady-state throughput, symmetric with the JVM
+    # codegen warm the flagship pass provides.
+    spark.range(8).toDF("doc_id").mapInPandas(
+        lambda it: it, "doc_id long"
+    ).write.format("noop").mode("overwrite").save()
 
     # Single-shot per query, deliberately: a repeat-min would re-enter the
     # session-shared caches (dedup.py _session_cached) warm and misreport

@@ -37,6 +37,9 @@ PROBE_KEYS = [
     # leakage cutoff into the raw scanned dtype) + the expectation suite
     "q_feature_snapshot",
     "q_dq_checks",
+    # round-6 events consumers with timestamp-literal comparisons
+    "q_cdc_changes",
+    "q_compaction_planner",
 ]
 
 ENCODINGS = ["nanos", "micros_ntz", "micros_utc"]
