@@ -36,7 +36,17 @@ def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
 
 def decode_wav(buf: bytes) -> tuple[int, list[int]]:
     """WAV bytes → (sample_rate, mono int16 samples). Validates RIFF
-    framing and requires PCM / 1 channel / 16-bit."""
+    framing and requires PCM / 1 channel / 16-bit. Total over arbitrary
+    input: malformed bytes raise ValueError, never struct/index errors."""
+    try:
+        return _decode_wav_inner(buf)
+    except ValueError:
+        raise
+    except Exception as exc:
+        raise ValueError(f"malformed WAV: {type(exc).__name__}") from exc
+
+
+def _decode_wav_inner(buf: bytes) -> tuple[int, list[int]]:
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     (riff_size,) = struct.unpack_from("<I", buf, 4)

@@ -69,6 +69,17 @@ def zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
     return (acc >> 1) ^ -(acc & 1), pos
 
 
+def _length(buf: bytes, pos: int) -> tuple[int, int]:
+    """Decode a length/count that must be non-negative and within the
+    remaining buffer — a negative decoded length would move the cursor
+    BACKWARD (found by fuzzing: one flipped byte turned the metadata scan
+    into an infinite loop)."""
+    n, pos = zigzag_decode(buf, pos)
+    if n < 0 or pos + n > len(buf):
+        raise ValueError(f"length {n} out of bounds at {pos}/{len(buf)}")
+    return n, pos
+
+
 def _enc_value(v, typ) -> bytes:
     if isinstance(typ, list):  # union, e.g. ["null", "double"]
         if v is None:
@@ -104,10 +115,10 @@ def _dec_value(buf: bytes, pos: int, typ):
     if typ == "double":
         return struct.unpack_from("<d", buf, pos)[0], pos + 8
     if typ == "string":
-        n, pos = zigzag_decode(buf, pos)
+        n, pos = _length(buf, pos)
         return buf[pos : pos + n].decode("utf-8"), pos + n
     if typ == "bytes":
-        n, pos = zigzag_decode(buf, pos)
+        n, pos = _length(buf, pos)
         return bytes(buf[pos : pos + n]), pos + n
     raise ValueError(f"unsupported avro type: {typ}")
 
@@ -142,7 +153,21 @@ def write_container(records: list[dict], schema: dict, block_records: int = 1000
 
 
 def read_container(buf: bytes) -> tuple[dict, list[dict]]:
-    """Parse Object Container File bytes → (schema, records)."""
+    """Parse Object Container File bytes → (schema, records).
+
+    Total over arbitrary input: any malformed/truncated buffer raises
+    ValueError (never IndexError/KeyError/UnicodeDecodeError) — the
+    contract a resilient ingest path needs to quarantine bad objects
+    instead of killing the task (see q_source_avro_resilient)."""
+    try:
+        return _read_container_inner(buf)
+    except ValueError:
+        raise
+    except Exception as exc:  # truncated varint/length overruns, bad UTF-8, ...
+        raise ValueError(f"malformed avro container: {type(exc).__name__}") from exc
+
+
+def _read_container_inner(buf: bytes) -> tuple[dict, list[dict]]:
     if buf[:4] != MAGIC:
         raise ValueError("not an avro object container file")
     pos = 4
@@ -150,10 +175,10 @@ def read_container(buf: bytes) -> tuple[dict, list[dict]]:
     meta = {}
     while n_meta:
         for _ in range(abs(n_meta)):
-            klen, pos = zigzag_decode(buf, pos)
+            klen, pos = _length(buf, pos)
             k = buf[pos : pos + klen].decode()
             pos += klen
-            vlen, pos = zigzag_decode(buf, pos)
+            vlen, pos = _length(buf, pos)
             meta[k] = buf[pos : pos + vlen]
             pos += vlen
         n_meta, pos = zigzag_decode(buf, pos)
@@ -167,7 +192,9 @@ def read_container(buf: bytes) -> tuple[dict, list[dict]]:
     records: list[dict] = []
     while pos < len(buf):
         n_rec, pos = zigzag_decode(buf, pos)
-        _size, pos = zigzag_decode(buf, pos)
+        if n_rec < 0:
+            raise ValueError(f"negative record count {n_rec}")
+        _size, pos = _length(buf, pos)
         for _ in range(n_rec):
             rec = {}
             for name, typ in fields:

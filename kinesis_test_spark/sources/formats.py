@@ -449,3 +449,74 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _stage_logged_table(spark, sf_dir)
     return _agg(spark.read.parquet(*live_files(d, version=0)))
+
+
+@query(
+    "q_source_avro_resilient",
+    oracle="""
+SELECT 'rows' AS metric, CAST(COUNT(*) AS BIGINT) AS n FROM events
+  WHERE user_id % 4 <> 1
+UNION ALL
+SELECT 'bad_files' AS metric, CAST(1 AS BIGINT) AS n
+ORDER BY metric
+""",
+)
+def q_source_avro_resilient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resilient Avro ingest: one of four staged containers is corrupted
+    mid-stream (flipped byte past the header). The decoder's totality
+    contract (any malformed input → ValueError, fuzz-pinned in
+    tests/test_codec_fuzz.py) lets the parse step QUARANTINE the bad
+    object and keep the task alive — the job lands every good record plus
+    a bad-file count, instead of dying on the first poison object (the
+    behavior the reference's raw consumer loop would have,
+    consumer.py:255-276, and the Avro sibling of q_source_resilient's
+    corrupt-JSON path)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from kinesis_test_spark.sources.avro_py import read_container, write_container
+    from kinesis_test_spark.streaming.pipeline import scratch_dir
+
+    schema = {
+        "type": "record",
+        "name": "event",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "user_id", "type": "long"},
+            {"name": "event_type", "type": "string"},
+            {"name": "value", "type": ["null", "double"]},
+        ],
+    }
+    d = scratch_dir("src_avro_res")
+    src = _events_typed(spark, sf_dir)
+    for i in range(4):
+        part = src.filter(F.col("user_id") % 4 == i).toPandas()
+        buf = write_container(part.to_dict("records"), schema)
+        if i == 1:  # poison one container: truncate mid-block (a partial
+            # upload — structurally fatal at any size, unlike a bit flip
+            # which can land in a value byte and decode silently)
+            buf = buf[: len(buf) - 24]
+        (d / f"events_{i}.avro").write_bytes(buf)
+    binfiles = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(str(d))
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                try:
+                    _, recs = read_container(bytes(content))
+                except ValueError:
+                    yield pd.DataFrame({"metric": ["bad_files"], "n": [1]})
+                    continue
+                yield pd.DataFrame({"metric": ["rows"], "n": [len(recs)]})
+
+    counts = binfiles.select("content").mapInPandas(parse, "metric string, n long")
+    return (
+        counts.groupBy("metric")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .orderBy("metric")
+    )

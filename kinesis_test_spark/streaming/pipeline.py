@@ -32,13 +32,41 @@ SCRATCH_ROOT = Path(__file__).resolve().parent.parent.parent / ".scratch"
 
 
 def scratch_dir(name: str) -> Path:
-    """Fresh per-invocation scratch area (checkpoints, staged sources, sinks)."""
+    """Fresh per-invocation scratch area (checkpoints, staged sources, sinks).
+
+    Concurrency-safe GC: areas are scoped by pid, and cleanup only removes
+    this process's own prior areas plus areas whose owning process is dead.
+    (Removing the whole shared base — the pre-round-6 behavior — deleted
+    the LIVE staging of another process running the same query, e.g. bench
+    and the parity suite hitting s_sink_partitioned concurrently.)"""
+    import os
+
     base = SCRATCH_ROOT / name
+    pid = os.getpid()
     if base.exists():
-        shutil.rmtree(base)
-    d = base / uuid.uuid4().hex[:8]
+        for prior in base.iterdir():
+            owner = prior.name.split("_", 1)[0]
+            try:
+                owner_alive = owner.isdigit() and _pid_alive(int(owner))
+            except ValueError:
+                owner_alive = False
+            if not owner_alive or int(owner) == pid:
+                shutil.rmtree(prior, ignore_errors=True)
+    d = base / f"{pid}_{uuid.uuid4().hex[:8]}"
     d.mkdir(parents=True)
     return d
+
+
+def _pid_alive(pid: int) -> bool:
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
 
 
 def events_schema(spark: SparkSession, sf_dir: str) -> StructType:

@@ -49,3 +49,24 @@ def test_commit_publish_is_atomic_rename(tmp_path):
     payload = json.loads(entries[0].read_text())
     assert payload["version"] == 0
     assert payload["actions"] == [{"op": "add", "file": "a.parquet"}]
+
+
+def test_scratch_dir_concurrent_gc_rules(tmp_path, monkeypatch):
+    """scratch_dir must never delete a LIVE foreign process's area (the
+    bench-vs-suite collision), must GC dead owners' areas and its own."""
+    import os
+
+    from kinesis_test_spark.streaming import pipeline
+
+    monkeypatch.setattr(pipeline, "SCRATCH_ROOT", tmp_path)
+    base = tmp_path / "q"
+    base.mkdir()
+    (base / "1_liveforeign").mkdir()  # pid 1 is always alive
+    (base / "999999999_dead").mkdir()  # beyond pid_max: dead
+    (base / f"{os.getpid()}_mine_old").mkdir()
+    d = pipeline.scratch_dir("q")
+    assert d.exists() and d.name.startswith(f"{os.getpid()}_")
+    names = {p.name for p in base.iterdir()}
+    assert "1_liveforeign" in names  # live foreign area preserved
+    assert "999999999_dead" not in names  # dead owner GC'd
+    assert f"{os.getpid()}_mine_old" not in names  # own prior area GC'd
