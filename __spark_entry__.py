@@ -95,7 +95,7 @@ _PRIORITY = [
     "q_source_avro_py", "q_mm_png_roundtrip",
     "q_table_snapshot", "q_table_time_travel", "s_table_stream",
     "q_mm_wav_features", "s_avro_ingest", "q_ab_test", "q_pipeline_audit",
-    "q_source_avro_resilient",
+    "q_source_avro_resilient", "q_table_gdpr",
 ]
 
 

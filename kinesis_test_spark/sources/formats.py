@@ -520,3 +520,73 @@ def q_source_avro_resilient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("bigint").alias("n"))
         .orderBy("metric")
     )
+
+
+GDPR_TARGET_USER = 7
+
+
+@query(
+    "q_table_gdpr",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users
+FROM events WHERE user_id <> {GDPR_TARGET_USER} GROUP BY event_type
+""",
+)
+def q_table_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten delete with METADATA-ONLY file pruning: the
+    table lands as 4 user-range files whose [min, max] user_id stats
+    travel in the commit (the Iceberg manifest design,
+    sources/tablelog.py). Deleting one user consults ONLY the stats —
+    files whose range excludes the target are never opened, never
+    rewritten (asserted: exactly one file is replaced; a stats-less
+    format rewrites or at least scans everything). The affected file is
+    rewritten without the user and swapped in one atomic commit, so
+    readers see pre- or post-delete, never a torn state. At 100 TB this
+    is the difference between touching one partition and a full-table
+    rewrite per erasure request."""
+    import shutil
+
+    from kinesis_test_spark.sources.tablelog import (
+        commit,
+        files_maybe_containing,
+        live_files,
+    )
+    from kinesis_test_spark.streaming.pipeline import scratch_dir
+
+    d = scratch_dir("table_gdpr")
+    src = _events_typed(spark, sf_dir)
+    max_user = src.agg(F.max("user_id")).collect()[0][0]  # staging rig only
+    width = (max_user + 4) // 4
+
+    def land(df, name):
+        tmp = d / f"_tmp_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        part.rename(d / name)
+        shutil.rmtree(tmp)
+
+    adds = []
+    for i in range(4):
+        lo, hi = i * width, (i + 1) * width - 1
+        land(src.filter(F.col("user_id").between(lo, hi)), f"u{i}.parquet")
+        adds.append({"file": f"u{i}.parquet", "stats": {"user_id": [lo, hi]}})
+    commit(d, adds=adds, removes=[])
+
+    affected = files_maybe_containing(d, "user_id", GDPR_TARGET_USER)
+    assert len(affected) == 1, affected  # stats pruning must isolate one file
+    bucket = int(affected[0][1])
+    lo, hi = bucket * width, (bucket + 1) * width - 1
+    land(
+        spark.read.parquet(str(d / affected[0])).filter(
+            F.col("user_id") != GDPR_TARGET_USER
+        ),
+        f"u{bucket}_scrubbed.parquet",
+    )
+    commit(
+        d,
+        adds=[{"file": f"u{bucket}_scrubbed.parquet", "stats": {"user_id": [lo, hi]}}],
+        removes=affected,
+    )
+    return _agg(spark.read.parquet(*live_files(d)))

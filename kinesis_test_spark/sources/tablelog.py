@@ -27,14 +27,19 @@ from pathlib import Path
 LOG_DIR = "_log"
 
 
-def commit(table_dir: Path, adds: list[str], removes: list[str]) -> int:
-    """Append the next commit; returns the new version number."""
+def commit(table_dir: Path, adds: list, removes: list[str]) -> int:
+    """Append the next commit; returns the new version number.
+
+    An add is a file name, or a dict ``{"file": name, "stats": {col:
+    [min, max]}}`` — per-file column stats travel IN the metadata (the
+    Iceberg manifest design), so a planner can prune files without
+    touching data."""
     log = Path(table_dir) / LOG_DIR
     log.mkdir(parents=True, exist_ok=True)
     version = len(list(log.glob("*.json")))
-    actions = [{"op": "add", "file": f} for f in adds] + [
-        {"op": "remove", "file": f} for f in removes
-    ]
+    actions = [
+        {"op": "add", **(a if isinstance(a, dict) else {"file": a})} for a in adds
+    ] + [{"op": "remove", "file": f} for f in removes]
     payload = json.dumps({"version": version, "actions": actions}, indent=1)
     tmp = log / f".{version:05d}.json.tmp"
     tmp.write_text(payload)
@@ -42,18 +47,38 @@ def commit(table_dir: Path, adds: list[str], removes: list[str]) -> int:
     return version
 
 
-def live_files(table_dir: Path, version: int | None = None) -> list[str]:
+def live_entries(table_dir: Path, version: int | None = None) -> list[dict]:
     """Replay the commit log (to `version` inclusive; None = latest) and
-    return the live data-file paths, sorted for deterministic planning."""
+    return the live add-actions (file + any stats), sorted by file name."""
     log = Path(table_dir) / LOG_DIR
-    live: set[str] = set()
+    live: dict[str, dict] = {}
     for path in sorted(log.glob("*.json")):
         entry = json.loads(path.read_text())
         if version is not None and entry["version"] > version:
             break
         for action in entry["actions"]:
             if action["op"] == "add":
-                live.add(action["file"])
+                live[action["file"]] = action
             elif action["op"] == "remove":
-                live.discard(action["file"])
-    return sorted(str(Path(table_dir) / f) for f in live)
+                live.pop(action["file"], None)
+    return [live[f] for f in sorted(live)]
+
+
+def live_files(table_dir: Path, version: int | None = None) -> list[str]:
+    """Live data-file paths at `version` (None = latest), sorted for
+    deterministic planning."""
+    return [
+        str(Path(table_dir) / e["file"]) for e in live_entries(table_dir, version)
+    ]
+
+
+def files_maybe_containing(table_dir: Path, col: str, value) -> list[str]:
+    """Metadata-only pruning: live file names whose [min, max] stats for
+    `col` admit `value` — files WITHOUT stats are conservatively included
+    (the planner must never prune on absent information)."""
+    hits = []
+    for entry in live_entries(table_dir):
+        stats = entry.get("stats", {}).get(col)
+        if stats is None or stats[0] <= value <= stats[1]:
+            hits.append(entry["file"])
+    return hits

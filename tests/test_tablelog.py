@@ -70,3 +70,45 @@ def test_scratch_dir_concurrent_gc_rules(tmp_path, monkeypatch):
     assert "1_liveforeign" in names  # live foreign area preserved
     assert "999999999_dead" not in names  # dead owner GC'd
     assert f"{os.getpid()}_mine_old" not in names  # own prior area GC'd
+
+
+def test_stats_pruning_conservative_without_stats(tmp_path):
+    """Files lacking stats must be conservatively INCLUDED in any prune."""
+    from kinesis_test_spark.sources.tablelog import commit, files_maybe_containing
+
+    _touch(tmp_path, "a.parquet")
+    _touch(tmp_path, "b.parquet")
+    commit(
+        tmp_path,
+        adds=[
+            {"file": "a.parquet", "stats": {"user_id": [0, 9]}},
+            "b.parquet",  # no stats recorded
+        ],
+        removes=[],
+    )
+    assert files_maybe_containing(tmp_path, "user_id", 50) == ["b.parquet"]
+    assert files_maybe_containing(tmp_path, "user_id", 5) == [
+        "a.parquet",
+        "b.parquet",
+    ]
+
+
+def test_stats_survive_replay_and_rewrite(tmp_path):
+    from kinesis_test_spark.sources.tablelog import (
+        commit,
+        files_maybe_containing,
+        live_entries,
+    )
+
+    _touch(tmp_path, "a.parquet")
+    _touch(tmp_path, "a2.parquet")
+    commit(tmp_path, adds=[{"file": "a.parquet", "stats": {"user_id": [0, 9]}}], removes=[])
+    commit(
+        tmp_path,
+        adds=[{"file": "a2.parquet", "stats": {"user_id": [0, 9]}}],
+        removes=["a.parquet"],
+    )
+    entries = live_entries(tmp_path)
+    assert [e["file"] for e in entries] == ["a2.parquet"]
+    assert entries[0]["stats"] == {"user_id": [0, 9]}
+    assert files_maybe_containing(tmp_path, "user_id", 3) == ["a2.parquet"]
