@@ -96,6 +96,7 @@ _PRIORITY = [
     "q_table_snapshot", "q_table_time_travel", "s_table_stream",
     "q_mm_wav_features", "s_avro_ingest", "q_ab_test", "q_pipeline_audit",
     "q_source_avro_resilient", "q_table_gdpr",
+    "q_recursive_cte", "q_join_lateral",
 ]
 
 

@@ -80,3 +80,56 @@ GROUP BY s.c_mktsegment
 def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     return spark.sql(_CTE_SQL)
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE users AS (SELECT DISTINCT user_id FROM events),
+edges AS (SELECT user_id AS child,
+                 CAST(floor((user_id - 1) / 2) AS BIGINT) AS parent
+          FROM users WHERE user_id >= 1),
+walk(node, depth) AS (
+  SELECT user_id, CAST(0 AS BIGINT) FROM events WHERE user_id = 0 GROUP BY user_id
+  UNION ALL
+  SELECT e.child, w.depth + 1 FROM walk w JOIN edges e ON e.parent = w.node)
+SELECT node AS user_id, depth FROM walk ORDER BY user_id
+"""
+
+
+@query("q_recursive_cte", oracle=_RECURSIVE_SQL)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE) through the SQL-string API
+    — the SAME ANSI text runs on Spark and DuckDB (q_tpch_q6 pattern):
+    walk a derived referral tree (child u → parent ⌊(u-1)/2⌋) from the
+    root and emit each user's depth. Each recursive step is one join +
+    union — the same per-iteration shape as the hand-rolled loops in
+    q_dedup_clusters/q_graph_pagerank, but planned by the engine, with
+    iteration count bounded by the tree depth (log |users|)."""
+    from kinesis_test_spark.sources import views
+
+    views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+_LATERAL_SQL = """
+SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+FROM orders o,
+LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem
+         WHERE l_orderkey = o.o_orderkey
+         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+WHERE o.o_orderkey < 100
+ORDER BY o.o_orderkey, l_extendedprice DESC, l_linenumber
+"""
+
+
+@query("q_join_lateral", oracle=_LATERAL_SQL)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    top-2-per-order shape expressed as the SQL standard writes it (the
+    window-function formulation is q_topk_per_group; LATERAL is the other
+    door users arrive through). Same ANSI text on both engines. Catalyst
+    decorrelates it into a ranked join rather than executing one subquery
+    per outer row — per-row re-execution would be the scale-killer."""
+    from kinesis_test_spark.sources import views
+
+    views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
