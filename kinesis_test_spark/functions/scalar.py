@@ -481,3 +481,37 @@ def q_fn_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("c_name", "[0-9]+", "<ID>").alias("scrubbed"),
         F.size(F.regexp_extract_all("c_name", F.lit("[0-9]+"), 0)).alias("n_redactions"),
     )
+
+
+@query(
+    "q_variant",
+    oracle="""
+SELECT CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+         AS k_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY 1 ORDER BY k_bucket
+""",
+)
+def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type: the JSON
+    props column is parsed ONCE into the binary variant encoding
+    (parse_json), then fields are extracted with variant_get — the
+    schema-on-read path for payloads whose shape drifts too fast for an
+    explicit struct schema (the reference's records carry exactly such a
+    bag, record.json). Extraction is JVM-side on the binary form — no
+    per-row re-parse per accessed field, which is the cost model that
+    matters when a 100 TB table has 40 optional fields. Oracle: DuckDB's
+    JSON extraction over the same column."""
+    ev = t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).cast("bigint").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+        .orderBy("k_bucket")
+    )

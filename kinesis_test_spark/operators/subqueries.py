@@ -133,3 +133,31 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "q_sql_params",
+    oracle="""
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer WHERE c_acctbal > 5000.0 AND c_mktsegment <> 'MACHINERY'
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
+def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (spark.sql named args): values bind as literals
+    through the API instead of string interpolation — the
+    injection-proof path a query service uses. The bound plan is
+    identical to the literal one (the parameters fold before
+    optimization), so pushdown/pruning behave exactly as if the user had
+    typed the constants."""
+    from kinesis_test_spark.sources import views
+
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer WHERE c_acctbal > :min_bal AND c_mktsegment <> :excluded
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        args={"min_bal": 5000.0, "excluded": "MACHINERY"},
+    )

@@ -590,3 +590,32 @@ def q_table_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
         removes=affected,
     )
     return _agg(spark.read.parquet(*live_files(d)))
+
+
+@query("q_source_xml", oracle=_ORACLE)
+def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → XML (Spark 4's built-in xml source) → schema'd read-back →
+    aggregate. XML is the one wire format enterprises still emit that the
+    round-trip suite lacked; values round-trip as text with an explicit
+    read schema (inference would double-scan, same rule as the CSV path)."""
+    from kinesis_test_spark.streaming.pipeline import scratch_dir
+
+    d = scratch_dir("src_xml")
+    _events_typed(spark, sf_dir).write.format("xml").option("rowTag", "event").save(
+        str(d / "xml")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema(schema)
+        .load(str(d / "xml"))
+    )
+    return _agg(back)
