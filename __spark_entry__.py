@@ -97,7 +97,7 @@ _PRIORITY = [
     "q_mm_wav_features", "s_avro_ingest", "q_ab_test", "q_pipeline_audit",
     "q_source_avro_resilient", "q_table_gdpr",
     "q_recursive_cte", "q_join_lateral",
-    "q_variant", "q_source_xml", "q_sql_params",
+    "q_variant", "q_source_xml", "q_sql_params", "q_session_dynamic",
 ]
 
 

@@ -163,3 +163,58 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_view_click")))
         .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
     )
+
+
+@query(
+    "q_session_dynamic",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type IN ('click', 'view') THEN 1800 ELSE 3600 END
+           AS gap_s
+  FROM events),
+flagged AS (
+  SELECT user_id, ts, gap_s,
+         CASE WHEN MAX(ts + to_seconds(gap_s)) OVER prior IS NULL
+                OR ts >= MAX(ts + to_seconds(gap_s)) OVER prior
+              THEN 1 ELSE 0 END AS is_start
+  FROM g
+  WINDOW prior AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+numbered AS (
+  SELECT user_id, ts, gap_s,
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+  FROM flagged)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts + to_seconds(gap_s)) AS session_end,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, seq
+""",
+)
+def q_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows: the merge gap is an EXPRESSION per
+    event (engaged interactions — click/view — time out in 30 min, heavy
+    events get 60), via session_window's dynamic-gap form. The oracle
+    derives the exact same sessions from first principles: an event opens
+    a new session iff its ts reaches the running MAX of all prior
+    (ts + gap) ends — a cumulative-max window, not a lag test (a
+    long-gap event can bridge PAST its successor, which lag-based logic
+    misses). Session end = max event end, matching Spark's merge
+    semantics. One shuffle on user_id; per-key window state is a single
+    running max."""
+    ev = t(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type").isin("click", "view"), F.lit("30 minutes")
+    ).otherwise(F.lit("60 minutes"))
+    return (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
