@@ -257,3 +257,48 @@ def q_cogroup_clickcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(purchases.groupBy("user_id"))
         .applyInPandas(_clicks_before, schema=COGROUP_SCHEMA)
     )
+
+
+@query(
+    "q_udtf_polymorphic",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+           WHERE doc_id < 50)
+SELECT doc_id, words[1] AS w1, words[2] AS w2, words[3] AS w3
+FROM w WHERE len(words) >= 3
+""",
+)
+def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF: the output SCHEMA is computed at plan time
+    by analyze() from a constant argument — leading_words(text, 3) returns
+    columns (w1, w2, w3); change the constant and the relation changes
+    shape with no code edit. This is the Spark-4 UDTF capability the
+    static returnType form (q_udtf_expand) can't express; the analyze
+    phase runs once on the driver, execution stays row-batched on
+    executors."""
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class LeadingWords:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            k = int(n.value)
+            schema = StructType()
+            for i in range(1, k + 1):
+                schema = schema.add(f"w{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            words = (text or "").split(" ")
+            if len(words) >= n:
+                yield tuple(words[:n])
+
+    fn = udtf(LeadingWords)
+    spark.udtf.register("leading_words", fn)
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("_poly_docs")
+    return spark.sql(
+        "SELECT d.doc_id, lw.* FROM _poly_docs d, "
+        "LATERAL leading_words(d.text, 3) lw"
+    )
