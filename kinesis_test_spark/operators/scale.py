@@ -133,3 +133,48 @@ def q_sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"), F.countDistinct("l_orderkey").alias("n_orders")
     )
+
+
+ZORDER_BITS = 8  # interleave 8 bits of each dimension → 16-bit z-key
+
+
+@query(
+    "q_zorder_key",
+    oracle=f"""
+WITH dims AS (
+  SELECT event_id,
+         CAST(user_id % 256 AS BIGINT) AS dx,
+         CAST(hour(ts) AS BIGINT) AS dy
+  FROM events WHERE event_id < 1000),
+bits AS (
+  SELECT event_id, dx, dy,
+         CAST(SUM(((dx >> i) & 1) * (1 << (2 * i))
+                  + ((dy >> i) & 1) * (1 << (2 * i + 1))) AS BIGINT) AS zkey
+  FROM dims, UNNEST(generate_series(0, {ZORDER_BITS - 1})) AS u(i)
+  GROUP BY event_id, dx, dy)
+SELECT event_id, dx, dy, zkey FROM bits ORDER BY event_id
+""",
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key: bit-interleave two dimensions so ONE sort
+    clusters BOTH — the layout trick behind multi-dimensional data
+    skipping (Delta OPTIMIZE ZORDER). Writing files in zkey order gives
+    every file a tight [min,max] on user bucket AND hour simultaneously,
+    where a single-column sort leaves the other dimension spanning its
+    full range (quantified in tests/test_plans.py: per-file range width
+    shrinks on both dims vs a ts-sorted layout). Pure integer bit math
+    inside codegen — the aggregate-over-bits form here mirrors the oracle;
+    a production writer would fold it to one expression."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    dx = (F.col("user_id") % 256).cast("bigint")
+    dy = F.hour("ts").cast("bigint")
+    zexpr = F.expr(
+        f"aggregate(sequence(0, {ZORDER_BITS - 1}), 0L,"
+        " (acc, i) -> acc + ((dx >> i) & 1) * shiftleft(1L, 2 * i)"
+        " + ((dy >> i) & 1) * shiftleft(1L, 2 * i + 1))"
+    )
+    return (
+        ev.select("event_id", dx.alias("dx"), dy.alias("dy"))
+        .withColumn("zkey", zexpr.cast("bigint"))
+        .orderBy("event_id")
+    )

@@ -364,3 +364,47 @@ def test_compaction_planner_single_scan_partitioned_window(spark, sf_dir):
     plan = plans.formatted(df)
     assert plan.count("Scan parquet") <= 2
     assert "Window" in plan
+
+
+def test_zorder_layout_tightens_both_dims(spark, sf_dir):
+    """The point of the z-key: files cut from a zkey-sorted layout carry
+    tight [min,max] ranges on BOTH interleaved dimensions, where a
+    ts-sorted layout leaves the user dimension spanning ~its full range
+    per file. Quantified: mean per-file user-bucket range width must
+    shrink vs the ts-sorted baseline while hour stays no worse."""
+    from pyspark.sql import functions as F
+
+    from kinesis_test_spark.sources import t
+
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 256).cast("bigint").alias("dx"),
+        F.hour("ts").cast("bigint").alias("dy"),
+        "ts",
+    )
+    zkey = F.expr(
+        "aggregate(sequence(0, 7), 0L,"
+        " (acc, i) -> acc + ((dx >> i) & 1) * shiftleft(1L, 2 * i)"
+        " + ((dy >> i) & 1) * shiftleft(1L, 2 * i + 1))"
+    )
+
+    def mean_file_width(df, order_col, n_files=16):
+        ranked = df.withColumn(
+            "f",
+            F.ntile(n_files).over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+                    order_col
+                )
+            ),
+        )
+        widths = ranked.groupBy("f").agg(
+            (F.max("dx") - F.min("dx")).alias("wx"),
+            (F.max("dy") - F.min("dy")).alias("wy"),
+        )
+        row = widths.agg(F.avg("wx").alias("ax"), F.avg("wy").alias("ay")).collect()[0]
+        return row.ax, row.ay
+
+    z_dx, z_dy = mean_file_width(ev.withColumn("z", zkey), "z")
+    t_dx, t_dy = mean_file_width(ev, "ts")
+    # ts-sorted files see nearly all user buckets; z-sorted files must not
+    assert z_dx < 0.7 * t_dx, (z_dx, t_dx)
+    assert z_dy <= t_dy * 1.1 + 1, (z_dy, t_dy)
