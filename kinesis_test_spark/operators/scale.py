@@ -178,3 +178,59 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("zkey", zexpr.cast("bigint"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_skew_report",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n, user_id) AS r,
+         COUNT(*) OVER () AS k, CAST(SUM(n) OVER () AS BIGINT) AS total
+  FROM counts)
+SELECT CAST(k AS BIGINT) AS n_keys, total AS n_rows,
+       CAST(MAX(n) AS BIGINT) AS max_key_rows,
+       ROUND(CAST(MAX(n) AS DOUBLE) * k / total, 6) AS skew_factor,
+       ROUND(CAST(SUM((2.0 * r - k - 1) * n) AS DOUBLE) / (k * total), 6)
+         AS gini
+FROM ranked GROUP BY k, total
+""",
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics — the measurement that decides whether a join
+    needs salting (q_join_skew_salted) or AQE skew handling BEFORE the
+    shuffle burns: per-key counts, the hottest key's multiple of the mean
+    (skew_factor = max·k/total; 1.0 = uniform), and the Gini coefficient
+    of the key distribution via the sorted-rank formula. The per-key
+    relation is |keys| rows; the rank window orders only that relation
+    (never fact rows), so the diagnostic costs one aggregate + one
+    dimension-sized sort at any fact scale."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_all = Window.partitionBy()
+    ranked = counts.select(
+        "n",
+        F.row_number().over(Window.orderBy("n", "user_id")).alias("r"),
+        F.count(F.lit(1)).over(w_all).alias("k"),
+        F.sum("n").over(w_all).cast("bigint").alias("total"),
+    )
+    return ranked.groupBy("k", "total").agg(
+        F.max("n").cast("bigint").alias("max_key_rows"),
+        F.round(F.max("n").cast("double") * F.col("k") / F.col("total"), 6).alias(
+            "skew_factor"
+        ),
+        F.round(
+            F.sum((2.0 * F.col("r") - F.col("k") - 1) * F.col("n")).cast("double")
+            / (F.col("k") * F.col("total")),
+            6,
+        ).alias("gini"),
+    ).select(
+        F.col("k").cast("bigint").alias("n_keys"),
+        F.col("total").alias("n_rows"),
+        "max_key_rows",
+        "skew_factor",
+        "gini",
+    )
