@@ -619,3 +619,71 @@ def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(str(d / "xml"))
     )
     return _agg(back)
+
+
+COMPACT_EXEC_TARGET = 3  # target: ~3 source files per compacted output
+
+
+@query(
+    "q_table_compact",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users
+FROM events GROUP BY event_type
+""",
+)
+def q_table_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction EXECUTOR on the commit-log table: the planner walks the
+    MANIFEST (live files + real on-disk sizes — metadata-sized, the same
+    prefix-sum greedy bin packing q_compaction_planner expresses as a
+    query), then each multi-file bin is rewritten into one file and the
+    whole plan lands as ONE atomic commit — readers see the old layout or
+    the new, never a mix. Contents must be byte-identical to the batch
+    truth; the in-query assertion pins that the file count actually
+    shrank. At 100 TB this is the nightly job that keeps the reference's
+    one-object-per-batch accretion (consumer.py:235-249) readable."""
+    import os
+    import shutil
+
+    from kinesis_test_spark.sources.tablelog import commit, live_files
+    from kinesis_test_spark.streaming.pipeline import scratch_dir
+
+    d = scratch_dir("table_compact")
+    src = _events_typed(spark, sf_dir).withColumn(
+        "slice", (F.col("event_id") % 8).cast("int")
+    )
+
+    def land(df, name):
+        tmp = d / f"_tmp_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        part.rename(d / name)
+        shutil.rmtree(tmp)
+
+    for i in range(8):  # small-file accretion: 8 per-batch objects
+        land(src.filter(F.col("slice") == i).drop("slice"), f"b{i}.parquet")
+    commit(d, adds=[f"b{i}.parquet" for i in range(8)], removes=[])
+
+    live = live_files(d)
+    sizes = {f: os.path.getsize(f) for f in live}
+    target = COMPACT_EXEC_TARGET * (sum(sizes.values()) // len(sizes))
+    bins: list[list[str]] = []
+    acc = 0
+    for f in live:  # greedy prefix-sum packing over manifest metadata
+        if not bins or acc + sizes[f] > target:
+            bins.append([])
+            acc = 0
+        bins[-1].append(f)
+        acc += sizes[f]
+    adds, removes = [], []
+    for j, group in enumerate(bins):
+        if len(group) == 1:
+            continue  # already target-sized: never rewritten
+        land(spark.read.parquet(*group), f"c{j}.parquet")
+        adds.append(f"c{j}.parquet")
+        removes.extend(os.path.basename(f) for f in group)
+    commit(d, adds=adds, removes=removes)
+    after = live_files(d)
+    assert len(after) < len(live), (len(after), len(live))
+    return _agg(spark.read.parquet(*after))

@@ -1179,3 +1179,58 @@ def s_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = _mem_name("avro_ingest")
     run_to_memory(stream, name, d / "cp", output_mode="complete")
     return spark.table(name)
+
+
+@query(
+    "s_session_dynamic",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type IN ('click', 'view') THEN 1800 ELSE 3600 END
+           AS gap_s
+  FROM events),
+flagged AS (
+  SELECT user_id, ts, gap_s,
+         CASE WHEN MAX(ts + to_seconds(gap_s)) OVER prior IS NULL
+                OR ts >= MAX(ts + to_seconds(gap_s)) OVER prior
+              THEN 1 ELSE 0 END AS is_start
+  FROM g
+  WINDOW prior AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+numbered AS (
+  SELECT user_id, ts, gap_s,
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+  FROM flagged)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts + to_seconds(gap_s)) AS session_end,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, seq
+""",
+)
+def s_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows ON A STREAM: the per-event gap
+    expression (engaged clicks/views 30 min, heavy events 60) drives
+    session_window's dynamic form inside a streaming aggregation — state
+    merges sessions as events arrive, exactly the batch semantics
+    (q_session_dynamic and its cummax-derived oracle). Complete-mode
+    drain must equal the batch answer."""
+    d = scratch_dir("s_session_dyn")
+    name = _mem_name("session_dyn")
+    gap = F.when(
+        F.col("event_type").isin("click", "view"), F.lit("30 minutes")
+    ).otherwise(F.lit("60 minutes"))
+    win = (
+        read_events_stream(spark, sf_dir)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    run_to_memory(win, name, d / "cp", output_mode="complete")
+    return spark.table(name)
