@@ -1250,3 +1250,61 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("t_statistic"),
     )
+
+
+@query(
+    "q_rfm",
+    oracle="""
+WITH base AS (
+  SELECT user_id,
+         MAX(ts) AS last_seen,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+scored AS (
+  SELECT user_id,
+         CAST(ntile(4) OVER (ORDER BY last_seen DESC, user_id) AS BIGINT) AS r,
+         CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f,
+         CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m
+  FROM base)
+SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM scored GROUP BY r, f, m
+ORDER BY r, f, m
+""",
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles) — the
+    classic customer-value grid every growth team asks for: per-user
+    purchase aggregates, three quartile ranks (unique tie-break on
+    user_id, per the cross-engine window rule), then the segment-count
+    grid. One fact aggregate; the ntile windows order only the |users|
+    relation. Monetary goes through the decimal route so quartile
+    boundaries can't drift with accumulation order."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    base = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("monetary"),
+    )
+    scored = base.select(
+        "user_id",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_seen").desc(), "user_id"))
+        .cast("bigint")
+        .alias("r"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("freq").desc(), "user_id"))
+        .cast("bigint")
+        .alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "user_id"))
+        .cast("bigint")
+        .alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("r", "f", "m")
+    )

@@ -1234,3 +1234,32 @@ def s_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(win, name, d / "cp", output_mode="complete")
     return spark.table(name)
+
+
+@query(
+    "s_stream_union",
+    oracle="""
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+""",
+)
+def s_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of two independent streaming SOURCES feeding one stateful
+    aggregation — the multi-region/multi-topic ingest topology (the
+    reference reads exactly one stream; production fleets merge several).
+    Each source drains its own staged directory at its own pace; the
+    union is row-level and the downstream aggregate sees one logical
+    stream. Complete-mode counts must equal the batch truth over the
+    disjoint halves."""
+    d = scratch_dir("s_union")
+    stage_a, stage_b = d / "src_a", d / "src_b"
+    stage_events(spark, sf_dir, stage_a, "east", where="user_id % 2 = 0")
+    stage_events(spark, sf_dir, stage_b, "west", where="user_id % 2 = 1")
+    name = _mem_name("union")
+    merged = (
+        read_staged_stream(spark, sf_dir, stage_a)
+        .unionByName(read_staged_stream(spark, sf_dir, stage_b))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    run_to_memory(merged, name, d / "cp", output_mode="complete")
+    return spark.table(name)
