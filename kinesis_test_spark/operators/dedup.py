@@ -1269,3 +1269,73 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), "p_partkey")
         .limit(50)
     )
+
+
+def _keep_best_oracle() -> str:
+    return f"""
+WITH RECURSIVE {SQL_SHINGLES},
+hot AS (SELECT s FROM shingles GROUP BY s HAVING COUNT(*) > {NGRAM_DF_CAP}),
+kept AS (SELECT doc_id, s FROM shingles WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_inter / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+clusters AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+scored AS (
+  SELECT c.doc_id, c.cluster_id,
+         ROUND(CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+               * len(list_distinct(string_split(d.text, ' ')))
+               / len(string_split(d.text, ' ')), 6) AS score
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+ranked AS (
+  SELECT doc_id, cluster_id, score,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM scored)
+SELECT doc_id, cluster_id, score,
+       rn = 1 AS is_kept
+FROM ranked ORDER BY doc_id
+"""
+
+
+@query("q_dedup_keep_best", oracle=_keep_best_oracle())
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster representative: within each near-dup cluster
+    keep the HIGHEST-scoring copy (lexical-diversity²/length, unique
+    doc_id tie-break) — what production dedup actually ships, where
+    q_dedup_keeplist's min-doc_id canonical is the cheap default. Reuses
+    the session-cached pair relation and the connected-components labels
+    (q_dedup_clusters), adds one score projection and a per-cluster
+    row_number window whose partitions are near-dup clusters — tiny by
+    construction at any corpus scale."""
+    from pyspark.sql import Window
+
+    labels = q_dedup_clusters(spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_distinct = F.size(F.array_distinct(words))
+    scored = labels.join(d, "doc_id").select(
+        "doc_id",
+        "cluster_id",
+        F.round(n_distinct.cast("double") * n_distinct / F.size(words), 6).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "cluster_id", "score", (F.col("rn") == 1).alias("is_kept"))
+        .orderBy("doc_id")
+    )

@@ -1288,3 +1288,63 @@ def q_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage(nodup, "n_nodup"),
         stage(gated, "n_gated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-weighted mixture sampling (multilingual-corpus balancing)
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.7  # mT5/XLM-R style temperature exponent
+
+
+@query(
+    "q_mixture_temperature",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source),
+powered AS (
+  SELECT source, n_docs, n_chars,
+         POWER(n_chars, {MIX_ALPHA}) AS w FROM counts),
+total AS (SELECT SUM(w) AS tw FROM powered)
+SELECT source, n_docs, n_chars,
+       ROUND(w / tw, 6) AS sample_prob,
+       ROUND(w / tw, 6) - ROUND(CAST(n_chars AS DOUBLE) /
+         (SELECT SUM(n_chars) FROM counts), 6) AS uplift
+FROM powered, total
+ORDER BY source
+""",
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling (the mT5/XLM-R recipe):
+    per-source sampling probability ∝ size^α with α=0.7, so small sources
+    are up-sampled relative to their natural share — the balancing step
+    between raw corpus sizes and the training mixture. `uplift` reports
+    how far each source moves vs proportional sampling (positive = small
+    source boosted). Two dimension-sized aggregates and a broadcast total;
+    POWER is evaluated identically on both engines and the probabilities
+    round at 6 per the float rules."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    powered = counts.withColumn("w", F.pow("n_chars", F.lit(MIX_ALPHA)))
+    totals = powered.agg(
+        F.sum("w").alias("tw"), F.sum("n_chars").cast("bigint").alias("tc")
+    )
+    return (
+        powered.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.round(F.col("w") / F.col("tw"), 6).alias("sample_prob"),
+            (
+                F.round(F.col("w") / F.col("tw"), 6)
+                - F.round(F.col("n_chars").cast("double") / F.col("tc"), 6)
+            ).alias("uplift"),
+        )
+        .orderBy("source")
+    )
