@@ -1216,7 +1216,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     authority, the same shape as doc-citation or session-transition rank.
     The edge build is a lineitem self-join on l_orderkey — co-partitioned
     single shuffle, and the pair explode is bounded by lines-per-order
-    (≤7 in TPC-H), so it scales as O(orders·k²), never |parts|². Each PR
+    (≤7 in spec TPC-H; 13 in this fixture), so it scales as O(orders·k²),
+    never |parts|². Each PR
     iteration is one edges⋈ranks join + one groupBy on the target node
     with the neighbor sum routed through decimal(28,18): ranks are
     partial-agg-order independent, so a cluster rerun reproduces them
