@@ -1308,3 +1308,127 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("r", "f", "m")
     )
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS dt FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+actual AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT d.dt, t.event_type, COALESCE(a.n, 0) AS n,
+       CAST(CASE WHEN a.n IS NULL THEN 1 ELSE 0 END AS INT) AS was_missing
+FROM days d CROSS JOIN types t
+LEFT JOIN actual a ON a.dt = d.dt AND a.event_type = t.event_type
+ORDER BY d.dt, t.event_type
+""",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-grid gap filling: a (day × event-type) spine left-joined with
+    the actual counts so missing combinations surface as explicit zeros —
+    the step every dashboard and forecast model needs before it can tell
+    'no data' from 'no traffic' (q_resample_ffill fills VALUES forward;
+    this fills GROUP MEMBERSHIP). Both spine dimensions are tiny distinct
+    aggregates, the cross join is broadcast-sized by construction, and
+    the fact table is touched exactly once."""
+    ev = t(spark, sf_dir, "events")
+    dt = F.date_format("ts", "yyyy-MM-dd")
+    days = ev.select(dt.alias("dt")).distinct()
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(dt.alias("a_dt"), F.col("event_type").alias("a_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return (
+        days.crossJoin(F.broadcast(types))
+        .join(
+            actual,
+            (F.col("dt") == F.col("a_dt")) & (F.col("event_type") == F.col("a_type")),
+            "left",
+        )
+        .select(
+            "dt",
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).cast("int").alias(
+                "was_missing"
+            ),
+        )
+        .orderBy("dt", "event_type")
+    )
+
+
+@query(
+    "q_attribution",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+         CASE WHEN event_type = 'click' THEN ts END AS click_ts
+  FROM events WHERE event_type IN ('click', 'purchase')),
+attributed AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         last_value(click_id IGNORE NULLS) OVER w AS attributed_click_id,
+         last_value(click_ts IGNORE NULLS) OVER w AS attr_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, value, attributed_click_id,
+       CAST(epoch_ms(ts) - epoch_ms(attr_ts) AS BIGINT) AS lag_ms
+FROM attributed WHERE event_type = 'purchase'
+ORDER BY event_id
+""",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits the most recent
+    preceding click of the same user — the marketing-analytics join that
+    is really a carry-forward window, not a join at all: clicks and
+    purchases interleave in one (ts, event_id)-ordered pass per user, and
+    last_value(IGNORE NULLS) carries the latest click down to each
+    purchase. One shuffle on user_id, running state one (id, ts) pair;
+    the two-relation as-of formulation (q_join_asof) would shuffle both
+    sides separately for the same answer. Purchases with no prior click
+    surface as NULL (organic), not dropped."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = tagged.select(
+        "event_id",
+        "user_id",
+        "value",
+        "event_type",
+        "ts",
+        F.last("click_id", ignorenulls=True).over(w).alias("attributed_click_id"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("attr_ts"),
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            "attributed_click_id",
+            (F.unix_millis("ts") - F.unix_millis("attr_ts"))
+            .cast("bigint")
+            .alias("lag_ms"),
+        )
+        .orderBy("event_id")
+    )
