@@ -101,7 +101,7 @@ _PRIORITY = [
     "q_udtf_polymorphic", "q_zorder_key", "q_skew_report",
     "s_session_dynamic", "q_table_compact", "s_stream_union", "q_rfm",
     "q_dedup_keep_best", "q_mixture_temperature",
-    "q_gap_fill", "q_attribution",
+    "q_gap_fill", "q_attribution", "q_funnel_timeboxed", "q_cohort_ltv",
 ]
 
 

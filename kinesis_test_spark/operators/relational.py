@@ -1432,3 +1432,73 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, time_bucket(INTERVAL '1 week', MIN(ts)) AS cohort
+  FROM events GROUP BY user_id),
+revenue AS (
+  SELECT f.cohort, e.user_id,
+         CAST(floor((epoch_ms(time_bucket(INTERVAL '1 week', e.ts))
+                     - epoch_ms(f.cohort)) / 604800000.0) AS BIGINT)
+           AS week_offset,
+         CAST(e.value AS DECIMAL(18,2)) AS v
+  FROM events e JOIN first_seen f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase'),
+weekly AS (
+  SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset,
+         CAST(SUM(v) AS DOUBLE) AS revenue
+  FROM revenue GROUP BY 1, 2)
+SELECT cohort_week, week_offset, revenue,
+       CAST(SUM(CAST(revenue AS DECIMAL(18,2))) OVER (
+         PARTITION BY cohort_week ORDER BY week_offset
+         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumulative_ltv
+FROM weekly ORDER BY cohort_week, week_offset
+""",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: purchase revenue per (signup-cohort
+    week, weeks-since-cohort), with the running cumulative — the LTV grid
+    behind every payback-period decision (the money-weighted sibling of
+    q_retention's activity counts). Per-user first-seen is one aggregate;
+    revenue shuffles once to the (cohort, offset) grain; the cumulative
+    window orders only the tiny weekly grid, and BOTH the weekly sum and
+    the running sum go through decimal so curve points are
+    accumulation-order exact."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    weekly = (
+        purchases.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                (
+                    F.unix_millis(F.date_trunc("week", F.col("ts")))
+                    - F.unix_millis("cohort")
+                )
+                / 604800000.0
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("revenue")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return weekly.withColumn(
+        "cumulative_ltv",
+        F.sum(F.col("revenue").cast("decimal(18,2)")).over(w).cast("double"),
+    ).orderBy("cohort_week", "week_offset")

@@ -218,3 +218,76 @@ def q_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+CONVERSION_WINDOW_H = 72
+
+
+@query(
+    "q_funnel_timeboxed",
+    oracle=f"""
+WITH signups AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+first_purchase AS (
+  SELECT s.user_id, s.signup_ts, MIN(e.ts) AS purchase_ts
+  FROM signups s JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+   AND e.ts >= s.signup_ts
+   AND e.ts < s.signup_ts + INTERVAL {CONVERSION_WINDOW_H} HOUR
+  GROUP BY s.user_id, s.signup_ts)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_signups,
+       CAST(COUNT(p.user_id) AS BIGINT) AS n_converted,
+       ROUND(CAST(COUNT(p.user_id) AS DOUBLE) / COUNT(*), 6) AS conversion,
+       CAST(SUM(CASE WHEN p.user_id IS NOT NULL THEN
+             epoch_ms(p.purchase_ts) - epoch_ms(p.signup_ts) END) AS BIGINT)
+         AS total_lag_ms
+FROM signups s LEFT JOIN first_purchase p ON p.user_id = s.user_id
+""",
+)
+def q_funnel_timeboxed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-boxed conversion: of users who signed up, how many purchased
+    WITHIN 72 hours of their first signup — the deadline-bound form of
+    q_funnel's stage counts (growth teams quote conversion@72h, not
+    ever-converted). The deadline predicate rides the purchase join, so
+    the join output is already the converting population; signups and
+    first purchases are per-user aggregates before any join touches them.
+    Lag sums are integer milliseconds — no float drift in the aggregate."""
+    ev = t(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    window_end = F.col("signup_ts") + F.expr(
+        f"INTERVAL {CONVERSION_WINDOW_H} HOUR"
+    )
+    first_purchase = (
+        signups.join(
+            purchases,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("signup_ts"))
+            & (F.col("p_ts") < window_end),
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("purchase_ts"))
+        .select(
+            F.col("user_id").alias("c_user"),
+            (F.unix_millis("purchase_ts") - F.unix_millis("signup_ts")).alias(
+                "lag_ms"
+            ),
+        )
+    )
+    return signups.join(
+        first_purchase, signups.user_id == F.col("c_user"), "left"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_signups"),
+        F.count("c_user").cast("bigint").alias("n_converted"),
+        F.round(F.count("c_user").cast("double") / F.count(F.lit(1)), 6).alias(
+            "conversion"
+        ),
+        F.sum("lag_ms").cast("bigint").alias("total_lag_ms"),
+    )
