@@ -1340,3 +1340,115 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cluster_id", "score", (F.col("rn") == 1).alias("is_kept"))
         .orderBy("doc_id")
     )
+
+
+def _dedup_eval_oracle() -> str:
+    shared = f"""
+WITH {SQL_SHINGLES},
+seeds AS (SELECT unnest([{_seed_list}]) AS seed),
+mh AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS h
+  FROM shingles, seeds GROUP BY doc_id, seed),
+sig AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+est AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+         len([i FOR i IN generate_series(1, {N_SEEDS})
+              IF sa.sig[i] = sb.sig[i]]) / {N_SEEDS}.0 AS ej
+  FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id),
+bands_fine AS (
+  SELECT doc_id, b, sig[2*b + 1] || sig[2*b + 2] AS bkey
+  FROM sig, (SELECT unnest([{_band_cases}]) AS b)),
+pred_fine AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands_fine a JOIN bands_fine c
+    ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+bands_coarse AS (
+  SELECT doc_id, b,
+         sig[4*b + 1] || sig[4*b + 2] || sig[4*b + 3] || sig[4*b + 4] AS bkey
+  FROM sig, (SELECT unnest([0, 1]) AS b)),
+pred_coarse AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands_coarse a JOIN bands_coarse c
+    ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+hot AS (SELECT s FROM shingles GROUP BY s HAVING COUNT(*) > {NGRAM_DF_CAP}),
+kept AS (SELECT doc_id, s FROM shingles WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+truth AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_inter / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}),
+dials AS (
+  SELECT '4x2' AS dial, p.doc_a, p.doc_b
+  FROM pred_fine p JOIN est e ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b
+  WHERE e.ej >= {MINHASH_THRESHOLD}
+  UNION ALL
+  SELECT '2x4', p.doc_a, p.doc_b
+  FROM pred_coarse p JOIN est e ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b
+  WHERE e.ej >= {MINHASH_THRESHOLD}),
+tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+SELECT d.dial,
+       CAST(COUNT(*) AS BIGINT) AS n_pred,
+       tc.n_truth,
+       CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       ROUND(CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / NULLIF(COUNT(*), 0), 6) AS precision,
+       ROUND(CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / NULLIF(tc.n_truth, 0), 6) AS recall
+FROM dials d
+LEFT JOIN truth t ON t.doc_a = d.doc_a AND t.doc_b = d.doc_b, tc
+GROUP BY d.dial, tc.n_truth
+ORDER BY d.dial
+"""
+    return shared
+
+
+@query("q_dedup_eval", oracle=_dedup_eval_oracle())
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality gate for the dedup family — precision/recall of the
+    MinHash+LSH pair set against the exact-Jaccard ground truth, at TWO
+    band dials side by side (4 bands × 2 rows = the production default;
+    2 bands × 4 rows = the cheaper/stricter dial, which measurably loses
+    recall on this corpus — the readout that justifies the default). The
+    dedup sibling of q_ann_recall's IVF evaluation. Shingles and the
+    exact truth pairs come from the session cache, so the evaluation adds
+    one banding pass per dial + k-bounded joins on top of work the family
+    already did. At 100 TB the truth side runs on a sample BY DESIGN."""
+    sh = _spark_shingles(spark, sf_dir)
+    truth = _threshold_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("t_a"), F.col("doc_b").alias("t_b")
+    )
+    n_truth_df = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+
+    def dial(name: str, n_bands: int) -> DataFrame:
+        pred = minhash_pairs(sh, n_bands=n_bands).select("doc_a", "doc_b")
+        joined = pred.join(
+            truth,
+            (pred.doc_a == F.col("t_a")) & (pred.doc_b == F.col("t_b")),
+            "left",
+        )
+        return (
+            joined.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_pred"),
+                F.count("t_a").cast("bigint").alias("n_hit"),
+            )
+            .crossJoin(F.broadcast(n_truth_df))
+            .select(
+                F.lit(name).alias("dial"),
+                "n_pred",
+                "n_truth",
+                "n_hit",
+                F.round(
+                    F.try_divide(F.col("n_hit").cast("double"), F.col("n_pred")), 6
+                ).alias("precision"),
+                F.round(
+                    F.try_divide(F.col("n_hit").cast("double"), F.col("n_truth")), 6
+                ).alias("recall"),
+            )
+        )
+
+    return dial("4x2", 4).unionByName(dial("2x4", 2)).orderBy("dial")
