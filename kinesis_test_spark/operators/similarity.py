@@ -764,3 +764,79 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@query(
+    "q_emb_drift",
+    oracle=f"""
+WITH v AS (SELECT vec_id % 2 AS grp, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+comp AS (
+  SELECT grp, dim,
+         ROUND(CAST(SUM(CAST(e[dim] AS DECIMAL(28,16))) AS DOUBLE)
+               / COUNT(*), 9) AS c
+  FROM v, (SELECT unnest(generate_series(1, {DIM})) AS dim)
+  GROUP BY grp, dim),
+paired AS (
+  SELECT a.dim, a.c AS ca, b.c AS cb
+  FROM comp a JOIN comp b ON a.dim = b.dim AND a.grp = 0 AND b.grp = 1),
+sums AS (
+  SELECT CAST(SUM(CAST(ca * cb AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(ca * ca AS DECIMAL(28,16))) AS DOUBLE) AS na,
+         CAST(SUM(CAST(cb * cb AS DECIMAL(28,16))) AS DOUBLE) AS nb
+  FROM paired)
+SELECT ROUND(dot / NULLIF(sqrt(na) * sqrt(nb), 0), 6) AS centroid_cosine,
+       ROUND(sqrt(na), 6) AS ref_norm,
+       ROUND(sqrt(nb), 6) AS batch_norm
+FROM sums
+""",
+)
+def q_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: split the corpus into a
+    reference half and a 'new batch' half (vec_id parity stands in for
+    yesterday/today), compute each half's mean vector with the decimal
+    component route, and report the cosine between the two centroids plus
+    both centroid norms — the cheapest early-warning that an upstream
+    encoder changed or the data distribution moved (cosine ≪ 1 = drift).
+    Everything after the per-(group, dim) aggregate is a 2×DIM relation;
+    the term sums go through decimal so the metric is partition-count
+    invariant, which a drift ALERT must be (a threshold that flickers
+    with task scheduling pages someone at 3am for nothing)."""
+    v = t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 2).alias("grp"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    comp = (
+        v.select("grp", F.posexplode("e").alias("dim0", "val"))
+        .groupBy("grp", (F.col("dim0") + 1).alias("dim"))
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(28,16)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("c")
+        )
+    )
+    a = comp.filter(F.col("grp") == 0).select("dim", F.col("c").alias("ca"))
+    b = comp.filter(F.col("grp") == 1).select(
+        F.col("dim").alias("dim_b"), F.col("c").alias("cb")
+    )
+    paired = a.join(F.broadcast(b), F.col("dim") == F.col("dim_b"))
+    sums = paired.agg(
+        F.sum((F.col("ca") * F.col("cb")).cast("decimal(28,16)"))
+        .cast("double")
+        .alias("dot"),
+        F.sum((F.col("ca") * F.col("ca")).cast("decimal(28,16)"))
+        .cast("double")
+        .alias("na"),
+        F.sum((F.col("cb") * F.col("cb")).cast("decimal(28,16)"))
+        .cast("double")
+        .alias("nb"),
+    )
+    return sums.select(
+        F.round(
+            F.try_divide(F.col("dot"), F.sqrt("na") * F.sqrt("nb")), 6
+        ).alias("centroid_cosine"),
+        F.round(F.sqrt("na"), 6).alias("ref_norm"),
+        F.round(F.sqrt("nb"), 6).alias("batch_norm"),
+    )
