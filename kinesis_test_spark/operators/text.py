@@ -1348,3 +1348,98 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage (OOV-rate report) and sequence-length histogram
+# ---------------------------------------------------------------------------
+
+COVERAGE_VOCAB = 50  # top-K words treated as the tokenizer vocabulary
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, COUNT(*) AS n,
+           row_number() OVER (ORDER BY COUNT(*) DESC, word) AS rn
+    FROM w GROUP BY word)
+  WHERE rn <= {COVERAGE_VOCAB})
+SELECT CAST({COVERAGE_VOCAB} AS BIGINT) AS vocab_size,
+       CAST(COUNT(*) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       ROUND(CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM w LEFT JOIN vocab v ON w.word = v.word
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: with the top-K words as the vocab,
+    what fraction of corpus tokens fall outside it — the OOV-rate readout
+    that sizes a vocabulary BEFORE committing to a tokenizer
+    (q_text_tokenize_ids then encodes with the chosen one). The vocab is
+    a K-bounded top-k (heap, broadcast into the membership probe); the
+    corpus side is one explode + one broadcast left join, no token-level
+    shuffle. Deterministic vocab boundary via the (count, word)
+    tie-break."""
+    from pyspark.sql import Window
+
+    w = t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    vocab = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("n").desc(), "word")),
+        )
+        .filter(F.col("rn") <= COVERAGE_VOCAB)
+        .select(F.col("word").alias("v_word"))
+    )
+    joined = w.join(F.broadcast(vocab), w.word == F.col("v_word"), "left")
+    oov = F.sum(F.when(F.col("v_word").isNull(), 1).otherwise(0))
+    return joined.agg(
+        F.lit(COVERAGE_VOCAB).cast("bigint").alias("vocab_size"),
+        F.count(F.lit(1)).cast("bigint").alias("total_tokens"),
+        oov.cast("bigint").alias("oov_tokens"),
+        F.round(oov.cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
+    )
+
+
+@query(
+    "q_length_histogram",
+    oracle="""
+SELECT CAST(floor(log2(len(string_split(text, ' ')))) AS BIGINT) AS log2_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+       CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_words,
+       CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_words
+FROM documents
+GROUP BY 1 ORDER BY log2_bin
+""",
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram on log2 bins — the input every packing /
+    batching planner needs (q_text_pack consumes the budget this
+    distribution sizes): how many documents land in each power-of-two
+    length band, with band min/max as the sanity rails. Integer-only
+    aggregation over one scan; log2 of a positive integer count is exact
+    enough that floor() is stable on both engines (word counts ≥ 1 —
+    split never yields an empty list)."""
+    d = t(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    return (
+        d.select(n_words.alias("nw"))
+        .groupBy(F.floor(F.log2("nw")).cast("bigint").alias("log2_bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nw").cast("bigint").alias("total_words"),
+            F.min("nw").cast("bigint").alias("min_words"),
+            F.max("nw").cast("bigint").alias("max_words"),
+        )
+        .orderBy("log2_bin")
+    )
