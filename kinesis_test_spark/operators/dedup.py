@@ -1452,3 +1452,69 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return dial("4x2", 4).unionByName(dial("2x4", 2)).orderBy("dial")
+
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def _containment_oracle() -> str:
+    return f"""
+WITH {SQL_SHINGLES},
+hot AS (SELECT s FROM shingles GROUP BY s HAVING COUNT(*) > {NGRAM_DF_CAP}),
+kept AS (SELECT doc_id, s FROM shingles WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.doc_a AS contained_doc, i.doc_b AS container_doc,
+       ROUND(CAST(i.n_inter AS DOUBLE) / sa.n, 6) AS containment,
+       ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_inter >= {CONTAINMENT_THRESHOLD} * sa.n
+ORDER BY contained_doc, container_doc
+"""
+
+
+@query("q_dedup_containment", oracle=_containment_oracle())
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment detection: doc A is (near-)contained in doc
+    B when ≥90% of A's shingles appear in B — catches quotes, excerpts,
+    and subset copies that symmetric Jaccard MISSES (a short doc inside a
+    long one has tiny Jaccard but containment ≈ 1; both scores are
+    reported so the asymmetry is visible). Same inverted-index join and
+    df-cap guard as the Jaccard family — the pair direction (a, b) and
+    (b, a) both surface because containment is directional. Candidates
+    only from shared shingles, never n²."""
+    sh = _apply_df_cap(_spark_shingles(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = (
+        a.join(b, (F.col("s") == F.col("s_b")) & (F.col("doc_a") != F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("sa_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("sb_id"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa_id"))
+        .join(sb, F.col("doc_b") == F.col("sb_id"))
+        .filter(F.col("n_inter") >= CONTAINMENT_THRESHOLD * F.col("na"))
+        .select(
+            F.col("doc_a").alias("contained_doc"),
+            F.col("doc_b").alias("container_doc"),
+            F.round(F.col("n_inter").cast("double") / F.col("na"), 6).alias(
+                "containment"
+            ),
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("contained_doc", "container_doc")
+    )
