@@ -1443,3 +1443,86 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model scoring (smoothed corpus LM, per-doc NLL)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_perplexity",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                i -> ws[i])) AS w1,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                i -> ws[i + 1])) AS w2
+  FROM w),
+c12 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c FROM c12 GROUP BY w1),
+vocab AS (SELECT CAST(COUNT(DISTINCT w1) AS BIGINT) AS v FROM c1)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(-ln((c12.c + 1.0) / (c1.c + vocab.v))
+                           AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_nll
+FROM bg
+JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
+JOIN c1 ON c1.w1 = bg.w1
+CROSS JOIN vocab
+GROUP BY bg.doc_id
+ORDER BY bg.doc_id
+""",
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document negative log-likelihood under an add-1-smoothed corpus
+    BIGRAM model — the stronger sibling of q_text_logprob's unigram score
+    and the classic perplexity-filter signal (docs whose word ORDER is
+    unlike the corpus score high even when their vocabulary looks normal).
+    The model is two count relations derived from one bigram explode;
+    scoring joins each doc's bigrams back against them — all hash
+    shuffles on bounded keys. Each ln() term truncates through
+    decimal(18,8) before the sum (the logprob rule: libm ulp differences
+    between engines vanish below the truncation), and the per-doc mean
+    rounds at 6."""
+    from pyspark.sql import Window  # noqa: F401  (parallel structure w/ siblings)
+
+    # docs with <2 words produce no bigram: DuckDB's generate_series(1,0)
+    # is empty, but Spark's sequence(1,0) counts DOWN — filter explicitly
+    # (same guard as q_bpe_pair_counts).
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+    )
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ws) - 1, 0)),"
+                " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    vocab = c1.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    term = (
+        -F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
+    ).cast("decimal(18,8)")
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.sum(term).cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_nll"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -28,6 +28,12 @@ NGRAM_KEYS = [
     "q_dedup_ngram_jaccard",
     "q_text_contamination",
     "q_dedup_minhash",
+    # round-6 n-gram consumers (sequence(1,0) counts DOWN in Spark —
+    # each carries an explicit short-doc guard)
+    "q_text_perplexity",
+    "q_bpe_pair_counts",
+    "q_dedup_paragraph",
+    "q_dedup_containment",
 ]
 
 
@@ -76,6 +82,12 @@ DOC_EDGE_KEYS = [
     "q_text_chunk",
     "q_text_stats",
     "q_text_repetition",
+    # round-6 doc scorers with text-derived denominators / log arguments
+    "q_text_entropy",
+    "q_quality_gate",
+    "q_vocab_coverage",
+    "q_length_histogram",
+    "q_pipeline_audit",
 ]
 
 # Keys over `embeddings` that compute a cosine: must survive the planted
