@@ -161,3 +161,50 @@ def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_bal": 5000.0, "excluded": "MACHINERY"},
     )
+
+
+@query(
+    "q_sql_script",
+    oracle="""
+WITH tot AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS target FROM lineitem),
+cum AS (
+  SELECT k, CAST(SUM(n) OVER (ORDER BY k) AS BIGINT) AS cnt
+  FROM (SELECT CAST(TRUNC(l_quantity) AS INT) AS k, COUNT(*) AS n
+        FROM lineitem GROUP BY 1)),
+hit AS (SELECT MIN(k) AS k FROM cum, tot WHERE cnt >= tot.target)
+SELECT CAST(hit.k AS INT) AS median_qty_ceil,
+       (SELECT cnt FROM cum WHERE k = hit.k) AS n_at_or_below,
+       tot.target
+FROM hit, tot
+""",
+)
+def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4's BEGIN/DECLARE/WHILE procedural blocks,
+    spark.sql.scripting.enabled): a stepped threshold search — raise the
+    quantity cutoff until it covers half the table — written the way a
+    procedural analyst writes it, with each loop iteration issuing a real
+    query. The ORACLE is the honest set-based equivalent (cumulative
+    count + MIN over qualifying thresholds): same answer, ONE scan
+    instead of ~median-many — which is also the 100 TB verdict on this
+    surface: scripting is for orchestration logic, not for loops that
+    re-scan the fact table (the engine supports both; the repo's other
+    245 operators are the set-based habit)."""
+    from kinesis_test_spark.sources import views
+
+    views(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE target BIGINT;
+          DECLARE k INT = 0;
+          DECLARE cnt BIGINT = 0;
+          SET target = (SELECT COUNT(*) DIV 2 FROM lineitem);
+          WHILE cnt < target DO
+            SET k = k + 1;
+            SET cnt = (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= k);
+          END WHILE;
+          SELECT k AS median_qty_ceil, cnt AS n_at_or_below, target;
+        END
+        """
+    )
