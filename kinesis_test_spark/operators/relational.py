@@ -1502,3 +1502,76 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cumulative_ltv",
         F.sum(F.col("revenue").cast("decimal(18,2)")).over(w).cast("double"),
     ).orderBy("cohort_week", "week_offset")
+
+
+BASKET_MIN_SUPPORT = 3  # orders containing the pair
+
+
+@query(
+    "q_basket_rules",
+    oracle=f"""
+WITH baskets AS (
+  SELECT l_orderkey, l_partkey FROM lineitem GROUP BY l_orderkey, l_partkey),
+n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets),
+item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+         FROM baskets GROUP BY l_partkey),
+pair AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {BASKET_MIN_SUPPORT})
+SELECT p1, p2, n_pair,
+       ROUND(CAST(n_pair AS DOUBLE) / no.n, 6) AS support,
+       ROUND(CAST(n_pair AS DOUBLE) / i1.n_item, 6) AS confidence,
+       ROUND(CAST(n_pair AS DOUBLE) * no.n / (i1.n_item * i2.n_item), 6) AS lift
+FROM pair
+JOIN item i1 ON i1.l_partkey = p1
+JOIN item i2 ON i2.l_partkey = p2
+CROSS JOIN n_orders no
+ORDER BY lift DESC, p1, p2
+""",
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over the co-purchase relation
+    (support / confidence / lift for part pairs above a support floor) —
+    the recommender-adjacent readout built on the SAME bounded pair
+    explode as q_graph_pagerank: per-order distinct items, self-join on
+    orderkey (k² per order, k = lines-per-order), then three ratio
+    columns against item and order totals. The support floor (HAVING)
+    cuts the pair relation before the dimension joins; the order count is
+    a broadcast 1-row aggregate. Rule metrics are ratios of exact counts,
+    rounded at 6 — deterministic everywhere."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n")
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    b = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2"))
+    pair = (
+        li.join(b, (li.l_orderkey == b.o2) & (li.l_partkey < b.p2))
+        .groupBy(F.col("l_partkey").alias("p1"), "p2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= BASKET_MIN_SUPPORT)
+    )
+    i1 = item.select(F.col("l_partkey").alias("k1"), F.col("n_item").alias("n1"))
+    i2 = item.select(F.col("l_partkey").alias("k2"), F.col("n_item").alias("n2"))
+    return (
+        pair.join(F.broadcast(i1), F.col("p1") == F.col("k1"))
+        .join(F.broadcast(i2), F.col("p2") == F.col("k2"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "n_pair",
+            F.round(F.col("n_pair").cast("double") / F.col("n"), 6).alias("support"),
+            F.round(F.col("n_pair").cast("double") / F.col("n1"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_pair").cast("double") * F.col("n") / (F.col("n1") * F.col("n2")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "p1", "p2")
+    )
