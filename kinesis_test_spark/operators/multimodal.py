@@ -534,3 +534,85 @@ def q_mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         roundtrip, "doc_id long, n_samples int, peak long, sum_abs long"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# multi-frame packed-PNG container (video-like payload, real codec per frame)
+# ---------------------------------------------------------------------------
+
+PACK_FRAMES = 4
+
+
+@query(
+    "q_mm_framepack",
+    oracle=f"""
+WITH px AS (
+  SELECT d.doc_id, f.f, x.x, y.y
+  FROM documents d,
+       (SELECT unnest(generate_series(0, {PACK_FRAMES - 1})) AS f) f,
+       (SELECT unnest(generate_series(0, {PNG_W - 1})) AS x) x,
+       (SELECT unnest(generate_series(0, {PNG_H - 1})) AS y) y)
+SELECT doc_id, CAST({PACK_FRAMES} AS INT) AS n_frames,
+       CAST(SUM((doc_id * 7 + f * 11 + x + y) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((doc_id * 13 + f * 17 + 2 * x + y) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((doc_id * 31 + f * 23 + x + 3 * y) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def q_mm_framepack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-like multimodal payload with a REAL codec per frame: four
+    16×16 PNG frames packed into one length-prefixed binary blob per
+    document (the frame-container shape a video pipeline carries), then
+    unpacked, each frame decoded through the pure-Python PNG codec
+    (png_py.py — frame index rotates the scanline filter, so all five
+    filter paths run per document), and per-document channel totals
+    reported from the DECODED pixels. The DuckDB oracle computes the same
+    totals analytically across the doc × frame × pixel grid — any drift
+    in the container framing, the per-frame codec, or the unpack loop
+    breaks parity. Arrow-batched mapInPandas, parallel per doc batch."""
+    import struct
+    from collections.abc import Iterator
+
+    from kinesis_test_spark.operators.png_py import decode_png, encode_png
+
+    d = t(spark, sf_dir, "documents").select("doc_id").repartition(8, "doc_id")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                blob = bytearray()
+                for f in range(PACK_FRAMES):
+                    pix = bytes(
+                        (
+                            (doc_id * 7 + f * 11 + x + y) % 256,
+                            (doc_id * 13 + f * 17 + 2 * x + y) % 256,
+                            (doc_id * 31 + f * 23 + x + 3 * y) % 256,
+                        )[c]
+                        for y in range(PNG_H)
+                        for x in range(PNG_W)
+                        for c in range(3)
+                    )
+                    png = encode_png(pix, PNG_W, PNG_H, filter_type=(doc_id + f) % 5)
+                    blob += struct.pack(">I", len(png)) + png
+                # unpack + decode from the container bytes only
+                pos, n_frames = 0, 0
+                sr = sg = sb = 0
+                while pos < len(blob):
+                    (ln,) = struct.unpack_from(">I", blob, pos)
+                    pos += 4
+                    _w, _h, out = decode_png(bytes(blob[pos : pos + ln]))
+                    pos += ln
+                    n_frames += 1
+                    sr += sum(out[0::3])
+                    sg += sum(out[1::3])
+                    sb += sum(out[2::3])
+                rows.append((doc_id, n_frames, sr, sg, sb))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return d.mapInPandas(
+        roundtrip, "doc_id long, n_frames int, sum_r long, sum_g long, sum_b long"
+    ).orderBy("doc_id")
