@@ -176,6 +176,10 @@ def test_partition_count_invariance(spark, sf_dir, tmp_path):
         "q_dedup_paragraph",
         "q_text_entropy",
         "q_quality_gate",
+        # events-derived round-6 analytics: carry-forward window and the
+        # decimal LTV cumulative are the partition-order-sensitive shapes
+        "q_attribution",
+        "q_cohort_ltv",
     ]:
         base = registry.QUERIES[key](spark, sf_dir).toPandas()
         multi = registry.QUERIES[key](spark, str(tmp_path)).toPandas()
