@@ -490,7 +490,7 @@ def q_source_avro_resilient(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     d = scratch_dir("src_avro_res")
     src = _events_typed(spark, sf_dir)
-    for i in range(4):
+    for i in range(4):  # staging rig only — the operator under test is the READ
         part = src.filter(F.col("user_id") % 4 == i).toPandas()
         buf = write_container(part.to_dict("records"), schema)
         if i == 1:  # poison one container: truncate mid-block (a partial

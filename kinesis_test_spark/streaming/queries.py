@@ -1143,7 +1143,7 @@ def s_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .select("event_id", "user_id", "event_type", "value")
     )
-    for i in range(4):
+    for i in range(4):  # staging rig only — the operator under test is the READ
         part = src.filter(F.col("user_id") % 4 == i).toPandas()
         (stage / f"events_{i}.avro").write_bytes(
             write_container(part.to_dict("records"), schema)
