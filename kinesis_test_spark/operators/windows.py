@@ -430,3 +430,59 @@ def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("roll_med"),
     )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+WITH seg AS (
+  SELECT user_id, value,
+         epoch_ms(ts) AS t0,
+         lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS t1
+  FROM events),
+held AS (
+  SELECT user_id, value, t1 - t0 AS dur_ms FROM seg WHERE t1 IS NOT NULL)
+SELECT user_id,
+       CAST(SUM(dur_ms) AS BIGINT) AS span_ms,
+       ROUND(CAST(SUM(CAST(value * dur_ms AS DECIMAL(28,6))) AS DOUBLE)
+             / SUM(dur_ms), 6) AS twa_value,
+       CAST(COUNT(*) AS BIGINT) AS n_segments
+FROM held GROUP BY user_id ORDER BY user_id
+""",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average — the billing/telemetry primitive a plain AVG
+    gets wrong: each reading holds until the next one, so its weight is
+    the HOLD DURATION, not 1 (a user sitting on a high value for a day
+    then flickering low for a second averages high). lead() builds the
+    hold segments per user (unique event_id tie-break), integer
+    millisecond durations weight the values, and the weighted sum runs
+    through decimal(28,6) so the integral is partition-order exact. One
+    user_id shuffle; per-key window state is a single lookahead row."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        "value",
+        F.unix_millis("ts").alias("t0"),
+        F.lead(F.unix_millis("ts")).over(w).alias("t1"),
+    ).filter(F.col("t1").isNotNull())
+    dur = F.col("t1") - F.col("t0")
+    return (
+        seg.select("user_id", "value", dur.alias("dur_ms"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("dur_ms").cast("bigint").alias("span_ms"),
+            F.round(
+                F.sum((F.col("value") * F.col("dur_ms")).cast("decimal(28,6)"))
+                .cast("double")
+                / F.sum("dur_ms"),
+                6,
+            ).alias("twa_value"),
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        )
+        .orderBy("user_id")
+    )
