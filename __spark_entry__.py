@@ -105,6 +105,7 @@ _PRIORITY = [
     "q_dedup_eval", "q_emb_drift", "q_vocab_coverage", "q_length_histogram",
     "q_dedup_containment", "q_text_perplexity", "q_sql_script",
     "q_basket_rules", "q_mm_framepack", "q_time_weighted_avg",
+    "q_bootstrap_ci",
 ]
 
 

@@ -1575,3 +1575,94 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("lift").desc(), "p1", "p2")
     )
+
+
+BOOTSTRAP_B = 20  # resamples; thresholds below are Poisson(1) pmf on hex16
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle="""
+WITH p AS (SELECT event_id, value FROM events WHERE event_type = 'purchase'),
+rs AS (
+  SELECT b, value,
+         CASE WHEN h < 24109 THEN 0 WHEN h < 48218 THEN 1
+              WHEN h < 60273 THEN 2 ELSE 3 END AS w
+  FROM (SELECT b, event_id, value,
+               ((strpos('0123456789abcdef', substr(md5('bs|' || CAST(b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('bs|' || CAST(b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 2, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('bs|' || CAST(b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('bs|' || CAST(b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 4, 1)) - 1)) AS h
+        FROM p, (SELECT unnest(generate_series(0, 19)) AS b))),
+means AS (
+  SELECT b, CAST(SUM(CAST(value * w AS DECIMAL(18,2))) AS DOUBLE)
+            / NULLIF(SUM(w), 0) AS m
+  FROM rs GROUP BY b),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mv
+  FROM p),
+se AS (SELECT ROUND(stddev_samp(m), 6) AS se_boot FROM means)
+SELECT base.n, ROUND(base.mv, 6) AS mean_value, se.se_boot,
+       ROUND(base.mv - 2 * se.se_boot, 6) AS ci_lo,
+       ROUND(base.mv + 2 * se.se_boot, 6) AS ci_hi
+FROM base, se
+""",
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap CI for the mean — the resampling
+    form distributed systems actually run (per-row Poisson(1) weights
+    instead of with-replacement draws, so no global shuffle per
+    resample). Weights come from the portable hash against Poisson pmf
+    thresholds: the SAME resamples materialize on any engine, run, or
+    partitioning — a reproducible CI, where seeded rand() would move the
+    interval between runs. Cost: one B-way explode collapsed map-side to
+    B partial means; the CI combine is a 20-row aggregate."""
+    from kinesis_test_spark.functions.porthash import spark_hex16
+
+    p = t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "value")
+    b = spark.range(BOOTSTRAP_B).toDF("b")
+    h = spark_hex16(
+        F.concat(
+            F.lit("bs|"),
+            F.col("b").cast("string"),
+            F.lit("|"),
+            F.col("event_id").cast("string"),
+        )
+    )
+    w = (
+        F.when(h < 24109, 0)
+        .when(h < 48218, 1)
+        .when(h < 60273, 2)
+        .otherwise(3)
+    )
+    means = (
+        p.crossJoin(F.broadcast(b))
+        .select("b", "value", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.try_divide(
+                F.sum((F.col("value") * F.col("w")).cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                F.sum("w"),
+            ).alias("m")
+        )
+    )
+    base = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mv"),
+    )
+    se = means.agg(F.round(F.stddev_samp("m"), 6).alias("se_boot"))
+    return (
+        base.crossJoin(F.broadcast(se))
+        .select(
+            "n",
+            F.round("mv", 6).alias("mean_value"),
+            "se_boot",
+            F.round(F.col("mv") - 2 * F.col("se_boot"), 6).alias("ci_lo"),
+            F.round(F.col("mv") + 2 * F.col("se_boot"), 6).alias("ci_hi"),
+        )
+    )
