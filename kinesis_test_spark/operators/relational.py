@@ -1196,7 +1196,8 @@ SELECT n_c, n_t,
        ROUND(mean_c, 6) AS mean_control,
        ROUND(mean_t, 6) AS mean_treatment,
        ROUND(mean_t - mean_c, 6) AS lift,
-       ROUND((mean_t - mean_c) / sqrt(var_c / n_c + var_t / n_t), 6)
+       ROUND((mean_t - mean_c)
+             / NULLIF(sqrt(var_c / n_c + var_t / n_t), 0), 6)
          AS t_statistic
 FROM wide
 """,
@@ -1245,8 +1246,12 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_t", 6).alias("mean_treatment"),
         F.round(F.col("mean_t") - F.col("mean_c"), 6).alias("lift"),
         F.round(
-            (F.col("mean_t") - F.col("mean_c"))
-            / F.sqrt(F.col("var_c") / F.col("n_c") + F.col("var_t") / F.col("n_t")),
+            F.try_divide(
+                F.col("mean_t") - F.col("mean_c"),
+                F.sqrt(
+                    F.col("var_c") / F.col("n_c") + F.col("var_t") / F.col("n_t")
+                ),
+            ),
             6,
         ).alias("t_statistic"),
     )

@@ -69,14 +69,14 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_session_native",
     oracle="""
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
               THEN 1 ELSE 0 END AS is_start
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, ts,
-         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
   FROM flagged)
 SELECT user_id,
@@ -174,7 +174,7 @@ WITH g AS (
            AS gap_s
   FROM events),
 flagged AS (
-  SELECT user_id, ts, gap_s,
+  SELECT user_id, ts, event_id, gap_s,
          CASE WHEN MAX(ts + to_seconds(gap_s)) OVER prior IS NULL
                 OR ts >= MAX(ts + to_seconds(gap_s)) OVER prior
               THEN 1 ELSE 0 END AS is_start
@@ -183,7 +183,7 @@ flagged AS (
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
 numbered AS (
   SELECT user_id, ts, gap_s,
-         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
   FROM flagged)
 SELECT user_id,

@@ -58,6 +58,8 @@ def _decode_wav_inner(buf: bytes) -> tuple[int, list[int]]:
     while pos + 8 <= len(buf):
         tag = buf[pos : pos + 4]
         (size,) = struct.unpack_from("<I", buf, pos + 4)
+        if pos + 8 + size > len(buf):
+            raise ValueError("chunk size overruns buffer")
         payload = buf[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
         if tag == b"fmt ":

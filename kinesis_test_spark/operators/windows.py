@@ -446,7 +446,7 @@ held AS (
 SELECT user_id,
        CAST(SUM(dur_ms) AS BIGINT) AS span_ms,
        ROUND(CAST(SUM(CAST(value * dur_ms AS DECIMAL(28,6))) AS DOUBLE)
-             / SUM(dur_ms), 6) AS twa_value,
+             / NULLIF(SUM(dur_ms), 0), 6) AS twa_value,
        CAST(COUNT(*) AS BIGINT) AS n_segments
 FROM held GROUP BY user_id ORDER BY user_id
 """,
@@ -477,9 +477,12 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("dur_ms").cast("bigint").alias("span_ms"),
             F.round(
-                F.sum((F.col("value") * F.col("dur_ms")).cast("decimal(28,6)"))
-                .cast("double")
-                / F.sum("dur_ms"),
+                F.try_divide(
+                    F.sum(
+                        (F.col("value") * F.col("dur_ms")).cast("decimal(28,6)")
+                    ).cast("double"),
+                    F.sum("dur_ms"),
+                ),
                 6,
             ).alias("twa_value"),
             F.count(F.lit(1)).cast("bigint").alias("n_segments"),

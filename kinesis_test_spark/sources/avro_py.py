@@ -194,6 +194,14 @@ def _read_container_inner(buf: bytes) -> tuple[dict, list[dict]]:
         n_rec, pos = zigzag_decode(buf, pos)
         if n_rec < 0:
             raise ValueError(f"negative record count {n_rec}")
+        # Even a zero-field record costs >=0 payload bytes but the loop
+        # itself allocates per record — bound the declared count by the
+        # bytes that could possibly back it (16 = trailing sync marker) so
+        # a flipped count byte can't turn into an unbounded alloc loop.
+        if n_rec > len(buf) - pos:
+            raise ValueError(
+                f"record count {n_rec} exceeds remaining buffer {len(buf) - pos}"
+            )
         _size, pos = _length(buf, pos)
         for _ in range(n_rec):
             rec = {}

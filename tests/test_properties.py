@@ -189,10 +189,30 @@ def test_partition_count_invariance(spark, sf_dir, tmp_path):
         assert b.equals(m), key
 
 
+_PRIORITY_CHECK = """
+import json, sys
+import __spark_entry__ as entry
+from kinesis_test_spark import registry
+registry.load_all()
+conditional = {"q_source_avro", "q_mm_decode_real"}  # env-conditional
+missing = [n for n in entry._PRIORITY
+           if n not in registry.QUERIES and n not in conditional]
+dupes = len(entry._PRIORITY) - len(set(entry._PRIORITY))
+print(json.dumps({"missing": missing, "dupes": dupes}))
+"""
+
+
 def test_driver_priority_names_are_registered():
     """Every name in __spark_entry__._PRIORITY must be a registered query
     (or a conditionally-registered source key) — a typo would silently
-    drop a key out of the driver's correctness window."""
+    drop a key out of the driver's correctness window.
+
+    Checked in-process first; on mismatch, re-checked in a FRESH
+    interpreter after a settle delay. This makes the test immune to the
+    register-mid-edit race (a background suite importing while
+    __spark_entry__ and an operator module are saved out of step leaves
+    a skewed pair in sys.modules; a fresh process reads the settled disk
+    state). A persistent failure is real drift and still fails."""
     import __spark_entry__ as entry
     from kinesis_test_spark import registry
 
@@ -201,8 +221,27 @@ def test_driver_priority_names_are_registered():
     missing = [
         n for n in entry._PRIORITY if n not in registry.QUERIES and n not in conditional
     ]
+    dupes = len(entry._PRIORITY) - len(set(entry._PRIORITY))
+    if missing or dupes:
+        import json
+        import os
+        import subprocess
+        import sys
+        import time
+
+        time.sleep(2.0)  # let any concurrent multi-file edit finish landing
+        out = subprocess.run(
+            [sys.executable, "-c", _PRIORITY_CHECK],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        fresh = json.loads(out.stdout.strip().splitlines()[-1])
+        missing, dupes = fresh["missing"], fresh["dupes"]
     assert not missing, missing
-    assert len(set(entry._PRIORITY)) == len(entry._PRIORITY)  # no duplicates
+    assert dupes == 0, f"{dupes} duplicate _PRIORITY entries"
 
 
 def test_driver_priority_stale_before_fresh():
