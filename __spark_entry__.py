@@ -106,6 +106,9 @@ _PRIORITY = [
     "q_dedup_containment", "q_text_perplexity", "q_sql_script",
     "q_basket_rules", "q_mm_framepack", "q_time_weighted_avg",
     "q_bootstrap_ci",
+    # Round-7 keys (first driver check wanted promptly; kept to a handful so
+    # the window drains the pre-regen ledger, VERDICT r6 #1).
+    "s_state_ttl",
 ]
 
 

@@ -1263,3 +1263,212 @@ def s_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(merged, name, d / "cp", output_mode="complete")
     return spark.table(name)
+
+
+TTL_MS = 30 * 60 * 1000  # session expires after 30 min of event-time silence
+# An expired key's lease stub lingers one TTL past expiry before GC: long
+# enough that a promptly-returning key keeps its fencing counter, short
+# enough that state stays O(recently-active keys). After GC a reappearing
+# key restarts at lease 1 — counters can't outlive state retention.
+GRACE_MS = TTL_MS
+
+
+def ttl_session_stream(stream: DataFrame) -> DataFrame:
+    """The TTL-sessionizer stateful operator over a watermarked event
+    stream — shared by s_state_ttl and the crafted-arrival boundary test
+    (tests/test_streaming.py), so the pinned expiry/fencing semantics are
+    the exact code the registered query runs."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("lease", LongType()),
+            StructField("n_events", LongType()),
+            StructField("first_ms", LongType()),
+            StructField("last_ms", LongType()),
+            StructField("closed_by", StringType()),
+        ]
+    )
+    # (lease, n, first_ms, last_ms); n == 0 marks an expired-lease stub
+    # waiting out its grace period.
+    state_schema = StructType(
+        [
+            StructField("lease", LongType()),
+            StructField("n", LongType()),
+            StructField("first_ms", LongType()),
+            StructField("last_ms", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        uid = key[0]
+        if state.hasTimedOut:
+            lease, n, first_ms, last_ms = state.get
+            if n == 0:  # grace expired with no reactivation — GC the stub
+                state.remove()
+                return
+            # lease expiry: emit the closed session, leave a fenced stub
+            state.update((lease + 1, 0, 0, 0))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + GRACE_MS)
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "lease": [lease],
+                    "n_events": [n],
+                    "first_ms": [first_ms],
+                    "last_ms": [last_ms],
+                    "closed_by": ["timeout"],
+                }
+            )
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+        if state.exists:
+            lease, n, first_ms, last_ms = state.get
+        else:
+            lease, n, first_ms, last_ms = 1, 0, 0, 0
+        closed = {"user_id": [], "lease": [], "n_events": [],
+                  "first_ms": [], "last_ms": [], "closed_by": []}
+        for t in ts_ms:
+            if n and t - last_ms > TTL_MS:  # in-batch TTL breach
+                closed["user_id"].append(uid)
+                closed["lease"].append(lease)
+                closed["n_events"].append(n)
+                closed["first_ms"].append(first_ms)
+                closed["last_ms"].append(last_ms)
+                closed["closed_by"].append("gap")
+                lease, n = lease + 1, 0
+            if n == 0:
+                first_ms = t
+            n += 1
+            last_ms = t
+        state.update((lease, n, first_ms, last_ms))
+        # +1 so an event landing exactly at last + TTL still joins the lease
+        state.setTimeoutTimestamp(last_ms + TTL_MS + 1)
+        if closed["user_id"]:
+            yield pd.DataFrame(closed)
+
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+@query(
+    "s_state_ttl",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {TTL_MS}
+              THEN 1 ELSE 0 END AS is_start
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+  FROM flagged),
+sess AS (
+  SELECT user_id, seq,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(epoch_ms(MIN(ts)) AS BIGINT) AS first_ms,
+         CAST(epoch_ms(MAX(ts)) AS BIGINT) AS last_ms
+  FROM numbered GROUP BY user_id, seq)
+SELECT user_id, seq AS lease, n_events, first_ms, last_ms,
+       CASE WHEN seq = MAX(seq) OVER (PARTITION BY user_id)
+            THEN 'timeout' ELSE 'gap' END AS closed_by
+FROM sess
+""",
+)
+def s_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State TTL / lease expiry via applyInPandasWithState with
+    EVENT-TIME TIMEOUT — the reference's DynamoDB lease semantics
+    (README.md:2-6, consumer.py:169-218): a key silent for TTL loses its
+    lease, the closed session is emitted exactly once, and when the key
+    reappears it starts a NEW session under an incremented lease counter
+    (the fencing token, consumer.py:189). Three mechanics in one operator:
+
+    * IN-BATCH splits: a micro-batch can span many TTL windows, so the
+      update function itself walks the key's rows in (ts, event_id) order
+      and closes a session on every gap > TTL ('gap' rows) — state holds
+      only the trailing OPEN session, never the batch;
+    * CROSS-BATCH expiry: the open session registers an event-time timeout
+      at last_event + TTL; when the WATERMARK passes it the state times
+      out, the session is emitted ('timeout' rows), and the lease counter
+      is bumped — driven by other keys' progress, exactly like a lease
+      stolen by a live worker from a dead one;
+    * GC with grace: an expired key's (lease, 0-event) stub survives
+      GRACE_MS past its expiry so a prompt reactivation keeps a
+      monotonically increasing lease, then the stub removes itself — state
+      size stays O(active keys), the property that matters at 100 TB.
+
+    Emission is append-only into a parquet sink behind a checkpoint
+    (exactly-once across the phased drain). The AvailableNow drain needs
+    later batches to advance the watermark before timeouts fire, so after
+    the real data two far-future sentinel arrivals close every real
+    session (staged as a real user -1 row; dropped on batch read-back —
+    a filter in the streaming plan would be pushed below the watermark
+    node and never advance it, see s_stream_join_left). Because the real
+    events arrive in one staged file, the emitted sessions equal batch
+    30-min-gap sessionization with the final session per user closed by
+    timeout — giving this stateful op a full value oracle instead of the
+    usual rows-only check."""
+    d = scratch_dir("s_state_ttl")
+    stage, out, cp = d / "src", d / "out", d / "cp"
+    stage.mkdir(parents=True, exist_ok=True)
+
+    from pathlib import Path
+    import shutil
+
+    from kinesis_test_spark.streaming.pipeline import events_schema
+
+    raw_schema = events_schema(spark, sf_dir)
+    max_ts = spark.read.parquet(f"{sf_dir}/events.parquet").agg(F.max("ts")).first()[0]
+
+    def stage_sentinel(name: str, hours_ahead: int) -> None:
+        # far-future ts in the RAW fixture domain (long nanos or naive dt)
+        if isinstance(max_ts, int):
+            far = int(max_ts) + hours_ahead * 3_600_000_000_000
+        else:
+            from datetime import timedelta
+
+            far = max_ts + timedelta(hours=hours_ahead)
+        rows = [(-1, far, -1, "click", 0.0, "{}")]
+        tmp = stage.parent / f"_tmp_{name}"
+        spark.createDataFrame(rows, schema=raw_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        part = next(Path(tmp).glob("part-*.parquet"))
+        shutil.move(str(part), stage / f"{name}.parquet")
+        shutil.rmtree(tmp)
+
+    sessions = ttl_session_stream(read_staged_stream(spark, sf_dir, stage))
+
+    def run_once() -> None:
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(cp))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage_events(spark, sf_dir, stage, "events")
+    run_once()
+    stage_sentinel("sentinel_1", hours_ahead=1)
+    run_once()
+    stage_sentinel("sentinel_2", hours_ahead=2)
+    run_once()
+    return spark.read.parquet(str(out)).filter(F.col("user_id") >= 0)

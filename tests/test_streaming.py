@@ -457,3 +457,125 @@ def test_stream_join_left_watermark_boundary(spark, sf_dir):
         assert len(phase) == len(set(phase)), phase
     for earlier, later in zip(emissions, emissions[1:]):
         assert set(earlier) <= set(later), (earlier, later)
+
+
+def test_state_ttl_expiry_fences_and_reemits(spark, sf_dir):
+    """Boundary pin for s_state_ttl's lease semantics (VERDICT r6 #5), on a
+    purpose-built micro stream driving the SAME ttl_session_stream operator
+    the registered query runs:
+
+      * a key silent past TTL is closed by WATERMARK-driven timeout (other
+        keys' progress expires it — the lease stolen from a dead worker);
+      * when the key reappears it re-emits as a NEW session under an
+        INCREMENTED lease (the fencing counter survives expiry via the
+        grace stub);
+      * an in-batch gap > TTL splits sessions without any timeout at all;
+      * emissions are exactly-once across the phased drains.
+    """
+    from datetime import datetime, timedelta
+    from pathlib import Path
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from kinesis_test_spark.streaming.pipeline import (
+        events_schema,
+        read_staged_stream,
+        scratch_dir,
+    )
+    from kinesis_test_spark.streaming.queries import ttl_session_stream
+
+    d = scratch_dir("ttl_boundary")
+    stage, out, cp = d / "src", d / "out", d / "cp"
+    stage.mkdir(parents=True, exist_ok=True)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        schema = events_schema(spark, sf_dir)
+        ts_is_long = isinstance(schema["ts"].dataType, LongType)
+
+        EPOCH = datetime(1970, 1, 1)
+        T0_US = 1_717_200_000_000_000  # 2024-06-01 00:00:00 UTC in µs
+        MIN_US = 60_000_000
+
+        def ts_val(us: int):
+            return us * 1000 if ts_is_long else EPOCH + timedelta(microseconds=us)
+
+        def stage_batch(name, rows):
+            tmp = stage.parent / f"_tmp_{name}"
+            spark.createDataFrame(
+                [(eid, ts_val(us), uid, "click", 0.0, "{}") for eid, us, uid in rows],
+                schema=schema,
+            ).coalesce(1).write.mode("overwrite").parquet(str(tmp))
+            part = next(Path(tmp).glob("part-*.parquet"))
+            shutil.move(str(part), stage / f"{name}.parquet")
+            shutil.rmtree(tmp)
+
+        sessions = ttl_session_stream(read_staged_stream(spark, sf_dir, stage))
+
+        def drain():
+            q = (
+                sessions.writeStream.format("parquet")
+                .option("path", str(out))
+                .option("checkpointLocation", str(cp))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        def collect_real():
+            rows = spark.read.parquet(str(out)).filter(F.col("user_id") > 0).collect()
+            return sorted(
+                (r.user_id, r.lease, r.n_events, r.closed_by) for r in rows
+            )
+
+        emissions = []
+        # b1: u1 active at T0 and T0+1m; u2 has an IN-BATCH gap > TTL
+        # (T0 and T0+40m) — the gap split must happen with no timeout help
+        stage_batch("b1", [(1, T0_US, 1), (2, T0_US + MIN_US, 1),
+                           (3, T0_US, 2), (4, T0_US + 40 * MIN_US, 2)])
+        drain()
+        emissions.append(collect_real())
+        # u2's in-batch split emits immediately; nothing else closed yet
+        assert (2, 1, 1, "gap") in emissions[-1], emissions[-1]
+        assert not any(r[0] == 1 for r in emissions[-1]), emissions[-1]
+
+        # b2+b3: advancer key -1 pushes the watermark; u1's open session
+        # (timeout T0+31m) expires during b3 (watermark = T0+35m from b2).
+        # The advance is kept SMALL so the lease stub (GC at expiry + one
+        # TTL of grace) is still alive when u1 returns — a bigger jump
+        # would GC the stub and legitimately restart the key at lease 1.
+        stage_batch("b2", [(90, T0_US + 45 * MIN_US, -1)])
+        drain()
+        stage_batch("b3", [(91, T0_US + 50 * MIN_US, -1)])
+        drain()
+        emissions.append(collect_real())
+        assert (1, 1, 2, "timeout") in emissions[-1], emissions[-1]
+
+        # b4: u1 REAPPEARS within grace (ts above the current watermark so
+        # the rows survive the late filter) — must start lease 2, not 1
+        stage_batch("b4", [(5, T0_US + 45 * MIN_US, 1),
+                           (6, T0_US + 46 * MIN_US, 1)])
+        drain()
+        # b5+b6: advancers close u1's second session (and u2's open one)
+        stage_batch("b5", [(92, T0_US + 100 * MIN_US, -1)])
+        drain()
+        stage_batch("b6", [(93, T0_US + 105 * MIN_US, -1)])
+        drain()
+        final = collect_real()
+        emissions.append(final)
+
+        # the reappeared key carries the incremented lease
+        assert (1, 2, 2, "timeout") in final, final
+        # per-user leases are contiguous from 1 — no skips, no reuse
+        for uid in {r[0] for r in final}:
+            leases = sorted(r[1] for r in final if r[0] == uid)
+            assert leases == list(range(1, len(leases) + 1)), (uid, leases)
+        # exactly-once: emissions only grow, never duplicate
+        for phase in emissions:
+            assert len(phase) == len(set(phase)), phase
+        for earlier, later in zip(emissions, emissions[1:]):
+            assert set(earlier) <= set(later), (earlier, later)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
