@@ -108,7 +108,7 @@ _PRIORITY = [
     "q_bootstrap_ci",
     # Round-7 keys (first driver check wanted promptly; kept to a handful so
     # the window drains the pre-regen ledger, VERDICT r6 #1).
-    "s_state_ttl",
+    "s_state_ttl", "q_table_evolve",
 ]
 
 

@@ -27,20 +27,35 @@ from pathlib import Path
 LOG_DIR = "_log"
 
 
-def commit(table_dir: Path, adds: list, removes: list[str]) -> int:
+def commit(
+    table_dir: Path,
+    adds: list,
+    removes: list[str],
+    schema: list[list[str]] | None = None,
+) -> int:
     """Append the next commit; returns the new version number.
 
     An add is a file name, or a dict ``{"file": name, "stats": {col:
     [min, max]}}`` — per-file column stats travel IN the metadata (the
     Iceberg manifest design), so a planner can prune files without
-    touching data."""
+    touching data.
+
+    ``schema`` (a list of [column, DDL type] pairs) records the table
+    schema AS OF this commit — the Iceberg schema-evolution mechanic:
+    the reader projects every file through the committed schema, so data
+    files written before an added column serve NULL for it, and a
+    time-travel read of an older version sees the older schema. A commit
+    without ``schema`` leaves the schema unchanged."""
     log = Path(table_dir) / LOG_DIR
     log.mkdir(parents=True, exist_ok=True)
     version = len(list(log.glob("*.json")))
     actions = [
         {"op": "add", **(a if isinstance(a, dict) else {"file": a})} for a in adds
     ] + [{"op": "remove", "file": f} for f in removes]
-    payload = json.dumps({"version": version, "actions": actions}, indent=1)
+    entry: dict = {"version": version, "actions": actions}
+    if schema is not None:
+        entry["schema"] = schema
+    payload = json.dumps(entry, indent=1)
     tmp = log / f".{version:05d}.json.tmp"
     tmp.write_text(payload)
     tmp.rename(log / f"{version:05d}.json")  # atomic publish
@@ -70,6 +85,31 @@ def live_files(table_dir: Path, version: int | None = None) -> list[str]:
     return [
         str(Path(table_dir) / e["file"]) for e in live_entries(table_dir, version)
     ]
+
+
+def table_schema(table_dir: Path, version: int | None = None) -> list | None:
+    """The committed table schema at ``version`` (None = latest): the most
+    recent schema-carrying commit in the replayed prefix wins. None if no
+    commit ever declared one (a stats-only / pre-evolution table)."""
+    log = Path(table_dir) / LOG_DIR
+    schema = None
+    for path in sorted(log.glob("*.json")):
+        entry = json.loads(path.read_text())
+        if version is not None and entry["version"] > version:
+            break
+        if "schema" in entry:
+            schema = entry["schema"]
+    return schema
+
+
+def schema_ddl(table_dir: Path, version: int | None = None) -> str | None:
+    """The committed schema rendered as a Spark DDL string for
+    ``spark.read.schema(...)`` — the projection that makes pre-evolution
+    files serve NULL for later-added columns."""
+    schema = table_schema(table_dir, version)
+    if schema is None:
+        return None
+    return ", ".join(f"{name} {ddl_type}" for name, ddl_type in schema)
 
 
 def files_maybe_containing(table_dir: Path, col: str, value) -> list[str]:

@@ -112,3 +112,67 @@ def test_stats_survive_replay_and_rewrite(tmp_path):
     assert [e["file"] for e in entries] == ["a2.parquet"]
     assert entries[0]["stats"] == {"user_id": [0, 9]}
     assert files_maybe_containing(tmp_path, "user_id", 3) == ["a2.parquet"]
+
+
+def test_schema_evolution_versioned(tmp_path):
+    """Schema is a COMMIT-level fact: the latest schema-carrying commit in
+    the replayed prefix wins, time travel sees the older schema, and a
+    commit without a schema leaves it unchanged."""
+    from kinesis_test_spark.sources.tablelog import commit, schema_ddl, table_schema
+
+    _touch(tmp_path, "a.parquet")
+    _touch(tmp_path, "b.parquet")
+    _touch(tmp_path, "c.parquet")
+    v0 = commit(
+        tmp_path, adds=["a.parquet"], removes=[], schema=[["x", "BIGINT"]]
+    )
+    v1 = commit(
+        tmp_path,
+        adds=["b.parquet"],
+        removes=[],
+        schema=[["x", "BIGINT"], ["y", "STRING"]],
+    )
+    v2 = commit(tmp_path, adds=["c.parquet"], removes=[])  # no schema change
+    assert table_schema(tmp_path, version=v0) == [["x", "BIGINT"]]
+    assert table_schema(tmp_path, version=v1) == [["x", "BIGINT"], ["y", "STRING"]]
+    assert table_schema(tmp_path, version=v2) == table_schema(tmp_path)
+    assert schema_ddl(tmp_path, version=v0) == "x BIGINT"
+    assert schema_ddl(tmp_path) == "x BIGINT, y STRING"
+
+
+def test_schema_evolution_nulls_for_pre_evolution_files(spark, tmp_path):
+    """Reading through the committed schema serves NULL for a column added
+    AFTER a file was written — no rewrite of old data — and a v0
+    time-travel read projects the original narrow schema."""
+    from kinesis_test_spark.sources.tablelog import commit, live_files, schema_ddl
+
+    spark.createDataFrame([(1,), (2,)], "x BIGINT").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "_t0"))
+    next((tmp_path / "_t0").glob("part-*.parquet")).rename(tmp_path / "old.parquet")
+    v0 = commit(tmp_path, adds=["old.parquet"], removes=[], schema=[["x", "BIGINT"]])
+    spark.createDataFrame([(3, "new")], "x BIGINT, y STRING").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "_t1"))
+    next((tmp_path / "_t1").glob("part-*.parquet")).rename(tmp_path / "new.parquet")
+    commit(
+        tmp_path,
+        adds=["new.parquet"],
+        removes=[],
+        schema=[["x", "BIGINT"], ["y", "STRING"]],
+    )
+    latest = (
+        spark.read.schema(schema_ddl(tmp_path))
+        .parquet(*live_files(tmp_path))
+        .orderBy("x")
+        .collect()
+    )
+    assert [(r.x, r.y) for r in latest] == [(1, None), (2, None), (3, "new")]
+    v0_read = (
+        spark.read.schema(schema_ddl(tmp_path, version=v0))
+        .parquet(*live_files(tmp_path, version=v0))
+        .orderBy("x")
+        .collect()
+    )
+    assert [tuple(r) for r in v0_read] == [(1,), (2,)]
+    assert v0_read[0].asDict().keys() == {"x"}
