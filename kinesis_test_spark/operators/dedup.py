@@ -198,6 +198,7 @@ def minhash_pairs(
     n_seeds: int = N_SEEDS,
     n_bands: int = N_BANDS,
     threshold: float = MINHASH_THRESHOLD,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs over a (doc_id, s) shingle frame.
 
@@ -211,32 +212,75 @@ def minhash_pairs(
     candidate set of (b bands × r rows) is contained in that of (b·r bands
     × 1 row). tests/test_properties.py pins that containment.
 
+    ``bucket_cap`` is the SKEW dial (the NGRAM_DF_CAP analog for band
+    buckets): a bucket of m near-identical docs makes the self-join emit
+    m(m-1)/2 candidates — one boilerplate page template at corpus scale
+    turns a band bucket into a quadratic hot spot on a single reducer.
+    With a cap, buckets over the cap degrade to STAR-LINKING: every
+    member pairs with the bucket's minimum doc_id only, O(m) per bucket.
+    Connected components — what dedup clustering consumes — are preserved
+    for the bucket (the star spans it); non-representative pair edges
+    inside oversized buckets are the accepted loss, so capped mode is an
+    approximation of the pair RELATION but not of the CLUSTERING (for
+    near-identical members, est_jaccard ≈ 1 keeps every star edge above
+    threshold). Default None = exact all-pairs, the oracle-checked path.
+    tests/test_properties.py pins both the bound and the component
+    preservation on a planted O(n) bucket.
+
     All n_seeds minima are computed in ONE groupBy pass (one agg column per
     seed) — no seed cross-join, so shuffle volume is |shingles| rows once,
     collapsed by the map-side combine to |docs| rows before the exchange.
     The only other shuffle is the band-key self-join; no pairwise work
     outside colliding buckets."""
     bands = minhash_bands(minhash_signatures(sh, n_seeds), n_seeds, n_bands)
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "b", "bkey"
-    )
-    c = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), F.col("b").alias("b2"), F.col("bkey").alias("bkey2")
-    )
     matches = F.size(
         F.filter(
             F.sequence(F.lit(1), F.lit(n_seeds)),
             lambda i: F.element_at("sig_a", i) == F.element_at("sig_b", i),
         )
     )
-    return (
-        a.join(
+
+    def all_pairs(rel: DataFrame) -> DataFrame:
+        a = rel.select(
+            F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "b", "bkey"
+        )
+        c = rel.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("sig").alias("sig_b"),
+            F.col("b").alias("b2"),
+            F.col("bkey").alias("bkey2"),
+        )
+        return a.join(
             c,
             (F.col("b") == F.col("b2"))
             & (F.col("bkey") == F.col("bkey2"))
             & (F.col("doc_a") < F.col("doc_b")),
+        ).select("doc_a", "doc_b", "sig_a", "sig_b")
+
+    if bucket_cap is None:
+        cand = all_pairs(bands)
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("b", "bkey")
+        counted = bands.withColumn("bsize", F.count(F.lit(1)).over(w))
+        small = all_pairs(counted.filter(F.col("bsize") <= bucket_cap))
+        # oversized buckets: star-link to the bucket representative (the
+        # min-doc_id member, carried with its signature via a struct min)
+        big = counted.filter(F.col("bsize") > bucket_cap).withColumn(
+            "rep", F.min(F.struct("doc_id", "sig")).over(w)
         )
-        .select("doc_a", "doc_b", (matches / F.lit(float(n_seeds))).alias("est_jaccard"))
+        star = big.filter(F.col("doc_id") != F.col("rep.doc_id")).select(
+            F.col("rep.doc_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("rep.sig").alias("sig_a"),
+            F.col("sig").alias("sig_b"),
+        )
+        cand = small.unionByName(star)
+    return (
+        cand.select(
+            "doc_a", "doc_b", (matches / F.lit(float(n_seeds))).alias("est_jaccard")
+        )
         .distinct()
         .filter(F.col("est_jaccard") >= threshold)
     )

@@ -339,3 +339,53 @@ def test_survey_inventory_matches_registry():
     assert not (mentioned - registered) - env_conditional, sorted(
         (mentioned - registered) - env_conditional
     )
+
+
+def test_minhash_bucket_cap_bounds_skewed_bucket(spark):
+    """Adversarial LSH bucket skew (VERDICT r6 #7): 40 near-identical docs
+    collapse into O(n)-member band buckets, so the uncapped bucket
+    self-join emits O(n²) candidate pairs. With ``bucket_cap`` the
+    oversized buckets degrade to star-linking: the candidate count drops
+    to O(bands × n), while the CLUSTERING the pairs feed — connected
+    components — is unchanged (the star spans each bucket)."""
+    from kinesis_test_spark.operators.dedup import N_BANDS, minhash_pairs
+
+    # 40 near-dups: 20 shared shingles + 1 unique each (J ≈ 0.90);
+    # 10 unrelated docs with disjoint shingle sets.
+    rows = []
+    for d in range(40):
+        rows += [(d, f"shared_{s}") for s in range(20)]
+        rows.append((d, f"uniq_{d}"))
+    for d in range(100, 110):
+        rows += [(d, f"other_{d}_{s}") for s in range(21)]
+    sh = spark.createDataFrame(rows, "doc_id long, s string")
+
+    exact = minhash_pairs(sh, threshold=0.5).collect()
+    capped = minhash_pairs(sh, threshold=0.5, bucket_cap=8).collect()
+
+    exact_pairs = {(r.doc_a, r.doc_b) for r in exact}
+    capped_pairs = {(r.doc_a, r.doc_b) for r in capped}
+    # the planted cluster is quadratic uncapped, linear capped
+    assert len(exact_pairs) >= 40 * 39 // 2, len(exact_pairs)
+    assert len(capped_pairs) <= N_BANDS * 39, len(capped_pairs)
+    # capped candidates are a subset — star edges also exist uncapped
+    assert capped_pairs <= exact_pairs
+
+    def components(pairs, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        groups = {}
+        for n in nodes:
+            groups.setdefault(find(n), set()).add(n)
+        return {frozenset(g) for g in groups.values()}
+
+    nodes = set(range(40)) | set(range(100, 110))
+    assert components(capped_pairs, nodes) == components(exact_pairs, nodes)
