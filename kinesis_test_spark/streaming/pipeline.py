@@ -81,12 +81,19 @@ def events_schema(spark: SparkSession, sf_dir: str) -> StructType:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded read over the events table (reference get_iterator +
     get_records, consumer.py:92-130). `startingPosition=TRIM_HORIZON`
-    maps to a file source consuming the directory from the beginning."""
-    raw = (
-        spark.readStream.schema(events_schema(spark, sf_dir))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    maps to a file source consuming the directory from the beginning.
+
+    Layout-adaptive: the driver fixture is a single FILE named
+    events.parquet (streamed via pathGlobFilter over sf_dir), but a
+    restaged dir (bench --restaged, partition-invariance tests) carries a
+    DIRECTORY of part files under the same name — pathGlobFilter matches
+    leaf-file names, so it would silently stream zero rows there."""
+    events_path = Path(sf_dir) / "events.parquet"
+    reader = spark.readStream.schema(events_schema(spark, sf_dir))
+    if events_path.is_dir():
+        raw = reader.parquet(str(events_path))
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     return normalize_ts(raw)
 
 
