@@ -1063,7 +1063,7 @@ WITH seg AS (
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
   GROUP BY c.c_mktsegment)
 SELECT c_mktsegment, seg_rev,
-       ROUND(seg_rev / SUM(seg_rev) OVER (), 6) AS rev_share
+       ROUND(seg_rev / NULLIF(SUM(seg_rev) OVER (), 0), 6) AS rev_share
 FROM seg
 """,
 )
@@ -1072,7 +1072,9 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     an unpartitioned window over the AGGREGATED series (5 rows — the
     global window is free after the rollup; running it pre-aggregate
     would serialize the whole table through one partition). Decimal sums
-    then one double division, deterministic on both engines."""
+    then one double division, deterministic on both engines; the total is
+    data-dependent (an all-zero-price corpus zeroes it), so the division
+    routes through try_divide/NULLIF per the cross-engine rule."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     seg = (
@@ -1090,7 +1092,10 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         "seg_rev",
         F.round(
-            F.col("seg_rev") / F.sum("seg_rev").over(Window.partitionBy()), 6
+            F.try_divide(
+                F.col("seg_rev"), F.sum("seg_rev").over(Window.partitionBy())
+            ),
+            6,
         ).alias("rev_share"),
     )
 

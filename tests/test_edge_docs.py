@@ -34,6 +34,19 @@ NGRAM_KEYS = [
     "q_bpe_pair_counts",
     "q_dedup_paragraph",
     "q_dedup_containment",
+    # round-7 sweep: every remaining n-gram / shingle / signature walker
+    # (probed total on this corpus before pinning)
+    "q_dedup_simhash",
+    "q_dedup_simhash_hamming",
+    "q_dedup_fuzzy",
+    "q_dedup_normalized",
+    "q_dedup_keep_best",
+    "q_dedup_keeplist",
+    "q_dedup_clusters",
+    "q_dedup_verify",
+    "q_dedup_eval",
+    "q_dedup_incremental",
+    "q_text_tokenize_ids",
 ]
 
 
@@ -88,6 +101,23 @@ DOC_EDGE_KEYS = [
     "q_vocab_coverage",
     "q_length_histogram",
     "q_pipeline_audit",
+    # round-7 sweep: the remaining doc scorers / samplers / exporters with
+    # text-derived denominators or log arguments (all probed total first)
+    "q_text_wordcount",
+    "q_text_tokens",
+    "q_text_tfidf",
+    "q_text_logprob",
+    "q_text_pack",
+    "q_mixture",
+    "q_mixture_temperature",
+    "q_pipeline_llm",
+    "q_pipeline_clean",
+    "q_sample_split",
+    "q_domain_cap",
+    "q_text_pii",
+    "q_text_langid",
+    "q_text_shard_export",
+    "q_dedup_exact",
 ]
 
 # Keys over `embeddings` that compute a cosine: must survive the planted
@@ -97,6 +127,18 @@ ZERO_VEC_KEYS = [
     "q_emb_normalize",
     "q_dedup_embedding",
     "q_sim_search",
+    # round-7 sweep: every remaining cosine / centroid / quantization
+    # consumer of the embeddings table (probed against the zero vector)
+    "q_dedup_embedding_cells",
+    "q_emb_centroid",
+    "q_emb_pq",
+    "q_emb_drift",
+    "q_ann_batch",
+    "q_ann_recall",
+    "q_sim_search_ivf",
+    "q_sim_search_ivf_multiprobe",
+    "q_sim_lsh",
+    "q_kmeans_step",
 ]
 
 
