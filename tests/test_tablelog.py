@@ -176,3 +176,60 @@ def test_schema_evolution_nulls_for_pre_evolution_files(spark, tmp_path):
     )
     assert [tuple(r) for r in v0_read] == [(1,), (2,)]
     assert v0_read[0].asDict().keys() == {"x"}
+
+
+def test_evolve_then_compact_preserves_time_travel(spark, tmp_path):
+    """The evolution × compaction interaction: compaction rewrites live
+    files THROUGH the committed (evolved) schema, the rewrite is a logical
+    remove (bytes stay on disk), so time travel still serves every earlier
+    version — pre-compaction reads reconstruct from the original files and
+    a pre-evolution read still projects the narrow schema. This is the
+    sequence a production table hits first: add a column, then the nightly
+    compactor runs."""
+    from kinesis_test_spark.sources.tablelog import commit, live_files, schema_ddl
+
+    def land(df, name):
+        tmp = tmp_path / f"_t_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        next(tmp.glob("part-*.parquet")).rename(tmp_path / name)
+
+    land(spark.createDataFrame([(1,), (2,)], "x BIGINT"), "a.parquet")
+    v0 = commit(tmp_path, adds=["a.parquet"], removes=[], schema=[["x", "BIGINT"]])
+    land(spark.createDataFrame([(3, "n3")], "x BIGINT, y STRING"), "b.parquet")
+    v1 = commit(
+        tmp_path,
+        adds=["b.parquet"],
+        removes=[],
+        schema=[["x", "BIGINT"], ["y", "STRING"]],
+    )
+    # compact: read live files through the COMMITTED schema, rewrite as one
+    compacted = spark.read.schema(schema_ddl(tmp_path)).parquet(
+        *live_files(tmp_path)
+    )
+    land(compacted, "c.parquet")
+    v2 = commit(tmp_path, adds=["c.parquet"], removes=["a.parquet", "b.parquet"])
+
+    def rows(version):
+        return sorted(
+            (r.x, r.y)
+            for r in spark.read.schema(schema_ddl(tmp_path, version=version))
+            .parquet(*live_files(tmp_path, version=version))
+            .collect()
+        )
+
+    # latest: single compacted file, full content, NULL backfill intact
+    assert live_files(tmp_path, version=v2) == [str(tmp_path / "c.parquet")]
+    assert rows(v2) == [(1, None), (2, None), (3, "n3")]
+    # pre-compaction: same logical content from the ORIGINAL files
+    assert rows(v1) == rows(v2)
+    assert len(live_files(tmp_path, version=v1)) == 2
+    # pre-evolution: narrow schema — no y column at all
+    v0_rows = (
+        spark.read.schema(schema_ddl(tmp_path, version=v0))
+        .parquet(*live_files(tmp_path, version=v0))
+        .collect()
+    )
+    assert sorted(r.x for r in v0_rows) == [1, 2]
+    assert v0_rows[0].asDict().keys() == {"x"}
+    # the remove was logical: every historical byte is still on disk
+    assert (tmp_path / "a.parquet").exists() and (tmp_path / "b.parquet").exists()
