@@ -572,7 +572,30 @@ def test_state_ttl_expiry_fences_and_reemits(spark, sf_dir):
         for uid in {r[0] for r in final}:
             leases = sorted(r[1] for r in final if r[0] == uid)
             assert leases == list(range(1, len(leases) + 1)), (uid, leases)
-        # exactly-once: emissions only grow, never duplicate
+
+        # b7: a LONG silent stretch — the advancer pushes the watermark far
+        # past u1's stub GC point (expiry + GRACE), so the fencing stub
+        # removes itself without emitting anything.
+        stage_batch("b7", [(94, T0_US + 200 * MIN_US, -1)])
+        drain()
+        assert collect_real() == final, "stub GC must not emit"
+        # b8: u1 returns AFTER grace — the counter did not outlive state
+        # retention, so the key legitimately restarts at lease 1 (SCALE.md
+        # round-7: a counter outliving GC would be an unbounded-keys map).
+        stage_batch("b8", [(7, T0_US + 210 * MIN_US, 1)])
+        drain()
+        stage_batch("b9", [(95, T0_US + 300 * MIN_US, -1)])
+        drain()
+        stage_batch("b10", [(96, T0_US + 305 * MIN_US, -1)])
+        drain()
+        final2 = collect_real()
+        emissions.append(final2)
+        assert (1, 1, 1, "timeout") in final2, final2
+        # ...and NOT lease 3: proof the stub was GC'd rather than fenced
+        assert not any(r[0] == 1 and r[1] == 3 for r in final2), final2
+
+        # exactly-once: emissions only grow, never duplicate (the lease-1
+        # restart row differs from the original lease-1 row by n_events)
         for phase in emissions:
             assert len(phase) == len(set(phase)), phase
         for earlier, later in zip(emissions, emissions[1:]):
