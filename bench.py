@@ -220,7 +220,12 @@ def main() -> None:
         force(registry.QUERIES["q_dedup_incremental"](spark, sf_dir))
         timings["q_dedup_incremental_warm"] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    # The summed headline excludes warm-path re-measurements so `value`
+    # keeps the same definition as every prior round's recording (the warm
+    # entries still appear per-query for the regression gate / BASELINE.md).
+    total = round(
+        sum(v for k, v in timings.items() if not k.endswith("_warm")), 3
+    )
     # restaged timings aren't comparable to the single-file history — only
     # gate same-staging runs against each other
     baseline, prev = (

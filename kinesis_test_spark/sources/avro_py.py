@@ -196,8 +196,11 @@ def _read_container_inner(buf: bytes) -> tuple[dict, list[dict]]:
             raise ValueError(f"negative record count {n_rec}")
         # Even a zero-field record costs >=0 payload bytes but the loop
         # itself allocates per record — bound the declared count by the
-        # bytes that could possibly back it (16 = trailing sync marker) so
-        # a flipped count byte can't turn into an unbounded alloc loop.
+        # bytes that could possibly back it, so a flipped count byte can't
+        # turn into an unbounded alloc loop. (Deliberately NOT tightened by
+        # the 16-byte block sync: a valid zero-field-schema block may
+        # declare more records than non-sync bytes, and totality only
+        # needs a buffer-length bound.)
         if n_rec > len(buf) - pos:
             raise ValueError(
                 f"record count {n_rec} exceeds remaining buffer {len(buf) - pos}"

@@ -24,6 +24,19 @@ FROM events GROUP BY event_type
 """
 
 
+def _land_single(df: DataFrame, dest) -> None:
+    """Staging rig: write a DataFrame as ONE named parquet file (the
+    commit-log table rigs fabricate per-batch objects this way). Writes to
+    a sibling tmp dir, renames the part file into place, removes the tmp —
+    the single landing implementation every table rig shares."""
+    import shutil
+
+    tmp = dest.parent / f"_tmp_{dest.name}"
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+    next(tmp.glob("part-*.parquet")).rename(dest)
+    shutil.rmtree(tmp)
+
+
 def _agg(df: DataFrame) -> DataFrame:
     return df.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -374,13 +387,7 @@ def _stage_logged_table(spark: SparkSession, sf_dir: str):
     src = _events_typed(spark, sf_dir)
 
     def land(df, name):
-        tmp = d / f"_tmp_{name}"
-        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
-        part = next(tmp.glob("part-*.parquet"))
-        part.rename(d / name)
-        import shutil
-
-        shutil.rmtree(tmp)
+        _land_single(df, d / name)
 
     for i in range(3):  # v0: initial load, 3 data files
         land(src.filter(F.col("user_id") % 3 == i), f"f{i}.parquet")
@@ -546,8 +553,6 @@ def q_table_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     readers see pre- or post-delete, never a torn state. At 100 TB this
     is the difference between touching one partition and a full-table
     rewrite per erasure request."""
-    import shutil
-
     from kinesis_test_spark.sources.tablelog import (
         commit,
         files_maybe_containing,
@@ -561,11 +566,7 @@ def q_table_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = (max_user + 4) // 4
 
     def land(df, name):
-        tmp = d / f"_tmp_{name}"
-        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
-        part = next(tmp.glob("part-*.parquet"))
-        part.rename(d / name)
-        shutil.rmtree(tmp)
+        _land_single(df, d / name)
 
     adds = []
     for i in range(4):
@@ -644,7 +645,6 @@ def q_table_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrank. At 100 TB this is the nightly job that keeps the reference's
     one-object-per-batch accretion (consumer.py:235-249) readable."""
     import os
-    import shutil
 
     from kinesis_test_spark.sources.tablelog import commit, live_files
     from kinesis_test_spark.streaming.pipeline import scratch_dir
@@ -655,11 +655,7 @@ def q_table_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def land(df, name):
-        tmp = d / f"_tmp_{name}"
-        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
-        part = next(tmp.glob("part-*.parquet"))
-        part.rename(d / name)
-        shutil.rmtree(tmp)
+        _land_single(df, d / name)
 
     for i in range(8):  # small-file accretion: 8 per-batch objects
         land(src.filter(F.col("slice") == i).drop("slice"), f"b{i}.parquet")
@@ -718,12 +714,7 @@ def q_table_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _events_typed(spark, sf_dir)
 
     def land(df, name):
-        import shutil
-
-        tmp = d / f"_tmp_{name}"
-        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
-        next(tmp.glob("part-*.parquet")).rename(d / name)
-        shutil.rmtree(tmp)
+        _land_single(df, d / name)
 
     base_schema = [
         ["event_id", "BIGINT"],

@@ -106,18 +106,62 @@ def read_staged_stream(spark: SparkSession, sf_dir: str, stage: Path, **options)
     return normalize_ts(raw)
 
 
-def stage_events(spark: SparkSession, sf_dir: str, stage: Path, name: str, where: str | None = None) -> None:
-    """Copy (a filtered slice of) events into the staged source dir as one
-    parquet file — one 'batch arrival' from the source's perspective."""
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if where:
-        df = df.filter(where)
+def land_arrival(df: DataFrame, stage: Path, name: str) -> None:
+    """Land a DataFrame in the staged source dir as ONE parquet file —
+    one 'batch arrival' from the source's perspective."""
     tmp = stage.parent / f"_tmp_{name}"
     df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
     part = next(Path(tmp).glob("part-*.parquet"))
     stage.mkdir(parents=True, exist_ok=True)
     shutil.move(str(part), stage / f"{name}.parquet")
     shutil.rmtree(tmp)
+
+
+def stage_events(spark: SparkSession, sf_dir: str, stage: Path, name: str, where: str | None = None) -> None:
+    """Copy (a filtered slice of) events into the staged source dir as one
+    parquet file — one 'batch arrival' from the source's perspective."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if where:
+        df = df.filter(where)
+    land_arrival(df, stage, name)
+
+
+def stage_far_future_sentinels(
+    spark: SparkSession,
+    sf_dir: str,
+    stage: Path,
+    name: str,
+    hours_ahead: int,
+    keys: list[tuple[int, int, str]],
+    max_ts=None,
+) -> None:
+    """Stage watermark-advancer rows with a far-future ts in the RAW
+    fixture domain (long nanos or naive datetime — whichever encoding the
+    current events parquet uses; see sources/tables.normalize_ts). `keys`
+    is a list of (event_id, user_id, event_type); sentinel rows carry
+    value 0.0 and an empty payload and are dropped by consumers on batch
+    read-back. AvailableNow drains need these because a watermark only
+    advances on later ARRIVALS — a filter cannot push time forward.
+    Pass `max_ts` (the raw-domain max of events.ts) to skip the lookup
+    when staging several sentinel batches."""
+    if max_ts is None:
+        max_ts = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .agg(F.max("ts"))
+            .first()[0]
+        )
+    if isinstance(max_ts, int):  # long nanos encoding
+        far = int(max_ts) + hours_ahead * 3_600_000_000_000
+    else:  # naive datetime (micros-NTZ encoding)
+        from datetime import timedelta
+
+        far = max_ts + timedelta(hours=hours_ahead)
+    rows = [(eid, far, uid, etype, 0.0, "{}") for eid, uid, etype in keys]
+    land_arrival(
+        spark.createDataFrame(rows, schema=events_schema(spark, sf_dir)),
+        stage,
+        name,
+    )
 
 
 def run_to_memory(df: DataFrame, name: str, checkpoint: Path, output_mode: str = "append") -> None:

@@ -30,6 +30,7 @@ from kinesis_test_spark.streaming.pipeline import (
     run_to_memory,
     scratch_dir,
     stage_events,
+    stage_far_future_sentinels,
 )
 
 
@@ -574,36 +575,15 @@ def s_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     when present; unmatched must still land in the sink exactly once."""
     d = scratch_dir("s_stream_join_left")
     stage, out, cp = d / "src", d / "out", d / "cp"
-
-    from pathlib import Path
-    import shutil
-
-    from kinesis_test_spark.streaming.pipeline import events_schema
-
     stage.mkdir(parents=True, exist_ok=True)  # stream defined before first arrival
-    raw_schema = events_schema(spark, sf_dir)
     max_ts = spark.read.parquet(f"{sf_dir}/events.parquet").agg(F.max("ts")).first()[0]
 
     def stage_sentinel(name: str, hours_ahead: int) -> None:
-        # far-future ts in the RAW domain (long nanos or naive datetime)
-        if isinstance(max_ts, int):
-            far = int(max_ts) + hours_ahead * 3_600_000_000_000
-        else:
-            from datetime import timedelta
-
-            far = max_ts + timedelta(hours=hours_ahead)
-        rows = [
-            (-1, far, -1, "click", 0.0, "{}"),
-            (-2, far, -2, "purchase", 0.0, "{}"),
-        ]
-        tmp = stage.parent / f"_tmp_{name}"
-        spark.createDataFrame(rows, schema=raw_schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(tmp))
-        part = next(Path(tmp).glob("part-*.parquet"))
-        stage.mkdir(parents=True, exist_ok=True)
-        shutil.move(str(part), stage / f"{name}.parquet")
-        shutil.rmtree(tmp)
+        stage_far_future_sentinels(
+            spark, sf_dir, stage, name, hours_ahead,
+            keys=[(-1, -1, "click"), (-2, -2, "purchase")],
+            max_ts=max_ts,
+        )
 
     def side(alias_id: str, etype: str, uid: str, ts: str) -> DataFrame:
         return (
@@ -1428,30 +1408,14 @@ def s_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage, out, cp = d / "src", d / "out", d / "cp"
     stage.mkdir(parents=True, exist_ok=True)
 
-    from pathlib import Path
-    import shutil
-
-    from kinesis_test_spark.streaming.pipeline import events_schema
-
-    raw_schema = events_schema(spark, sf_dir)
     max_ts = spark.read.parquet(f"{sf_dir}/events.parquet").agg(F.max("ts")).first()[0]
 
     def stage_sentinel(name: str, hours_ahead: int) -> None:
-        # far-future ts in the RAW fixture domain (long nanos or naive dt)
-        if isinstance(max_ts, int):
-            far = int(max_ts) + hours_ahead * 3_600_000_000_000
-        else:
-            from datetime import timedelta
-
-            far = max_ts + timedelta(hours=hours_ahead)
-        rows = [(-1, far, -1, "click", 0.0, "{}")]
-        tmp = stage.parent / f"_tmp_{name}"
-        spark.createDataFrame(rows, schema=raw_schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(tmp))
-        part = next(Path(tmp).glob("part-*.parquet"))
-        shutil.move(str(part), stage / f"{name}.parquet")
-        shutil.rmtree(tmp)
+        stage_far_future_sentinels(
+            spark, sf_dir, stage, name, hours_ahead,
+            keys=[(-1, -1, "click")],
+            max_ts=max_ts,
+        )
 
     sessions = ttl_session_stream(read_staged_stream(spark, sf_dir, stage))
 
