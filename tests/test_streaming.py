@@ -602,3 +602,36 @@ def test_state_ttl_expiry_fences_and_reemits(spark, sf_dir):
             assert set(earlier) <= set(later), (earlier, later)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def test_events_stream_reads_directory_layout(spark, sf_dir):
+    """read_events_stream must drain a DIRECTORY-shaped events.parquet (a
+    restaged multi-file layout, bench --restaged) identically to the
+    driver fixture's single file. The single-file path streams via
+    pathGlobFilter, which matches LEAF names — pointed at a directory it
+    silently streams zero rows, which is why the reader dispatches on
+    layout (streaming/pipeline.read_events_stream)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_test_spark.streaming.pipeline import (
+        read_events_stream,
+        run_to_memory,
+        scratch_dir,
+    )
+
+    d = scratch_dir("stream_dir_layout")
+    restaged = d / "sf"
+    restaged.mkdir(parents=True, exist_ok=True)
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(str(restaged / "events.parquet"))
+
+    counted = (
+        read_events_stream(spark, str(restaged))
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    run_to_memory(counted, "dir_layout_n", d / "cp", output_mode="complete")
+    n_stream = spark.table("dir_layout_n").collect()[0].n
+    n_batch = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n_stream == n_batch, (n_stream, n_batch)
