@@ -40,6 +40,10 @@ PROBE_KEYS = [
     # round-6 events consumers with timestamp-literal comparisons
     "q_cdc_changes",
     "q_compaction_planner",
+    # round-7: the TTL sessionizer converts ts to epoch-ms inside the
+    # stateful update and stages raw-domain sentinels — both dispatch on
+    # the scanned encoding, so the whole pipeline must be invariant
+    "s_state_ttl",
 ]
 
 ENCODINGS = ["nanos", "micros_ntz", "micros_utc"]
