@@ -288,8 +288,9 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_json",
     oracle="""
 SELECT event_id,
-       regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS k_str,
-       CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) AS k,
+       CASE WHEN json_valid(props) THEN props->>'$.k' END AS k_str,
+       TRY_CAST((CASE WHEN json_valid(props) THEN props->>'$.k' END)
+                AS BIGINT) AS k,
        CAST(NULL AS VARCHAR) AS missing,
        '{"event_id":' || CAST(event_id AS VARCHAR) || ',"event_type":"' || event_type || '"}'
          AS reencoded
@@ -298,12 +299,15 @@ FROM events
 )
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON family (reference: json.loads per record, consumer.py:123;
-    re-encode mirrors its json.dumps sink, consumer.py:241)."""
+    re-encode mirrors its json.dumps sink, consumer.py:241). Total on
+    dirty input: get_json_object is lenient (malformed → NULL) and the
+    numeric cast is try_cast (a non-numeric k yields NULL, not an ANSI
+    error); the oracle guards with json_valid + TRY_CAST to match."""
     ev = t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
-        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.expr("try_cast(get_json_object(props, '$.k') as bigint)").alias("k"),
         F.get_json_object("props", "$.missing").alias("missing"),
         F.to_json(F.struct("event_id", "event_type")).alias("reencoded"),
     )
@@ -486,11 +490,14 @@ def q_fn_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_variant",
     oracle="""
-SELECT CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
-         AS k_bucket,
+WITH kk AS (
+  SELECT TRY_CAST((CASE WHEN json_valid(props) THEN props->>'$.k' END)
+                  AS BIGINT) AS k
+  FROM events)
+SELECT CAST(k % 10 AS BIGINT) AS k_bucket,
        COUNT(*) AS n,
-       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-FROM events
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM kk
 GROUP BY 1 ORDER BY k_bucket
 """,
 )
@@ -503,9 +510,13 @@ def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     bag, record.json). Extraction is JVM-side on the binary form — no
     per-row re-parse per accessed field, which is the cost model that
     matters when a 100 TB table has 40 optional fields. Oracle: DuckDB's
-    JSON extraction over the same column."""
+    JSON extraction over the same column. Total on dirty input: the
+    try_ variants turn malformed JSON or a non-numeric k into a NULL
+    (grouped under the NULL bucket) instead of an ANSI error — a poison
+    payload cannot kill a 100 TB scan; the oracle guards with
+    json_valid + TRY_CAST to match."""
     ev = t(spark, sf_dir, "events")
-    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')")
     return (
         ev.select(k.alias("k"))
         .groupBy((F.col("k") % 10).cast("bigint").alias("k_bucket"))

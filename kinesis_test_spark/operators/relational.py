@@ -51,16 +51,22 @@ def q_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_decode",
     oracle="""
 SELECT event_id,
-       CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) AS k
+       TRY_CAST((CASE WHEN json_valid(props) THEN props->>'$.k' END)
+                AS BIGINT) AS k
 FROM events
 """,
 )
 def q_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON payload decode (reference json.loads per record, consumer.py:123)."""
+    """JSON payload decode (reference json.loads per record, consumer.py:123).
+    Total on dirty input: get_json_object is lenient (malformed JSON →
+    NULL) and the numeric cast is try_cast, so a poison payload yields a
+    NULL row instead of failing the scan — the oracle mirrors with a
+    json_valid guard + TRY_CAST (DuckDB's extraction errors on malformed
+    input without it)."""
     ev = t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.expr("try_cast(get_json_object(props, '$.k') as bigint)").alias("k"),
     )
 
 

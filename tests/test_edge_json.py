@@ -1,0 +1,73 @@
+"""Adversarial props fixture: malformed / empty / NULL / non-object JSON.
+
+The shipped fixtures carry only well-formed ``{"k": int}`` props, so the
+JSON consumers' totality on dirty payloads was unproven — and the original
+oracles were NOT total (DuckDB's extraction/CAST errors on malformed input
+where Spark's lenient get_json_object degrades to NULL). The round-7 sweep
+found three keys whose oracle (and, for VARIANT, engine) raised on dirty
+rows; all now route through try_cast / try_parse_json / try_variant_get on
+the Spark side and json_valid + TRY_CAST guards in the oracles. This rig
+plants one row of each dirty shape and re-runs the driver-identical gate
+over every props consumer."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kinesis_test_spark.oracle import check_query
+
+SF_SRC = "/root/testdata/sf0.001"
+
+PROPS_KEYS = [
+    "q_json_decode",
+    "q_fn_json",
+    "q_variant",
+    "q_multimodal",
+    "q_mm_decode",
+    "q_mm_decode_arrow",
+    "q_compaction_planner",
+    "q_nested_parse",
+    "q_nested_flatten",
+]
+
+DIRTY_PROPS = [
+    "not json at all",
+    "",
+    None,
+    "{broken",
+    "[1,2,3]",
+    '{"k": "str-not-int"}',
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_json_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dirty_json_sf")
+    for f in Path(SF_SRC).glob("*.parquet"):
+        shutil.copy(f, d / f.name)
+    ev = pq.read_table(d / "events.parquet")
+    head = ev.slice(0, len(DIRTY_PROPS)).to_pydict()
+    extra = pa.table(
+        {
+            "event_id": [91000000 + i for i in range(len(DIRTY_PROPS))],
+            "ts": head["ts"],
+            "user_id": head["user_id"],
+            "event_type": head["event_type"],
+            "value": head["value"],
+            "props": DIRTY_PROPS,
+        },
+        schema=ev.schema,
+    )
+    pq.write_table(pa.concat_tables([ev, extra]), d / "events.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", PROPS_KEYS)
+def test_dirty_props_parity(spark, dirty_json_sf_dir, name):
+    problems = check_query(spark, dirty_json_sf_dir, name)
+    assert not problems, f"{name}: " + "; ".join(problems)
