@@ -558,13 +558,22 @@ def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sort_multi",
     oracle="""
 SELECT event_id, event_type, value FROM events
-ORDER BY event_type ASC, value DESC, event_id LIMIT 50
+ORDER BY event_type ASC NULLS LAST, value DESC NULLS LAST, event_id
+LIMIT 50
 """,
 )
 def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null ordering is EXPLICIT on both engines: Spark defaults ASC to
+    NULLS FIRST / DESC to NULLS LAST while DuckDB defaults the opposite
+    way, so a nullable sort column under a LIMIT silently selects
+    different rows unless pinned (tools/probe_nulls.py class 1)."""
     ev = t(spark, sf_dir, "events")
     return (
-        ev.orderBy(F.col("event_type").asc(), F.col("value").desc(), F.col("event_id"))
+        ev.orderBy(
+            F.col("event_type").asc_nulls_last(),
+            F.col("value").desc_nulls_last(),
+            F.col("event_id"),
+        )
         .select("event_id", "event_type", "value")
         .limit(50)
     )

@@ -182,7 +182,8 @@ def _lsh_oracle() -> str:
     )
     return f"""
 WITH planes AS (SELECT [{planes_sql}] AS R),
-v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+     WHERE embedding IS NOT NULL),
 bucketed AS (
   SELECT vec_id, label, e, CAST({bits} AS BIGINT) AS bucket FROM v, planes)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
@@ -200,8 +201,11 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear-cost alternative to blocked pairing when no natural blocking
     key exists; at scale the bucket id doubles as the shuffle key.
     The projection fold (0 + x₁ + x₂ …) is sequenced identically in both
-    engines so the sign bits match bit-for-bit."""
-    v = _vectors(spark, sf_dir).repartition(
+    engines so the sign bits match bit-for-bit. NULL vectors are excluded
+    on both sides (a sign-bit bucket for an absent vector is meaningless
+    and DuckDB's list ops error on NULL elements; tools/probe_nulls.py
+    class 4)."""
+    v = _vectors(spark, sf_dir).filter(F.col("e").isNotNull()).repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
     plane_cols = [
@@ -245,7 +249,8 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
               FROM embeddings WHERE vec_id < {N_CENTROIDS}),
-v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+     WHERE embedding IS NOT NULL),
 scored AS (
   SELECT v.vec_id, v.e, cent.cid,
          row_number() OVER (PARTITION BY v.vec_id
@@ -273,8 +278,10 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 fractional digits ≈ double's full precision for them), then one
     double division + ROUND(..., 9) identical on both engines. The driver
     loop of a full k-means is this query iterated; each step is one
-    broadcast join + one partial+final aggregate."""
-    v = _vectors(spark, sf_dir).repartition(
+    broadcast join + one partial+final aggregate. NULL vectors are
+    excluded on both sides (they belong to no cluster; probe_nulls
+    class 4)."""
+    v = _vectors(spark, sf_dir).filter(F.col("e").isNotNull()).repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
     cent = F.broadcast(
@@ -494,7 +501,8 @@ def q_emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_emb_centroid",
     oracle=f"""
-WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           WHERE embedding IS NOT NULL),
 comp AS (
   SELECT label, dim, e[dim] AS val
   FROM v, (SELECT unnest(generate_series(1, {DIM})) AS dim))
@@ -511,8 +519,10 @@ def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label, dim, val), one partial+final hash aggregate over (label, dim).
     Component sums go through DECIMAL(28,16) so partial-agg order can't
     move the mean (same rule as q_kmeans_step). Shuffle is |labels|×DIM
-    rows after map-side combine — constant in corpus size."""
-    v = _vectors(spark, sf_dir)
+    rows after map-side combine — constant in corpus size. NULL vectors
+    are excluded on both sides (a centroid over absent vectors is
+    undefined; probe_nulls class 4)."""
+    v = _vectors(spark, sf_dir).filter(F.col("e").isNotNull())
     comp = v.select("label", F.posexplode("e").alias("dim0", "val"))
     return (
         comp.groupBy("label", (F.col("dim0") + 1).cast("int").alias("dim"))
@@ -529,7 +539,8 @@ def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ann_batch",
     oracle=f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+     WHERE embedding IS NOT NULL),
 q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_BATCH_QUERIES}),
 db AS (SELECT vec_id, e FROM v WHERE vec_id >= {N_BATCH_QUERIES}),
 scored AS (
@@ -578,7 +589,8 @@ PQ_CODES = 16  # codewords per subspace (first 16 vectors' sub-vectors)
 @query(
     "q_emb_pq",
     oracle=f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+     WHERE embedding IS NOT NULL),
 sub AS (
   SELECT vec_id, m, e[(m * {PQ_SUBDIM} + 1):((m + 1) * {PQ_SUBDIM})] AS se
   FROM v, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)),
@@ -647,7 +659,8 @@ def q_emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ann_recall",
     oracle=f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+     WHERE embedding IS NOT NULL),
 q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_BATCH_QUERIES}),
 db AS (SELECT vec_id, e FROM v WHERE vec_id >= {N_BATCH_QUERIES}),
 exact AS (
@@ -770,7 +783,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_emb_drift",
     oracle=f"""
 WITH v AS (SELECT vec_id % 2 AS grp, CAST(embedding AS DOUBLE[]) AS e
-           FROM embeddings),
+           FROM embeddings WHERE embedding IS NOT NULL),
 comp AS (
   SELECT grp, dim,
          ROUND(CAST(SUM(CAST(e[dim] AS DECIMAL(28,16))) AS DOUBLE)
@@ -802,9 +815,13 @@ def q_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the term sums go through decimal so the metric is partition-count
     invariant, which a drift ALERT must be (a threshold that flickers
     with task scheduling pages someone at 3am for nothing)."""
-    v = t(spark, sf_dir, "embeddings").select(
-        (F.col("vec_id") % 2).alias("grp"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    v = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            (F.col("vec_id") % 2).alias("grp"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
     )
     comp = (
         v.select("grp", F.posexplode("e").alias("dim0", "val"))
