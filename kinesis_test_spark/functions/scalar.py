@@ -289,8 +289,9 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id,
        CASE WHEN json_valid(props) THEN props->>'$.k' END AS k_str,
-       TRY_CAST((CASE WHEN json_valid(props) THEN props->>'$.k' END)
-                AS BIGINT) AS k,
+       TRY_CAST(NULLIF(regexp_extract(
+           CASE WHEN json_valid(props) THEN trim(props->>'$.k') END,
+           '^[+-]?[0-9]+$'), '') AS BIGINT) AS k,
        CAST(NULL AS VARCHAR) AS missing,
        '{"event_id":' || CAST(event_id AS VARCHAR) || ',"event_type":"' || event_type || '"}'
          AS reencoded
@@ -490,14 +491,25 @@ def q_fn_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_variant",
     oracle="""
-WITH kk AS (
-  SELECT TRY_CAST((CASE WHEN json_valid(props) THEN props->>'$.k' END)
-                  AS BIGINT) AS k
-  FROM events)
+WITH kv AS (
+  SELECT json_type(j, '$.k') AS t, j->>'$.k' AS ks
+  FROM (SELECT CASE WHEN json_valid(props) THEN props END AS j
+        FROM events)),
+kx AS (
+  SELECT CASE
+           WHEN t = 'BOOLEAN' THEN CASE WHEN ks = 'true' THEN 1 ELSE 0 END
+           WHEN t IN ('BIGINT', 'UBIGINT', 'DOUBLE') THEN
+             CAST(trunc(TRY_CAST(ks AS DOUBLE)) AS BIGINT)
+           WHEN t = 'VARCHAR' THEN
+             TRY_CAST(NULLIF(regexp_extract(trim(ks), '^[+-]?[0-9]+$'), '')
+                      AS BIGINT)
+           ELSE NULL
+         END AS k
+  FROM kv)
 SELECT CAST(k % 10 AS BIGINT) AS k_bucket,
        COUNT(*) AS n,
        CAST(SUM(k) AS BIGINT) AS sum_k
-FROM kk
+FROM kx
 GROUP BY 1 ORDER BY k_bucket
 """,
 )
@@ -511,10 +523,12 @@ def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row re-parse per accessed field, which is the cost model that
     matters when a 100 TB table has 40 optional fields. Oracle: DuckDB's
     JSON extraction over the same column. Total on dirty input: the
-    try_ variants turn malformed JSON or a non-numeric k into a NULL
+    try_ variants turn malformed JSON or an uncastable k into a NULL
     (grouped under the NULL bucket) instead of an ANSI error — a poison
-    payload cannot kill a 100 TB scan; the oracle guards with
-    json_valid + TRY_CAST to match."""
+    payload cannot kill a 100 TB scan. The oracle dispatches on
+    json_type to mirror VARIANT cast semantics exactly: numeric k
+    truncates toward zero (5.7 -> 5), boolean casts to 0/1, a STRING k
+    follows strict string->bigint rules ('5.7' -> NULL)."""
     ev = t(spark, sf_dir, "events")
     k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')")
     return (

@@ -51,8 +51,9 @@ def q_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_decode",
     oracle="""
 SELECT event_id,
-       TRY_CAST((CASE WHEN json_valid(props) THEN props->>'$.k' END)
-                AS BIGINT) AS k
+       TRY_CAST(NULLIF(regexp_extract(
+           CASE WHEN json_valid(props) THEN trim(props->>'$.k') END,
+           '^[+-]?[0-9]+$'), '') AS BIGINT) AS k
 FROM events
 """,
 )
@@ -61,8 +62,9 @@ def q_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Total on dirty input: get_json_object is lenient (malformed JSON →
     NULL) and the numeric cast is try_cast, so a poison payload yields a
     NULL row instead of failing the scan — the oracle mirrors with a
-    json_valid guard + TRY_CAST (DuckDB's extraction errors on malformed
-    input without it)."""
+    json_valid guard + an integral-only regex before TRY_CAST (Spark's
+    string->bigint try_cast NULLs '5.7' where a bare DuckDB TRY_CAST
+    would round it — the truncate-vs-round rule, applied to try casts)."""
     ev = t(spark, sf_dir, "events")
     return ev.select(
         "event_id",

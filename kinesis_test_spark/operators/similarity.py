@@ -559,8 +559,10 @@ def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query row_number window keeps k. One corpus scan serves all
     queries (vs Q scans of q_sim_search); the window partitions by query
     id, so state per partition is a k-heap. At 100 TB the same plan holds
-    with the query batch as the broadcast side."""
-    v = _vectors(spark, sf_dir)
+    with the query batch as the broadcast side. NULL vectors are excluded
+    on BOTH sides — query and corpus (a NULL query would otherwise emit a
+    full top-k of -1.0 sentinel rows; probe_nulls class 4)."""
+    v = _vectors(spark, sf_dir).filter(F.col("e").isNotNull())
     q = F.broadcast(
         v.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
             F.col("vec_id").alias("qid"), F.col("e").alias("qe")
@@ -619,8 +621,10 @@ def q_emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: codebook broadcast (PQ_M × PQ_CODES rows), explode to
     sub-vectors, squared-L2 via zip_with + ordered fold, argmin via
     per-(vec, subspace) row_number — no shuffle of the corpus except the
-    window's local sort."""
-    v = _vectors(spark, sf_dir)
+    window's local sort. NULL vectors are excluded on both sides (squared
+    L2 has no sentinel; a NULL distance would argmin to code 0 via the
+    window's NULLS FIRST default; probe_nulls class 4)."""
+    v = _vectors(spark, sf_dir).filter(F.col("e").isNotNull())
     subs = [
         F.struct(F.lit(m).alias("m"), F.slice("e", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("se"))
         for m in range(PQ_M)
@@ -716,8 +720,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cell). The hit test is a join on (qid, vec_id) between two
     k-bounded relations — tiny regardless of corpus size. At 100 TB the
     exact side is the expensive one BY DESIGN (it's the ground truth you
-    sample, not serve): run it over a fixed query sample, as here."""
-    v = _vectors(spark, sf_dir)
+    sample, not serve): run it over a fixed query sample, as here.
+    NULL vectors are excluded on both sides — a NULL query would
+    otherwise report a phantom recall=0 row (probe_nulls class 4)."""
+    v = _vectors(spark, sf_dir).filter(F.col("e").isNotNull())
     q = F.broadcast(
         v.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
             F.col("vec_id").alias("qid"), F.col("e").alias("qe")

@@ -42,6 +42,14 @@ DIRTY_PROPS = [
     "{broken",
     "[1,2,3]",
     '{"k": "str-not-int"}',
+    # typed-but-awkward k values: the truncate-vs-round and
+    # boolean-vs-string cast divergences (round-7 review findings)
+    '{"k": 5.7}',
+    '{"k": -5.7}',
+    '{"k": true}',
+    '{"k": false}',
+    '{"k": "5.7"}',
+    '{"k": " 87 "}',
 ]
 
 
