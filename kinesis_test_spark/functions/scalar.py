@@ -57,18 +57,24 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_url",
     oracle="""
 SELECT event_id,
-       'example.com' AS host,
-       '/search' AS path,
-       CAST(user_id AS VARCHAR) AS uid_param,
-       event_type AS type_param,
-       'uid=' || CAST(user_id AS VARCHAR) || '&type=' || event_type AS qstring
-FROM events
+       CASE WHEN ok THEN 'example.com' END AS host,
+       CASE WHEN ok THEN '/search' END AS path,
+       CASE WHEN ok THEN CAST(user_id AS VARCHAR) END AS uid_param,
+       CASE WHEN ok THEN event_type END AS type_param,
+       CASE WHEN ok THEN
+         'uid=' || CAST(user_id AS VARCHAR) || '&type=' || event_type
+       END AS qstring
+FROM (SELECT *, user_id IS NOT NULL AND event_type IS NOT NULL AS ok
+      FROM events)
 """,
 )
 def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL parsing (reference carries URL-encoded query strings,
     event.py:23-31 / record.json:15). The engine builds a URL then proves
-    parse_url/str_to_map recover the parts the oracle states directly."""
+    parse_url/str_to_map recover the parts the oracle states directly.
+    NULL semantics (probe_nulls class 2): a NULL user_id or event_type
+    nulls the CONCATENATED URL, so every parsed part is NULL — the oracle
+    gates each stated part on the same condition."""
     ev = t(spark, sf_dir, "events")
     url = F.concat(
         F.lit("https://example.com/search?uid="),
@@ -233,13 +239,17 @@ SELECT doc_id,
        string_split(text, ' ')[-1] AS last_token,
        list_contains(string_split(text, ' '), 'the') AS has_the,
        CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique,
-       array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS first3_sorted
+       COALESCE(array_to_string(list_sort(string_split(text, ' '))[1:3], ','),
+                '') AS first3_sorted
 FROM documents
 """,
 )
 def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family (reference arrays: message_event_types event.py:32,
-    data_quality event.py:33-37)."""
+    data_quality event.py:33-37). NULL semantics (probe_nulls class 2):
+    Spark's concat_ws NEVER returns NULL (empty string on a NULL array) —
+    the oracle COALESCEs array_to_string to '' to match; every other
+    column NULL-propagates identically on both engines."""
     d = t(spark, sf_dir, "documents")
     tokens = F.split("text", " ")
     return d.select(
@@ -257,16 +267,21 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_map",
     oracle="""
 SELECT event_id,
-       CAST(user_id AS VARCHAR) AS uid_from_map,
-       event_type AS type_from_map,
-       'type,uid' AS keys_sorted,
-       2 AS n_keys
-FROM events
+       CASE WHEN ok THEN CAST(user_id AS VARCHAR) END AS uid_from_map,
+       CASE WHEN ok THEN event_type END AS type_from_map,
+       CASE WHEN ok THEN 'type,uid' ELSE '' END AS keys_sorted,
+       CASE WHEN ok THEN CAST(2 AS BIGINT) END AS n_keys
+FROM (SELECT *, user_id IS NOT NULL AND event_type IS NOT NULL AS ok
+      FROM events)
 """,
 )
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map family — kv-array→map is the reference's query_string_array shape
-    (record.json:15: [["catalogId","12975"],...] → map)."""
+    (record.json:15: [["catalogId","12975"],...] → map). NULL semantics
+    (probe_nulls classes 2+6): a NULL user_id/event_type nulls the
+    concatenated kv string, so the map and its lookups are NULL — except
+    keys_sorted, where Spark's concat_ws yields '' (never NULL); n_keys
+    is a nullable count, so it goes BIGINT on both sides."""
     ev = t(spark, sf_dir, "events")
     kv = F.str_to_map(
         F.concat(
@@ -280,7 +295,7 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(kv, "uid").alias("uid_from_map"),
         F.element_at(kv, "type").alias("type_from_map"),
         F.concat_ws(",", F.array_sort(F.map_keys(kv))).alias("keys_sorted"),
-        F.size(kv).alias("n_keys"),
+        F.size(kv).cast("bigint").alias("n_keys"),
     )
 
 
@@ -293,7 +308,9 @@ SELECT event_id,
            CASE WHEN json_valid(props) THEN trim(props->>'$.k') END,
            '^[+-]?[0-9]+$'), '') AS BIGINT) AS k,
        CAST(NULL AS VARCHAR) AS missing,
-       '{"event_id":' || CAST(event_id AS VARCHAR) || ',"event_type":"' || event_type || '"}'
+       '{"event_id":' || CAST(event_id AS VARCHAR) ||
+       CASE WHEN event_type IS NULL THEN '}'
+            ELSE ',"event_type":"' || event_type || '"}' END
          AS reencoded
 FROM events
 """,
@@ -303,7 +320,10 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-encode mirrors its json.dumps sink, consumer.py:241). Total on
     dirty input: get_json_object is lenient (malformed → NULL) and the
     numeric cast is try_cast (a non-numeric k yields NULL, not an ANSI
-    error); the oracle guards with json_valid + TRY_CAST to match."""
+    error); the oracle guards with json_valid + TRY_CAST to match.
+    NULL semantics (probe_nulls class 2): Spark's to_json OMITS null
+    struct fields, so a NULL event_type re-encodes to
+    '{"event_id":N}' — the oracle's concatenation branches the same way."""
     ev = t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
@@ -362,14 +382,17 @@ SELECT event_id, issue_name, issue_value FROM (
   SELECT event_id, 'value_mid', CAST(value AS VARCHAR)
   FROM events WHERE value > 100 AND value <= 250
   UNION ALL
-  SELECT event_id, NULL, NULL FROM events WHERE value <= 100
+  SELECT event_id, NULL, NULL FROM events WHERE value <= 100 OR value IS NULL
 )
 """,
 )
 def q_explode_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode_outer of an array-of-structs — the reference's `data_quality`
     audit rows (event.py:33-37; empty array at record.json:11 must still
-    yield a row, hence OUTER)."""
+    yield a row, hence OUTER). NULL semantics (probe_nulls class 2): a
+    NULL value fails every WHEN, lands in the empty-array branch, and the
+    OUTER explode still emits the event's audit row — the oracle's
+    catch-all branch carries `OR value IS NULL` to match."""
     ev = t(spark, sf_dir, "events")
     issue = lambda name, val: F.struct(  # noqa: E731
         F.lit(name).alias("issue_name"), val.cast("string").alias("issue_value")
@@ -498,8 +521,9 @@ WITH kv AS (
 kx AS (
   SELECT CASE
            WHEN t = 'BOOLEAN' THEN CASE WHEN ks = 'true' THEN 1 ELSE 0 END
-           WHEN t IN ('BIGINT', 'UBIGINT', 'DOUBLE') THEN
-             CAST(trunc(TRY_CAST(ks AS DOUBLE)) AS BIGINT)
+           WHEN t IN ('BIGINT', 'UBIGINT') THEN TRY_CAST(ks AS BIGINT)
+           WHEN t = 'DOUBLE' THEN
+             TRY_CAST(trunc(TRY_CAST(ks AS DOUBLE)) AS BIGINT)
            WHEN t = 'VARCHAR' THEN
              TRY_CAST(NULLIF(regexp_extract(trim(ks), '^[+-]?[0-9]+$'), '')
                       AS BIGINT)
@@ -508,7 +532,7 @@ kx AS (
   FROM kv)
 SELECT CAST(k % 10 AS BIGINT) AS k_bucket,
        COUNT(*) AS n,
-       CAST(SUM(k) AS BIGINT) AS sum_k
+       TRY_CAST(SUM(k) AS BIGINT) AS sum_k
 FROM kx
 GROUP BY 1 ORDER BY k_bucket
 """,
@@ -526,9 +550,11 @@ def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     try_ variants turn malformed JSON or an uncastable k into a NULL
     (grouped under the NULL bucket) instead of an ANSI error — a poison
     payload cannot kill a 100 TB scan. The oracle dispatches on
-    json_type to mirror VARIANT cast semantics exactly: numeric k
-    truncates toward zero (5.7 -> 5), boolean casts to 0/1, a STRING k
-    follows strict string->bigint rules ('5.7' -> NULL)."""
+    json_type to mirror VARIANT cast semantics exactly: double k
+    truncates toward zero (5.7 -> 5) and nulls on int64 overflow
+    (TRY_CAST both hops), integer k stays exact past 2^53 (direct
+    string->BIGINT, never through DOUBLE), boolean casts to 0/1, a
+    STRING k follows strict string->bigint rules ('5.7' -> NULL)."""
     ev = t(spark, sf_dir, "events")
     k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')")
     return (
@@ -536,7 +562,11 @@ def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("k") % 10).cast("bigint").alias("k_bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("k").cast("bigint").alias("sum_k"),
+            # sum in DECIMAL(38,0) (order-safe, never overflows at these
+            # magnitudes) and NULL the result iff it exceeds int64 — a
+            # legal near-int64-max k must not ANSI-kill the aggregate;
+            # DuckDB mirrors via its INT128 SUM + TRY_CAST
+            F.expr("try_cast(sum(cast(k as decimal(38,0))) as bigint)").alias("sum_k"),
         )
         .orderBy("k_bucket")
     )

@@ -57,20 +57,31 @@ def _parse_schema() -> T.StructType:
     "q_nested_parse",
     oracle="""
 SELECT event_id AS src_event_id,
-       CASE WHEN value < 0.1 THEN NULL ELSE CAST(user_id AS VARCHAR) END AS parsed_user_id,
-       CASE WHEN value < 0.1 THEN NULL
-            ELSE CAST(user_id % 100 AS VARCHAR) || '-sess' END AS session_id,
-       CASE WHEN value < 0.1 THEN NULL
-            ELSE strftime(ts, '%Y-%m-%d %H:%M:%S.%g') END AS event_date_time,
-       CASE WHEN value < 0.1 THEN NULL ELSE CAST(2 AS BIGINT) END AS n_message_types,
-       value < 0.1 AS is_corrupt
-FROM events
+       CASE WHEN ok AND NOT corrupt THEN CAST(user_id AS VARCHAR) END AS parsed_user_id,
+       CASE WHEN ok AND NOT corrupt
+            THEN CAST(user_id % 100 AS VARCHAR) || '-sess' END AS session_id,
+       CASE WHEN ok AND NOT corrupt
+            THEN strftime(ts, '%Y-%m-%d %H:%M:%S.%g') END AS event_date_time,
+       CASE WHEN ok AND NOT corrupt THEN CAST(2 AS BIGINT) END AS n_message_types,
+       corrupt AS is_corrupt
+FROM (SELECT *,
+             user_id IS NOT NULL AND event_type IS NOT NULL
+               AND ts IS NOT NULL AS ok,
+             COALESCE(value < 0.1, FALSE)
+               AND (user_id IS NOT NULL AND event_type IS NOT NULL
+                    AND ts IS NOT NULL) AS corrupt
+      FROM events)
 """,
 )
 def q_nested_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json(PERMISSIVE) over the nested wire form: valid payloads parse
     into the full EVENT_SCHEMA (3-level struct access), corrupt ones yield
-    NULL fields + the raw text in _corrupt_record."""
+    NULL fields + the raw text in _corrupt_record. NULL semantics
+    (probe_nulls class 2): a NULL user_id/event_type/ts nulls the
+    CONCATENATED payload, so from_json sees NULL input — every parsed
+    field is NULL and is_corrupt is FALSE (no corrupt record was seen);
+    a NULL value falls through F.when to the un-corrupted branch. The
+    oracle's ok/corrupt flags restate exactly that truth table."""
     ev = t(spark, sf_dir, "events")
     parsed = ev.select(
         F.col("event_id").alias("src_event_id"),
@@ -94,17 +105,24 @@ def q_nested_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_nested_flatten",
     oracle="""
 SELECT event_id AS src_event_id,
-       CAST(user_id AS VARCHAR) AS visit_device_user_user_id,
-       'ua-' || event_type AS visit_device_useragent,
-       CAST(user_id % 100 AS VARCHAR) || '-sess' AS visit_tealium_session_id,
-       event_type AS event_type
-FROM events WHERE value >= 0.1
+       CASE WHEN ok THEN CAST(user_id AS VARCHAR) END AS visit_device_user_user_id,
+       CASE WHEN ok THEN 'ua-' || event_type END AS visit_device_useragent,
+       CASE WHEN ok THEN CAST(user_id % 100 AS VARCHAR) || '-sess' END
+         AS visit_tealium_session_id,
+       CASE WHEN ok THEN event_type END AS event_type
+FROM (SELECT *, user_id IS NOT NULL AND event_type IS NOT NULL
+               AND ts IS NOT NULL AS ok
+      FROM events)
+WHERE value >= 0.1
 """,
 )
 def q_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full wire → nested parse → generic recursive flatten, reproducing the
     event.py naming exactly (visit.device.user.user_id →
-    visit_device_user_user_id, event.py:15)."""
+    visit_device_user_user_id, event.py:15). NULL semantics (probe_nulls
+    class 2): as q_nested_parse — a NULL wire component nulls the whole
+    payload, so every flattened field (including event_type, which is
+    re-read from the PARSED struct) is NULL for that row."""
     ev = t(spark, sf_dir, "events")
     parsed = ev.filter(F.col("value") >= 0.1).select(
         F.col("event_id").alias("src_event_id"),

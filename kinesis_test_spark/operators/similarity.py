@@ -91,7 +91,8 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sim_search_ivf",
     oracle=f"""
 WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-              FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+              FROM embeddings
+              WHERE vec_id < {N_CENTROIDS} AND embedding IS NOT NULL),
 v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 scored AS (
   SELECT v.vec_id, v.label, v.e, cent.cid,
@@ -116,7 +117,7 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     with q_sim_search for the tradeoff."""
     v = _vectors(spark, sf_dir)
     cent = F.broadcast(
-        v.filter(F.col("vec_id") < N_CENTROIDS).select(
+        v.filter((F.col("vec_id") < N_CENTROIDS) & F.col("e").isNotNull()).select(
             F.col("vec_id").alias("cid"), F.col("e").alias("ce")
         )
     )
@@ -248,7 +249,8 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_kmeans_step",
     oracle=f"""
 WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-              FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+              FROM embeddings
+              WHERE vec_id < {N_CENTROIDS} AND embedding IS NOT NULL),
 v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
      WHERE embedding IS NOT NULL),
 scored AS (
@@ -318,7 +320,8 @@ N_PROBES = 2
     "q_sim_search_ivf_multiprobe",
     oracle=f"""
 WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-              FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+              FROM embeddings
+              WHERE vec_id < {N_CENTROIDS} AND embedding IS NOT NULL),
 v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 scored AS (
   SELECT v.vec_id, v.label, v.e, cent.cid,
@@ -356,7 +359,7 @@ def ivf_search(
 
     v = _vectors(spark, sf_dir)
     cent = F.broadcast(
-        v.filter(F.col("vec_id") < N_CENTROIDS).select(
+        v.filter((F.col("vec_id") < N_CENTROIDS) & F.col("e").isNotNull()).select(
             F.col("vec_id").alias("cid"), F.col("e").alias("ce")
         )
     )

@@ -50,6 +50,14 @@ DIRTY_PROPS = [
     '{"k": false}',
     '{"k": "5.7"}',
     '{"k": " 87 "}',
+    # large integers: exact past 2^53 (must NOT route through DOUBLE) —
+    # round-7 ADVICE finding. Large DOUBLES are excluded here (Spark
+    # renders '9.1E18' where DuckDB renders '9100000000000000000.0' in
+    # raw string extraction — a rendering divergence, not a cast bug);
+    # the double->bigint overflow branch is pinned in
+    # test_variant_large_numbers below.
+    '{"k": 9007199254740993}',
+    '{"k": -9007199254740993}',
 ]
 
 
@@ -79,3 +87,44 @@ def dirty_json_sf_dir(tmp_path_factory):
 def test_dirty_props_parity(spark, dirty_json_sf_dir, name):
     problems = check_query(spark, dirty_json_sf_dir, name)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+# Large DOUBLES can't join DIRTY_PROPS (raw string extraction renders them
+# differently per engine: Spark '9.1E18' vs DuckDB '9100000000000000000.0'),
+# but q_variant casts them to BIGINT where the semantics ARE portable:
+# in-range doubles truncate, out-of-range doubles go NULL (TRY_CAST both
+# hops in the oracle — a plain CAST raises in DuckDB near int64 max).
+LARGE_DOUBLE_PROPS = [
+    '{"k": 9.1e18}',  # fits int64 (max ~9.223e18): truncates exactly
+    '{"k": 9.3e18}',  # just over int64 max: NULL on both engines
+    '{"k": 1.5e19}',  # far over: NULL
+    '{"k": -9.3e18}',  # just under int64 min: NULL
+    '{"k": 9223372036854775807}',  # int64 max as an INTEGER token: exact
+]
+
+
+@pytest.fixture(scope="module")
+def large_double_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("large_double_sf")
+    for f in Path(SF_SRC).glob("*.parquet"):
+        shutil.copy(f, d / f.name)
+    ev = pq.read_table(d / "events.parquet")
+    head = ev.slice(0, len(LARGE_DOUBLE_PROPS)).to_pydict()
+    extra = pa.table(
+        {
+            "event_id": [91100000 + i for i in range(len(LARGE_DOUBLE_PROPS))],
+            "ts": head["ts"],
+            "user_id": head["user_id"],
+            "event_type": head["event_type"],
+            "value": head["value"],
+            "props": LARGE_DOUBLE_PROPS,
+        },
+        schema=ev.schema,
+    )
+    pq.write_table(pa.concat_tables([ev, extra]), d / "events.parquet")
+    return str(d)
+
+
+def test_variant_large_numbers(spark, large_double_sf_dir):
+    problems = check_query(spark, large_double_sf_dir, "q_variant")
+    assert not problems, "q_variant: " + "; ".join(problems)
