@@ -39,7 +39,11 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     three giant keys), dim replicated across N_SALTS salts, join on
     (key, salt). Each hot key's rows land on N_SALTS reducers instead of
     one. Oracle = the unsalted join, proving the rewrite changes only the
-    physical distribution."""
+    physical distribution. NULL semantics (probe_nulls class 3): an
+    enrichment join must not silently lose facts — a NULL user_id row
+    joins null-safely (<=>) to the dim's own NULL-key row and survives
+    with a NULL grp_name, exactly what the oracle's direct projection
+    states."""
     ev = t(spark, sf_dir, "events")
     fact = ev.select(
         "event_id",
@@ -53,9 +57,13 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim_salted = dim.crossJoin(
         spark.range(N_SALTS).select(F.col("id").cast("bigint").alias("salt"))
-    )
+    ).select(F.col("skew_key").alias("d_skew_key"), "salt", "grp_name")
     return (
-        fact.join(dim_salted, ["skew_key", "salt"])
+        fact.join(
+            dim_salted,
+            fact.skew_key.eqNullSafe(dim_salted.d_skew_key)
+            & (fact.salt == dim_salted.salt),
+        )
         .select("event_id", "skew_key", "grp_name")
     )
 

@@ -173,6 +173,9 @@ def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def __init__(self):
             self.user = None
+            self.seen = False  # NULL user_id is a real partition — "did we
+            # get rows" must not be inferred from the key (probe_nulls
+            # class 3: `is not None` on the key silently dropped it)
             self.prev_ms = None
             self.sessions = 0
             self.events = 0
@@ -180,13 +183,14 @@ def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, row):
             ms = int(row["ts"].timestamp() * 1000)
             self.user = row["user_id"]
+            self.seen = True
             if self.prev_ms is None or ms - self.prev_ms > self.GAP_MS:
                 self.sessions += 1
             self.prev_ms = ms
             self.events += 1
 
         def terminate(self):
-            if self.user is not None:
+            if self.seen:
                 yield (self.user, self.sessions, self.events)
 
     spark.udtf.register("session_counter", SessionCounter)

@@ -188,7 +188,7 @@ if spark_avro_available():
     "q_schema_evolve",
     oracle="""
 SELECT event_id, user_id, event_type, CAST(NULL AS DOUBLE) AS value_v2, 'v1' AS ver
-FROM events WHERE user_id % 2 = 0
+FROM events WHERE user_id % 2 = 0 OR user_id IS NULL
 UNION ALL
 SELECT event_id, user_id, event_type, value AS value_v2, 'v2' AS ver
 FROM events WHERE user_id % 2 = 1
@@ -208,7 +208,9 @@ def q_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = scratch_dir("schema_evolve")
     ev = _events_typed(spark, sf_dir)
-    ev.filter("user_id % 2 = 0").select(
+    # null-inclusive slice: the two batches must PARTITION the input
+    # (probe_nulls class 3 — a NULL user_id fails both % 2 predicates)
+    ev.filter("user_id % 2 = 0 OR user_id IS NULL").select(
         "event_id", "user_id", "event_type", F.lit("v1").alias("ver")
     ).write.parquet(str(d / "pq" / "batch=1"))
     ev.filter("user_id % 2 = 1").select(
@@ -379,7 +381,13 @@ def q_source_avro_py(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stage_logged_table(spark: SparkSession, sf_dir: str):
     """Shared rig for the commit-log table queries: v0 lands events as 3
     files, v1 compacts two of them (no semantic change), v2 deletes
-    user_id % 7 == 0 by rewriting the files that contain them."""
+    user_id % 7 == 0 by rewriting the files that contain them.
+
+    NULL semantics (probe_nulls class 3): the v0 slices must PARTITION the
+    source (slice 0 is null-inclusive — a NULL user_id fails every
+    `% 3 == i` predicate and would be silently lost), and the v2 delete
+    follows SQL DELETE semantics: rows where the predicate is NULL are
+    NOT deleted, so the rewrite keeps them explicitly."""
     from kinesis_test_spark.sources.tablelog import commit
     from kinesis_test_spark.streaming.pipeline import scratch_dir
 
@@ -390,7 +398,10 @@ def _stage_logged_table(spark: SparkSession, sf_dir: str):
         _land_single(df, d / name)
 
     for i in range(3):  # v0: initial load, 3 data files
-        land(src.filter(F.col("user_id") % 3 == i), f"f{i}.parquet")
+        sl = F.col("user_id") % 3 == i
+        if i == 0:
+            sl = sl | F.col("user_id").isNull()
+        land(src.filter(sl), f"f{i}.parquet")
     commit(d, adds=["f0.parquet", "f1.parquet", "f2.parquet"], removes=[])
     # v1: compact f0+f1 into one file — same rows, fewer files
     land(
@@ -399,11 +410,9 @@ def _stage_logged_table(spark: SparkSession, sf_dir: str):
     )
     commit(d, adds=["c01.parquet"], removes=["f0.parquet", "f1.parquet"])
     # v2: delete user_id % 7 == 0 by rewriting both live files
+    keep = (F.col("user_id") % 7 != 0) | F.col("user_id").isNull()
     for name, new in (("c01.parquet", "c01_d.parquet"), ("f2.parquet", "f2_d.parquet")):
-        land(
-            spark.read.parquet(str(d / name)).filter(F.col("user_id") % 7 != 0),
-            new,
-        )
+        land(spark.read.parquet(str(d / name)).filter(keep), new)
     commit(
         d,
         adds=["c01_d.parquet", "f2_d.parquet"],
@@ -420,7 +429,7 @@ def _stage_logged_table(spark: SparkSession, sf_dir: str):
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
        CAST(SUM(user_id) AS BIGINT) AS sum_users
-FROM events WHERE user_id % 7 <> 0 GROUP BY event_type
+FROM events WHERE user_id % 7 <> 0 OR user_id IS NULL GROUP BY event_type
 """,
 )
 def q_table_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,7 +547,8 @@ GDPR_TARGET_USER = 7
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
        CAST(SUM(user_id) AS BIGINT) AS sum_users
-FROM events WHERE user_id <> {GDPR_TARGET_USER} GROUP BY event_type
+FROM events WHERE user_id <> {GDPR_TARGET_USER} OR user_id IS NULL
+GROUP BY event_type
 """,
 )
 def q_table_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,7 +581,14 @@ def q_table_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds = []
     for i in range(4):
         lo, hi = i * width, (i + 1) * width - 1
-        land(src.filter(F.col("user_id").between(lo, hi)), f"u{i}.parquet")
+        # range slices must PARTITION the table: NULL user_id rows (which
+        # fail every BETWEEN) land in file 0 — its [min,max] stats stay
+        # valid for pruning, since NULL never equals a lookup target
+        # (probe_nulls class 3)
+        sl = F.col("user_id").between(lo, hi)
+        if i == 0:
+            sl = sl | F.col("user_id").isNull()
+        land(src.filter(sl), f"u{i}.parquet")
         adds.append({"file": f"u{i}.parquet", "stats": {"user_id": [lo, hi]}})
     commit(d, adds=adds, removes=[])
 
@@ -580,8 +597,10 @@ def q_table_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = int(affected[0][1])
     lo, hi = bucket * width, (bucket + 1) * width - 1
     land(
+        # SQL DELETE semantics: only rows where the predicate is TRUE are
+        # removed — a NULL user_id is kept, not swept up by the erasure
         spark.read.parquet(str(d / affected[0])).filter(
-            F.col("user_id") != GDPR_TARGET_USER
+            (F.col("user_id") != GDPR_TARGET_USER) | F.col("user_id").isNull()
         ),
         f"u{bucket}_scrubbed.parquet",
     )
@@ -706,7 +725,12 @@ def q_table_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     point of metadata-level evolution. A time-travel read at v0 still
     sees the 4-column schema (pinned in tests/test_tablelog.py). The
     oracle derives the same relation from first principles: even users
-    landed pre-evolution (NULL source), odd users in the backfill."""
+    landed pre-evolution (NULL source), odd users in the backfill.
+    NULL semantics (probe_nulls class 3): the two staging slices must
+    PARTITION the input — a NULL user_id fails both `% 2` predicates and
+    would be silently lost, so the legacy slice is explicitly
+    null-inclusive (matching the oracle's CASE, where NULL % 2 = 1 is
+    NULL → NULL source)."""
     from kinesis_test_spark.sources.tablelog import commit, live_files, schema_ddl
     from kinesis_test_spark.streaming.pipeline import scratch_dir
 
@@ -722,7 +746,10 @@ def q_table_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type", "STRING"],
         ["value", "DOUBLE"],
     ]
-    land(src.filter(F.col("user_id") % 2 == 0), "legacy.parquet")
+    land(
+        src.filter((F.col("user_id") % 2 == 0) | F.col("user_id").isNull()),
+        "legacy.parquet",
+    )
     commit(d, adds=["legacy.parquet"], removes=[], schema=base_schema)
     land(
         src.filter(F.col("user_id") % 2 == 1).withColumn(

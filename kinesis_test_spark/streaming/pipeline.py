@@ -126,6 +126,15 @@ def stage_events(spark: SparkSession, sf_dir: str, stage: Path, name: str, where
     land_arrival(df, stage, name)
 
 
+def mod_slice(n: int, i: int, col: str = "user_id") -> str:
+    """Null-safe staging predicate for slice ``i`` of ``n``: modulo slices
+    must PARTITION the input, but a NULL key fails every `% n = i` test —
+    the classic silent-loss bug in partitioned backfills (probe_nulls
+    class 3). Slice 0 carries the NULL-key rows explicitly."""
+    base = f"{col} % {n} = {i}"
+    return f"{base} OR {col} IS NULL" if i == 0 else base
+
+
 def stage_far_future_sentinels(
     spark: SparkSession,
     sf_dir: str,

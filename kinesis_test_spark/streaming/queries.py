@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources.tables import normalize_ts
 from kinesis_test_spark.streaming.pipeline import (
+    mod_slice,
     partitioned_json_sink,
     read_events_stream,
     read_staged_stream,
@@ -816,7 +817,7 @@ def s_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = scratch_dir("s_rate_limited")
     stage, sink, cp = d / "src", d / "sink", d / "cp"
     for i in range(4):
-        stage_events(spark, sf_dir, stage, f"slice_{i}", where=f"user_id % 4 = {i}")
+        stage_events(spark, sf_dir, stage, f"slice_{i}", where=mod_slice(4, i))
     seen: list[int] = []
 
     def land(batch_df, batch_id):
@@ -863,7 +864,7 @@ def s_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = scratch_dir("s_upsert")
     stage, sink, cp = d / "src", d / "sink", d / "cp"
     for i in range(3):
-        stage_events(spark, sf_dir, stage, f"slice_{i}", where=f"user_id % 3 = {i}")
+        stage_events(spark, sf_dir, stage, f"slice_{i}", where=mod_slice(3, i))
 
     def merge(batch_df, _batch_id):
         latest_in_batch = (
@@ -988,7 +989,7 @@ def s_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = scratch_dir("s_observe")
     stage, cp = d / "src", d / "cp"
     for i in range(4):
-        stage_events(spark, sf_dir, stage, f"slice_{i}", where=f"user_id % 4 = {i}")
+        stage_events(spark, sf_dir, stage, f"slice_{i}", where=mod_slice(4, i))
     name = _mem_name("observe")
     observed = read_staged_stream(
         spark, sf_dir, stage, maxFilesPerTrigger="1"
@@ -1047,7 +1048,7 @@ def s_table_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage, cp, table = d / "src", d / "cp", d / "table"
     table.mkdir(parents=True)
     for i in range(4):
-        stage_events(spark, sf_dir, stage, f"slice_{i}", where=f"user_id % 4 = {i}")
+        stage_events(spark, sf_dir, stage, f"slice_{i}", where=mod_slice(4, i))
 
     def land(batch_df, batch_id):
         log = table / LOG_DIR
@@ -1232,8 +1233,8 @@ def s_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjoint halves."""
     d = scratch_dir("s_union")
     stage_a, stage_b = d / "src_a", d / "src_b"
-    stage_events(spark, sf_dir, stage_a, "east", where="user_id % 2 = 0")
-    stage_events(spark, sf_dir, stage_b, "west", where="user_id % 2 = 1")
+    stage_events(spark, sf_dir, stage_a, "east", where=mod_slice(2, 0))
+    stage_events(spark, sf_dir, stage_b, "west", where=mod_slice(2, 1))
     name = _mem_name("union")
     merged = (
         read_staged_stream(spark, sf_dir, stage_a)
