@@ -69,16 +69,21 @@ def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     Deterministic fake decode: dimensions derived from payload length.
     A real codec slots in here unchanged (bytes in → typed columns out).
-    """
+    A NULL payload is QUARANTINED, not fatal: the row survives with NULL
+    decode outputs (probe_nulls class 5 — one missing object must not
+    kill a 100 TB decode stage)."""
+    import numpy as np
+
     for pdf in batches:
-        n = pdf["payload"].map(len)
+        n = pdf["payload"].str.len()  # NaN marks a NULL payload
+        ok = n.notna().to_numpy()
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "payload_len": n.astype("int32"),
-                "width": (n % 64).astype("int32"),
-                "height": ((n * 7) % 64).astype("int32"),
-                "format": "fake/v1",
+                "payload_len": n.astype("Int32"),
+                "width": (n % 64).astype("Int32"),
+                "height": ((n * 7) % 64).astype("Int32"),
+                "format": np.where(ok, "fake/v1", None),
             }
         )
 
@@ -181,7 +186,7 @@ SELECT doc_id,
        CAST(length(text) AS INT) AS payload_len,
        CAST(length(text) % 64 AS INT) AS width,
        CAST((length(text) * 7) % 64 AS INT) AS height,
-       'fake/v1' AS format
+       CASE WHEN text IS NOT NULL THEN 'fake/v1' END AS format
 FROM documents
 """,
 )
@@ -207,6 +212,8 @@ def frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     for pdf in batches:
         rows = {"doc_id": [], "frame_idx": [], "frame_md5": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:  # nothing to sample from a missing payload
+                continue
             n_frames = len(payload) % 5 + 1
             for i in range(1, n_frames + 1):
                 rows["doc_id"].append(doc_id)
@@ -246,15 +253,21 @@ def decode_batch_arrow(batches):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    import numpy as np
+
     for batch in batches:
-        n = pc.binary_length(batch.column("payload")).to_numpy()  # zero-copy ints
+        lens = pc.binary_length(batch.column("payload"))
+        # NULL payloads quarantine to NULL outputs (probe_nulls class 5):
+        # compute on zero-filled values, carry the null mask through
+        null_mask = pc.is_null(lens).to_numpy(zero_copy_only=False)
+        n = pc.fill_null(lens, 0).to_numpy().astype("int64")
         yield pa.RecordBatch.from_arrays(
             [
                 batch.column("doc_id"),
-                pa.array((n).astype("int32")),
-                pa.array((n % 64).astype("int32")),
-                pa.array(((n.astype("int64") * 7) % 64).astype("int32")),
-                pa.array(["fake/v1"] * batch.num_rows),
+                pa.array(n.astype("int32"), mask=null_mask),
+                pa.array((n % 64).astype("int32"), mask=null_mask),
+                pa.array(((n * 7) % 64).astype("int32"), mask=null_mask),
+                pa.array(np.where(null_mask, None, "fake/v1")),
             ],
             names=["doc_id", "payload_len", "width", "height", "format"],
         )
@@ -267,7 +280,7 @@ SELECT doc_id,
        CAST(length(text) AS INT) AS payload_len,
        CAST(length(text) % 64 AS INT) AS width,
        CAST((length(text) * 7) % 64 AS INT) AS height,
-       'fake/v1' AS format
+       CASE WHEN text IS NOT NULL THEN 'fake/v1' END AS format
 FROM documents
 """,
 )
@@ -290,21 +303,23 @@ def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import hashlib
 
     for pdf in batches:
-        n = pdf["payload"].map(len)
-        w = (n % 64).astype("int32")
-        h = ((n * 7) % 64).astype("int32")
-        tw, th = (w // 2).astype("int32"), (h // 2).astype("int32")
+        n = pdf["payload"].str.len()  # NaN marks a NULL payload (quarantined)
+        w = n % 64
+        h = (n * 7) % 64
+        tw, th = w // 2, h // 2
         md5s = [
-            hashlib.md5(p + f":{a}x{b}".encode()).hexdigest()
+            hashlib.md5(p + f":{int(a)}x{int(b)}".encode()).hexdigest()
+            if p is not None
+            else None
             for p, a, b in zip(pdf["payload"], tw, th)
         ]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "width": w,
-                "height": h,
-                "thumb_w": tw,
-                "thumb_h": th,
+                "width": w.astype("Int32"),
+                "height": h.astype("Int32"),
+                "thumb_w": tw.astype("Int32"),
+                "thumb_h": th.astype("Int32"),
                 "thumb_md5": md5s,
             }
         )
@@ -344,7 +359,9 @@ def feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     (CLIP embedding, MFCC, color histogram) produces, vectorized per
     Arrow batch with no per-row Python beyond the regex counts."""
     for pdf in batches:
-        text = pdf["payload"].map(lambda b: b.decode("utf-8"))
+        # NULL payloads decode to None → NaN counts → NULL n_alpha, which
+        # the registered query's n_alpha > 0 filter drops (class 5)
+        text = pdf["payload"].map(lambda b: b.decode("utf-8") if b is not None else None)
         counts = {
             "f_ag": text.str.count("[a-g]"),
             "f_hn": text.str.count("[h-n]"),
@@ -358,7 +375,7 @@ def feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # matching DuckDB ROUND — pandas .round is banker's and differs
             # on exact .5 cases like 87/384)
             out[k] = v / total
-        out["n_alpha"] = total.astype("int64")
+        out["n_alpha"] = total.astype("Int64")
         yield pd.DataFrame(out)
 
 

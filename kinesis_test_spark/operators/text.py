@@ -493,6 +493,9 @@ def q_text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     def code(batches):
         v = bc.value
         for pdf in batches:
+            # a NULL text has no token positions — dropped, matching the
+            # oracle's `i <= len(words)` (NULL) join (probe_nulls class 5)
+            pdf = pdf[pdf["text"].notna()]
             ids = pdf["text"].map(
                 lambda s: [v.get(tok, 0) for tok in s.split(" ")]
             )

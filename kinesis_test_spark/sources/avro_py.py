@@ -34,6 +34,28 @@ import struct
 MAGIC = b"Obj\x01"
 SYNC = bytes(range(16))  # fixed marker: deterministic files, byte-stable tests
 
+# The event wire schema the staging rigs encode. Every non-key field is a
+# nullable union: a NULL user_id/event_type is schema-legal in the source
+# table, and a staging writer that calls .encode on None is the class of
+# rig crash probe_nulls class 5 exists to prevent.
+EVENT_SCHEMA = {
+    "type": "record",
+    "name": "event",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "user_id", "type": ["null", "long"]},
+        {"name": "event_type", "type": ["null", "string"]},
+        {"name": "value", "type": ["null", "double"]},
+    ],
+}
+
+
+def pandas_records(pdf) -> list[dict]:
+    """pandas → avro-encodable dicts: pandas spells NULL as NaN/NaT (and
+    floats an int column that gains one), but the union encoder needs real
+    Nones — convert before encoding."""
+    return pdf.astype(object).where(pdf.notna(), None).to_dict("records")
+
 
 # ---------------------------------------------------------------------------
 # primitive encoders / decoders

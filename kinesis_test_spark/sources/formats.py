@@ -337,25 +337,20 @@ def q_source_avro_py(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from kinesis_test_spark.sources.avro_py import read_container, write_container
-    from kinesis_test_spark.streaming.pipeline import scratch_dir
+    from kinesis_test_spark.sources.avro_py import (
+        EVENT_SCHEMA,
+        pandas_records,
+        read_container,
+        write_container,
+    )
+    from kinesis_test_spark.streaming.pipeline import mod_slice, scratch_dir
 
-    schema = {
-        "type": "record",
-        "name": "event",
-        "fields": [
-            {"name": "event_id", "type": "long"},
-            {"name": "user_id", "type": "long"},
-            {"name": "event_type", "type": "string"},
-            {"name": "value", "type": ["null", "double"]},
-        ],
-    }
     d = scratch_dir("src_avro_py")
     src = _events_typed(spark, sf_dir)
     for i in range(4):  # staging rig: 4 container files = 4 read tasks
-        part = src.filter(F.col("user_id") % 4 == i).toPandas()
+        part = src.filter(mod_slice(4, i)).toPandas()
         (d / f"events_{i}.avro").write_bytes(
-            write_container(part.to_dict("records"), schema)
+            write_container(pandas_records(part), EVENT_SCHEMA)
         )
     binfiles = (
         spark.read.format("binaryFile")
@@ -471,7 +466,7 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_source_avro_resilient",
     oracle="""
 SELECT 'rows' AS metric, CAST(COUNT(*) AS BIGINT) AS n FROM events
-  WHERE user_id % 4 <> 1
+  WHERE user_id % 4 <> 1 OR user_id IS NULL
 UNION ALL
 SELECT 'bad_files' AS metric, CAST(1 AS BIGINT) AS n
 ORDER BY metric
@@ -491,24 +486,19 @@ def q_source_avro_resilient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from kinesis_test_spark.sources.avro_py import read_container, write_container
-    from kinesis_test_spark.streaming.pipeline import scratch_dir
+    from kinesis_test_spark.sources.avro_py import (
+        EVENT_SCHEMA,
+        pandas_records,
+        read_container,
+        write_container,
+    )
+    from kinesis_test_spark.streaming.pipeline import mod_slice, scratch_dir
 
-    schema = {
-        "type": "record",
-        "name": "event",
-        "fields": [
-            {"name": "event_id", "type": "long"},
-            {"name": "user_id", "type": "long"},
-            {"name": "event_type", "type": "string"},
-            {"name": "value", "type": ["null", "double"]},
-        ],
-    }
     d = scratch_dir("src_avro_res")
     src = _events_typed(spark, sf_dir)
     for i in range(4):  # staging rig only — the operator under test is the READ
-        part = src.filter(F.col("user_id") % 4 == i).toPandas()
-        buf = write_container(part.to_dict("records"), schema)
+        part = src.filter(mod_slice(4, i)).toPandas()
+        buf = write_container(pandas_records(part), EVENT_SCHEMA)
         if i == 1:  # poison one container: truncate mid-block (a partial
             # upload — structurally fatal at any size, unlike a bit flip
             # which can land in a value byte and decode silently)

@@ -920,7 +920,10 @@ def s_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window, user) followed by a plain count — dropDuplicates state keyed
     exactly like the aggregate that follows it, both on the RocksDB
     store. The dashboard query (hourly active users) with exact, not
-    sketched, semantics."""
+    sketched, semantics. NULL semantics (probe_nulls): COUNT(DISTINCT
+    user_id) never counts NULL, so the post-dedup count is count(user_id)
+    — not count(*), which would tally an anonymous-user row the SQL form
+    ignores."""
     d = scratch_dir("s_window_users")
     name = _mem_name("wusers")
     counts = (
@@ -928,7 +931,7 @@ def s_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.window("ts", "1 hour").start.alias("window_start"), "user_id")
         .dropDuplicates(["window_start", "user_id"])
         .groupBy("window_start")
-        .agg(F.count("*").alias("n_users"))
+        .agg(F.count("user_id").alias("n_users"))
     )
     run_to_memory(counts, name, d / "cp", output_mode="complete")
     return spark.table(name)
@@ -1105,18 +1108,13 @@ def s_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from kinesis_test_spark.sources.avro_py import read_container, write_container
+    from kinesis_test_spark.sources.avro_py import (
+        EVENT_SCHEMA,
+        pandas_records,
+        read_container,
+        write_container,
+    )
 
-    schema = {
-        "type": "record",
-        "name": "event",
-        "fields": [
-            {"name": "event_id", "type": "long"},
-            {"name": "user_id", "type": "long"},
-            {"name": "event_type", "type": "string"},
-            {"name": "value", "type": ["null", "double"]},
-        ],
-    }
     d = scratch_dir("s_avro_ingest")
     stage = d / "src"
     stage.mkdir(parents=True)
@@ -1125,9 +1123,9 @@ def s_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "value")
     )
     for i in range(4):  # staging rig only — the operator under test is the READ
-        part = src.filter(F.col("user_id") % 4 == i).toPandas()
+        part = src.filter(mod_slice(4, i)).toPandas()
         (stage / f"events_{i}.avro").write_bytes(
-            write_container(part.to_dict("records"), schema)
+            write_container(pandas_records(part), EVENT_SCHEMA)
         )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1436,4 +1434,9 @@ def s_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_once()
     stage_sentinel("sentinel_2", hours_ahead=2)
     run_once()
-    return spark.read.parquet(str(out)).filter(F.col("user_id") >= 0)
+    # drop ONLY the user -1 sentinel sessions: a NULL user_id is a real key
+    # the stateful op sessionized, and `>= 0` alone would silently sweep it
+    # (probe_nulls class 3)
+    return spark.read.parquet(str(out)).filter(
+        (F.col("user_id") >= 0) | F.col("user_id").isNull()
+    )
