@@ -234,11 +234,11 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_array",
     oracle="""
 SELECT doc_id,
-       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        string_split(text, ' ')[1] AS first_token,
        string_split(text, ' ')[-1] AS last_token,
        list_contains(string_split(text, ' '), 'the') AS has_the,
-       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
        COALESCE(array_to_string(list_sort(string_split(text, ' '))[1:3], ','),
                 '') AS first3_sorted
 FROM documents
@@ -254,11 +254,12 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.size(tokens).alias("n_tokens"),
+        # bigint: nullable under NULL text (CLAUDE.md nullable-int rule)
+        F.size(tokens).cast("bigint").alias("n_tokens"),
         F.element_at(tokens, 1).alias("first_token"),
         F.element_at(tokens, -1).alias("last_token"),
         F.array_contains(tokens, "the").alias("has_the"),
-        F.size(F.array_distinct(tokens)).alias("n_unique"),
+        F.size(F.array_distinct(tokens)).cast("bigint").alias("n_unique"),
         F.concat_ws(",", F.slice(F.array_sort(tokens), 1, 3)).alias("first3_sorted"),
     )
 

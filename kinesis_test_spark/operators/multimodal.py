@@ -61,7 +61,9 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DECODE_SCHEMA = "doc_id bigint, payload_len int, width int, height int, format string"
+# BIGINT, not INT: these columns are nullable (quarantined NULL payloads),
+# and nullable ints must be BIGINT on both engines (CLAUDE.md dtype rule)
+DECODE_SCHEMA = "doc_id bigint, payload_len bigint, width bigint, height bigint, format string"
 
 
 def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -80,9 +82,9 @@ def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "payload_len": n.astype("Int32"),
-                "width": (n % 64).astype("Int32"),
-                "height": ((n * 7) % 64).astype("Int32"),
+                "payload_len": n.astype("Int64"),
+                "width": (n % 64).astype("Int64"),
+                "height": ((n * 7) % 64).astype("Int64"),
                 "format": np.where(ok, "fake/v1", None),
             }
         )
@@ -183,9 +185,9 @@ FROM documents
     "q_mm_decode",
     oracle="""
 SELECT doc_id,
-       CAST(length(text) AS INT) AS payload_len,
-       CAST(length(text) % 64 AS INT) AS width,
-       CAST((length(text) * 7) % 64 AS INT) AS height,
+       CAST(length(text) AS BIGINT) AS payload_len,
+       CAST(length(text) % 64 AS BIGINT) AS width,
+       CAST((length(text) * 7) % 64 AS BIGINT) AS height,
        CASE WHEN text IS NOT NULL THEN 'fake/v1' END AS format
 FROM documents
 """,
@@ -264,10 +266,12 @@ def decode_batch_arrow(batches):
         yield pa.RecordBatch.from_arrays(
             [
                 batch.column("doc_id"),
-                pa.array(n.astype("int32"), mask=null_mask),
-                pa.array((n % 64).astype("int32"), mask=null_mask),
-                pa.array(((n * 7) % 64).astype("int32"), mask=null_mask),
-                pa.array(np.where(null_mask, None, "fake/v1")),
+                pa.array(n, mask=null_mask),
+                pa.array(n % 64, mask=null_mask),
+                pa.array((n * 7) % 64, mask=null_mask),
+                # type= is load-bearing: an all-NULL batch would otherwise
+                # infer pa.null() and break the declared string schema
+                pa.array(np.where(null_mask, None, "fake/v1"), type=pa.string()),
             ],
             names=["doc_id", "payload_len", "width", "height", "format"],
         )
@@ -277,9 +281,9 @@ def decode_batch_arrow(batches):
     "q_mm_decode_arrow",
     oracle="""
 SELECT doc_id,
-       CAST(length(text) AS INT) AS payload_len,
-       CAST(length(text) % 64 AS INT) AS width,
-       CAST((length(text) * 7) % 64 AS INT) AS height,
+       CAST(length(text) AS BIGINT) AS payload_len,
+       CAST(length(text) % 64 AS BIGINT) AS width,
+       CAST((length(text) * 7) % 64 AS BIGINT) AS height,
        CASE WHEN text IS NOT NULL THEN 'fake/v1' END AS format
 FROM documents
 """,
@@ -293,7 +297,9 @@ def q_mm_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(decode_batch_arrow, schema=DECODE_SCHEMA)
 
 
-RESIZE_SCHEMA = "doc_id bigint, width int, height int, thumb_w int, thumb_h int, thumb_md5 string"
+# BIGINT for the same reason as DECODE_SCHEMA: nullable under quarantined
+# NULL payloads
+RESIZE_SCHEMA = "doc_id bigint, width bigint, height bigint, thumb_w bigint, thumb_h bigint, thumb_md5 string"
 
 
 def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -316,10 +322,10 @@ def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "width": w.astype("Int32"),
-                "height": h.astype("Int32"),
-                "thumb_w": tw.astype("Int32"),
-                "thumb_h": th.astype("Int32"),
+                "width": w.astype("Int64"),
+                "height": h.astype("Int64"),
+                "thumb_w": tw.astype("Int64"),
+                "thumb_h": th.astype("Int64"),
                 "thumb_md5": md5s,
             }
         )
@@ -329,10 +335,10 @@ def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "q_mm_resize",
     oracle="""
 SELECT doc_id,
-       CAST(length(text) % 64 AS INT) AS width,
-       CAST((length(text) * 7) % 64 AS INT) AS height,
-       CAST((length(text) % 64) // 2 AS INT) AS thumb_w,
-       CAST(((length(text) * 7) % 64) // 2 AS INT) AS thumb_h,
+       CAST(length(text) % 64 AS BIGINT) AS width,
+       CAST((length(text) * 7) % 64 AS BIGINT) AS height,
+       CAST((length(text) % 64) // 2 AS BIGINT) AS thumb_w,
+       CAST(((length(text) * 7) % 64) // 2 AS BIGINT) AS thumb_h,
        md5(text || ':' || CAST((length(text) % 64) // 2 AS VARCHAR)
                 || 'x' || CAST(((length(text) * 7) % 64) // 2 AS VARCHAR)) AS thumb_md5
 FROM documents

@@ -50,11 +50,14 @@ EVENT_SCHEMA = {
 }
 
 
-def pandas_records(pdf) -> list[dict]:
-    """pandas → avro-encodable dicts: pandas spells NULL as NaN/NaT (and
-    floats an int column that gains one), but the union encoder needs real
-    Nones — convert before encoding."""
-    return pdf.astype(object).where(pdf.notna(), None).to_dict("records")
+def exact_records(df) -> list[dict]:
+    """Spark DataFrame → avro-encodable dicts, via Arrow (df.toArrow).
+    NOT toPandas: pandas floats a long column that carries a NULL, silently
+    rounding values past 2^53 before the encoder ever sees them — Arrow
+    keeps int64 exact and spells NULL as a real None, which is what the
+    union encoder needs. Staging-rig-sized collects only (the callers are
+    fixture writers; the distributed operator is the READ path)."""
+    return df.toArrow().to_pylist()
 
 
 # ---------------------------------------------------------------------------

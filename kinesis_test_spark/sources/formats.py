@@ -188,10 +188,10 @@ if spark_avro_available():
     "q_schema_evolve",
     oracle="""
 SELECT event_id, user_id, event_type, CAST(NULL AS DOUBLE) AS value_v2, 'v1' AS ver
-FROM events WHERE user_id % 2 = 0 OR user_id IS NULL
+FROM events WHERE ((user_id % 2) + 2) % 2 = 0 OR user_id IS NULL
 UNION ALL
 SELECT event_id, user_id, event_type, value AS value_v2, 'v2' AS ver
-FROM events WHERE user_id % 2 = 1
+FROM events WHERE ((user_id % 2) + 2) % 2 = 1
 """,
 )
 def q_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,16 +204,16 @@ def q_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a bounded evolution window, wrong as a steady state. At 100 TB keep
     an explicit table schema (or a table format that tracks evolution) and
     use mergeSchema only to RECONCILE, as here."""
-    from kinesis_test_spark.streaming.pipeline import scratch_dir
+    from kinesis_test_spark.streaming.pipeline import mod_slice, scratch_dir
 
     d = scratch_dir("schema_evolve")
     ev = _events_typed(spark, sf_dir)
-    # null-inclusive slice: the two batches must PARTITION the input
-    # (probe_nulls class 3 — a NULL user_id fails both % 2 predicates)
-    ev.filter("user_id % 2 = 0 OR user_id IS NULL").select(
+    # mod_slice: the two batches must PARTITION the input (probe_nulls
+    # class 3 — NULL and negative user_ids must land in exactly one slice)
+    ev.filter(mod_slice(2, 0)).select(
         "event_id", "user_id", "event_type", F.lit("v1").alias("ver")
     ).write.parquet(str(d / "pq" / "batch=1"))
-    ev.filter("user_id % 2 = 1").select(
+    ev.filter(mod_slice(2, 1)).select(
         "event_id",
         "user_id",
         "event_type",
@@ -339,7 +339,7 @@ def q_source_avro_py(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kinesis_test_spark.sources.avro_py import (
         EVENT_SCHEMA,
-        pandas_records,
+        exact_records,
         read_container,
         write_container,
     )
@@ -348,9 +348,9 @@ def q_source_avro_py(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = scratch_dir("src_avro_py")
     src = _events_typed(spark, sf_dir)
     for i in range(4):  # staging rig: 4 container files = 4 read tasks
-        part = src.filter(mod_slice(4, i)).toPandas()
+        part = src.filter(mod_slice(4, i))
         (d / f"events_{i}.avro").write_bytes(
-            write_container(pandas_records(part), EVENT_SCHEMA)
+            write_container(exact_records(part), EVENT_SCHEMA)
         )
     binfiles = (
         spark.read.format("binaryFile")
@@ -379,12 +379,12 @@ def _stage_logged_table(spark: SparkSession, sf_dir: str):
     user_id % 7 == 0 by rewriting the files that contain them.
 
     NULL semantics (probe_nulls class 3): the v0 slices must PARTITION the
-    source (slice 0 is null-inclusive — a NULL user_id fails every
-    `% 3 == i` predicate and would be silently lost), and the v2 delete
-    follows SQL DELETE semantics: rows where the predicate is NULL are
-    NOT deleted, so the rewrite keeps them explicitly."""
+    source (mod_slice — slice 0 is null-inclusive, pmod keeps negative
+    keys in-range), and the v2 delete follows SQL DELETE semantics: rows
+    where the predicate is NULL are NOT deleted, so the rewrite keeps
+    them explicitly."""
     from kinesis_test_spark.sources.tablelog import commit
-    from kinesis_test_spark.streaming.pipeline import scratch_dir
+    from kinesis_test_spark.streaming.pipeline import mod_slice, scratch_dir
 
     d = scratch_dir("tablelog")
     src = _events_typed(spark, sf_dir)
@@ -393,10 +393,7 @@ def _stage_logged_table(spark: SparkSession, sf_dir: str):
         _land_single(df, d / name)
 
     for i in range(3):  # v0: initial load, 3 data files
-        sl = F.col("user_id") % 3 == i
-        if i == 0:
-            sl = sl | F.col("user_id").isNull()
-        land(src.filter(sl), f"f{i}.parquet")
+        land(src.filter(mod_slice(3, i)), f"f{i}.parquet")
     commit(d, adds=["f0.parquet", "f1.parquet", "f2.parquet"], removes=[])
     # v1: compact f0+f1 into one file — same rows, fewer files
     land(
@@ -488,7 +485,7 @@ def q_source_avro_resilient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kinesis_test_spark.sources.avro_py import (
         EVENT_SCHEMA,
-        pandas_records,
+        exact_records,
         read_container,
         write_container,
     )
@@ -497,8 +494,8 @@ def q_source_avro_resilient(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = scratch_dir("src_avro_res")
     src = _events_typed(spark, sf_dir)
     for i in range(4):  # staging rig only — the operator under test is the READ
-        part = src.filter(mod_slice(4, i)).toPandas()
-        buf = write_container(pandas_records(part), EVENT_SCHEMA)
+        part = src.filter(mod_slice(4, i))
+        buf = write_container(exact_records(part), EVENT_SCHEMA)
         if i == 1:  # poison one container: truncate mid-block (a partial
             # upload — structurally fatal at any size, unlike a bit flip
             # which can land in a value byte and decode silently)
@@ -699,7 +696,7 @@ def q_table_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-FROM (SELECT CASE WHEN user_id % 2 = 1 THEN 'backfill_v1' END AS source,
+FROM (SELECT CASE WHEN ((user_id % 2) + 2) % 2 = 1 THEN 'backfill_v1' END AS source,
              value
       FROM events)
 GROUP BY source
@@ -717,12 +714,11 @@ def q_table_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle derives the same relation from first principles: even users
     landed pre-evolution (NULL source), odd users in the backfill.
     NULL semantics (probe_nulls class 3): the two staging slices must
-    PARTITION the input — a NULL user_id fails both `% 2` predicates and
-    would be silently lost, so the legacy slice is explicitly
-    null-inclusive (matching the oracle's CASE, where NULL % 2 = 1 is
-    NULL → NULL source)."""
+    PARTITION the input — mod_slice routes NULL user_ids into the legacy
+    slice (matching the oracle's CASE, where a NULL modulo test is
+    NULL → NULL source) and pmod keeps negative keys in-range."""
     from kinesis_test_spark.sources.tablelog import commit, live_files, schema_ddl
-    from kinesis_test_spark.streaming.pipeline import scratch_dir
+    from kinesis_test_spark.streaming.pipeline import mod_slice, scratch_dir
 
     d = scratch_dir("tablelog_evolve")
     src = _events_typed(spark, sf_dir)
@@ -736,13 +732,10 @@ def q_table_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type", "STRING"],
         ["value", "DOUBLE"],
     ]
-    land(
-        src.filter((F.col("user_id") % 2 == 0) | F.col("user_id").isNull()),
-        "legacy.parquet",
-    )
+    land(src.filter(mod_slice(2, 0)), "legacy.parquet")
     commit(d, adds=["legacy.parquet"], removes=[], schema=base_schema)
     land(
-        src.filter(F.col("user_id") % 2 == 1).withColumn(
+        src.filter(mod_slice(2, 1)).withColumn(
             "source", F.lit("backfill_v1")
         ),
         "backfill.parquet",

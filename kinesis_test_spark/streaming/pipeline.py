@@ -130,8 +130,10 @@ def mod_slice(n: int, i: int, col: str = "user_id") -> str:
     """Null-safe staging predicate for slice ``i`` of ``n``: modulo slices
     must PARTITION the input, but a NULL key fails every `% n = i` test —
     the classic silent-loss bug in partitioned backfills (probe_nulls
-    class 3). Slice 0 carries the NULL-key rows explicitly."""
-    base = f"{col} % {n} = {i}"
+    class 3). Slice 0 carries the NULL-key rows explicitly. pmod, not %:
+    Spark's % keeps the dividend's sign, so a negative key would fail
+    every `% n = i` test and drop silently — same bug, different door."""
+    base = f"pmod({col}, {n}) = {i}"
     return f"{base} OR {col} IS NULL" if i == 0 else base
 
 

@@ -1110,7 +1110,7 @@ def s_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kinesis_test_spark.sources.avro_py import (
         EVENT_SCHEMA,
-        pandas_records,
+        exact_records,
         read_container,
         write_container,
     )
@@ -1123,9 +1123,9 @@ def s_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "value")
     )
     for i in range(4):  # staging rig only — the operator under test is the READ
-        part = src.filter(mod_slice(4, i)).toPandas()
+        part = src.filter(mod_slice(4, i))
         (stage / f"events_{i}.avro").write_bytes(
-            write_container(pandas_records(part), EVENT_SCHEMA)
+            write_container(exact_records(part), EVENT_SCHEMA)
         )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

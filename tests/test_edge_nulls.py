@@ -140,3 +140,64 @@ NULL_EDGE_KEYS = [
 def test_null_corpus_parity(spark, null_sf_dir, name):
     problems = check_query(spark, null_sf_dir, name)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+# --- round-8 review-pass regressions (same silent-loss family) ----------
+
+
+def test_mod_slice_partitions_negative_and_null_keys(spark):
+    """mod_slice must PARTITION any key domain. Spark's % keeps the
+    dividend's sign, so a plain `% n = i` predicate silently drops
+    negative keys from every slice — the same bug class as the NULL drop,
+    found by the round-8 review pass. pmod closes it."""
+    from kinesis_test_spark.streaming.pipeline import mod_slice
+
+    df = spark.createDataFrame(
+        [(i,) for i in [-7, -1, 0, 1, 5, None, -4]], "user_id long"
+    )
+    slices = [df.filter(mod_slice(4, i)).count() for i in range(4)]
+    assert sum(slices) == df.count(), slices
+    # and the slices are disjoint: re-filtering any slice by another
+    # slice's predicate yields nothing
+    s0 = df.filter(mod_slice(4, 0))
+    assert s0.filter(mod_slice(4, 1)).count() == 0
+
+
+def test_decode_arrow_all_null_batch_keeps_schema():
+    """An Arrow batch whose payloads are ALL NULL must still yield the
+    declared string column (pa.array over all-None infers null type
+    without an explicit type= — the quarantine path itself would crash)."""
+    import pyarrow as pa
+
+    from kinesis_test_spark.operators.multimodal import decode_batch_arrow
+
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([1, 2], type=pa.int64()), pa.array([None, None], type=pa.binary())],
+        names=["doc_id", "payload"],
+    )
+    (out,) = list(decode_batch_arrow(iter([batch])))
+    assert out.schema.field("format").type == pa.string()
+    assert out.schema.field("payload_len").type == pa.int64()
+    assert out.column("format").null_count == 2
+
+
+def test_exact_records_preserves_int64_past_2_53(spark):
+    """The avro staging path must not round large ids: toPandas floats a
+    long column that carries a NULL (2^53+1 -> 2^53), so the rigs stage
+    via Arrow (exact_records). Round-trips the poisoned shape end to end."""
+    from kinesis_test_spark.sources.avro_py import (
+        EVENT_SCHEMA,
+        exact_records,
+        read_container,
+        write_container,
+    )
+
+    big = 9007199254740993  # 2^53 + 1: not representable as float64
+    df = spark.createDataFrame(
+        [(1, big, "click", 1.0), (2, None, None, None)],
+        "event_id long, user_id long, event_type string, value double",
+    )
+    recs = exact_records(df)
+    assert {r["user_id"] for r in recs} == {big, None}
+    _, back = read_container(write_container(recs, EVENT_SCHEMA))
+    assert {r["user_id"] for r in back} == {big, None}
