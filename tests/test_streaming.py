@@ -133,6 +133,98 @@ def test_replay_with_idempotent_sink_no_duplicates(spark, sf_dir):
 import pytest
 
 
+def test_tablelog_sink_crash_mid_batch_exactly_once(spark, sf_dir):
+    """End-to-end exactly-once over the commit-log table sink — the
+    strongest form of the reference's lease/checkpoint guarantee
+    (/root/reference/consumer.py:169-218), which re-emits on partial
+    failure. Two crash windows:
+
+    1. INSIDE the batch — the data file lands, the process dies before
+       the tablelog commit publishes. The half-landed file must stay
+       invisible to every snapshot read; the restarted query replays the
+       batch and lands it exactly once.
+    2. AFTER the tablelog commit but before the engine's checkpoint
+       commit marker — the replayed batch must be a no-op against the
+       already-published log (idempotence by batch id)."""
+    import shutil
+    import time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from kinesis_test_spark.sources.tablelog import LOG_DIR, commit, live_files
+    from kinesis_test_spark.streaming.pipeline import (
+        mod_slice,
+        read_staged_stream,
+        scratch_dir,
+        stage_events,
+    )
+
+    d = scratch_dir("tablelog_crash")
+    stage, cp, table = d / "src", d / "cp", d / "table"
+    table.mkdir(parents=True)
+    for i in range(4):
+        stage_events(spark, sf_dir, stage, f"slice_{i}", where=mod_slice(4, i))
+
+    def land(batch_df, batch_id, crash_on=None):
+        log = table / LOG_DIR
+        if (log / f"{batch_id:05d}.json").exists():
+            return  # replayed batch: already committed, skip
+        name = f"batch_{batch_id}.parquet"
+        tmp = table / f"_tmp_{batch_id}"
+        batch_df.select("event_id", "user_id", "event_type", "value").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp))
+        next(tmp.glob("part-*.parquet")).replace(table / name)
+        shutil.rmtree(tmp)
+        if batch_id == crash_on:
+            raise RuntimeError("injected crash: data file landed, commit not published")
+        commit(table, adds=[name], removes=[])
+
+    def run(sink):
+        q = (
+            read_staged_stream(spark, sf_dir, stage, maxFilesPerTrigger="1")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(cp))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            # a terminated run deregisters asynchronously; the next run
+            # trips Spark's concurrent-checkpoint guard if we race it
+            q.stop()
+            deadline = time.time() + 60
+            while q.isActive and time.time() < deadline:
+                time.sleep(0.2)
+
+    # window 1: crash between data-file landing and commit publish
+    with pytest.raises(StreamingQueryException):
+        run(lambda df, bid: land(df, bid, crash_on=1))
+    assert (table / "batch_1.parquet").exists()  # half-landed...
+    assert str(table / "batch_1.parquet") not in live_files(table)  # ...invisible
+
+    run(land)  # restart: batch 1 replays, lands exactly once
+
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    back = spark.read.parquet(*live_files(table))
+    assert back.count() == n_src, "crash replay lost or duplicated rows"
+    assert back.select("event_id").distinct().count() == n_src
+
+    # window 2: tablelog commit published, checkpoint commit marker lost
+    commits = [p for p in (cp / "commits").iterdir() if not p.name.startswith(".")]
+    lost = max(commits, key=lambda p: int(p.name))
+    lost.unlink()
+    # the marker and its Hadoop checksum sidecar publish together — a
+    # crash loses both (a stale .crc would block the replay's rename)
+    crc = lost.parent / f".{lost.name}.crc"
+    if crc.exists():
+        crc.unlink()
+    run(land)
+    assert spark.read.parquet(*live_files(table)).count() == n_src
+    assert len(live_files(table)) == 4  # one commit per batch, no extras
+
+
 @pytest.mark.parametrize(
     "provider",
     [
