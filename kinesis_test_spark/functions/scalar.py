@@ -211,21 +211,29 @@ SELECT event_id,
        CAST(value AS VARCHAR) AS value_str,
        CAST(TRUNC(value) AS BIGINT) AS value_int, -- Spark CAST truncates; DuckDB rounds
        TRY_CAST(event_type AS DOUBLE) AS bad_cast,
-       CAST(CAST(user_id AS SMALLINT) AS INT) AS uid_small,
+       CAST(CASE WHEN user_id BETWEEN -32768 AND 32767
+                 THEN CAST(user_id AS SMALLINT) END AS BIGINT) AS uid_small,
        CAST(value > 1.0 AS BOOLEAN) AS above_one
 FROM events
 """,
 )
 def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Casts incl. TRY_CAST null-on-failure (the engine's PERMISSIVE stance
-    vs the reference's crash-on-bad-key, SURVEY.md §1.3)."""
+    vs the reference's crash-on-bad-key, SURVEY.md §1.3). The narrowing
+    cast is RANGE-GUARDED on both engines (edge_negatives corpus): an
+    out-of-int16 id yields NULL rather than wrapping (Spark) or raising
+    (DuckDB) — and the now-nullable column goes BIGINT per the dtype rule."""
     ev = t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         F.col("value").cast("string").alias("value_str"),
         F.col("value").cast("int").cast("bigint").alias("value_int"),
         F.col("event_type").try_cast("double").alias("bad_cast"),
-        F.col("user_id").cast("smallint").cast("int").alias("uid_small"),
+        F.when(
+            F.col("user_id").between(-32768, 32767), F.col("user_id").cast("smallint")
+        )
+        .cast("bigint")
+        .alias("uid_small"),
         (F.col("value") > 1.0).alias("above_one"),
     )
 
@@ -444,12 +452,17 @@ SELECT event_id,
        event_id | 4096 AS with_flag,
        xor(event_id, user_id) AS x,
        CAST(event_id * 16 AS BIGINT) AS shifted_l,
-       CAST(event_id // 4 AS BIGINT) AS shifted_r
+       -- arithmetic shift right = FLOOR division by 2^k; DuckDB's // (and
+       -- integer /) truncates toward zero, so -1 // 4 = 0 while Spark's
+       -- shiftright(-1, 2) = -1 — subtract pmod first for an exact floor
+       CAST((event_id - ((event_id % 4) + 4) % 4) // 4 AS BIGINT) AS shifted_r
 FROM events
 """,
 )
 def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bitwise family (flag fields, shard routing, hash mixing)."""
+    """Bitwise family (flag fields, shard routing, hash mixing). Negative
+    operands (edge_negatives corpus): Spark's shiftright is ARITHMETIC
+    (sign-extending), stated in the oracle as exact floor division."""
     ev = t(spark, sf_dir, "events")
     return ev.select(
         "event_id",

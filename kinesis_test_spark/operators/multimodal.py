@@ -429,6 +429,13 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 PNG_W, PNG_H = 16, 16
 
 
+def _pm(expr: str, m: int) -> str:
+    """pmod for oracle SQL: Python's % (the pixel/sample generators) is
+    always non-negative, DuckDB's keeps the dividend's sign — a negative
+    doc_id (edge_negatives corpus) diverges without the wrap."""
+    return f"((({expr}) % {m}) + {m}) % {m}"
+
+
 @query(
     "q_mm_png_roundtrip",
     oracle=f"""
@@ -438,9 +445,9 @@ WITH px AS (
        (SELECT unnest(generate_series(0, {PNG_W - 1})) AS x) x,
        (SELECT unnest(generate_series(0, {PNG_H - 1})) AS y) y)
 SELECT doc_id, CAST({PNG_W} AS INT) AS width, CAST({PNG_H} AS INT) AS height,
-       CAST(SUM((doc_id * 7 + x + y) % 256) AS BIGINT) AS sum_r,
-       CAST(SUM((doc_id * 13 + 2 * x + y) % 256) AS BIGINT) AS sum_g,
-       CAST(SUM((doc_id * 31 + x + 3 * y) % 256) AS BIGINT) AS sum_b
+       CAST(SUM({_pm("doc_id * 7 + x + y", 256)}) AS BIGINT) AS sum_r,
+       CAST(SUM({_pm("doc_id * 13 + 2 * x + y", 256)}) AS BIGINT) AS sum_g,
+       CAST(SUM({_pm("doc_id * 31 + x + 3 * y", 256)}) AS BIGINT) AS sum_b
 FROM px GROUP BY doc_id ORDER BY doc_id
 """,
 )
@@ -511,7 +518,7 @@ WAV_N = 256  # samples per clip
     "q_mm_wav_features",
     oracle=f"""
 WITH s AS (
-  SELECT d.doc_id, (d.doc_id * 37 + i.i * i.i) % 2048 - 1024 AS sample
+  SELECT d.doc_id, {_pm("d.doc_id * 37 + i.i * i.i", 2048)} - 1024 AS sample
   FROM documents d,
        (SELECT unnest(generate_series(0, {WAV_N - 1})) AS i) i)
 SELECT doc_id, CAST({WAV_N} AS INT) AS n_samples,
@@ -576,9 +583,9 @@ WITH px AS (
        (SELECT unnest(generate_series(0, {PNG_W - 1})) AS x) x,
        (SELECT unnest(generate_series(0, {PNG_H - 1})) AS y) y)
 SELECT doc_id, CAST({PACK_FRAMES} AS INT) AS n_frames,
-       CAST(SUM((doc_id * 7 + f * 11 + x + y) % 256) AS BIGINT) AS sum_r,
-       CAST(SUM((doc_id * 13 + f * 17 + 2 * x + y) % 256) AS BIGINT) AS sum_g,
-       CAST(SUM((doc_id * 31 + f * 23 + x + 3 * y) % 256) AS BIGINT) AS sum_b
+       CAST(SUM({_pm("doc_id * 7 + f * 11 + x + y", 256)}) AS BIGINT) AS sum_r,
+       CAST(SUM({_pm("doc_id * 13 + f * 17 + 2 * x + y", 256)}) AS BIGINT) AS sum_g,
+       CAST(SUM({_pm("doc_id * 31 + f * 23 + x + 3 * y", 256)}) AS BIGINT) AS sum_b
 FROM px GROUP BY doc_id ORDER BY doc_id
 """,
 )

@@ -463,7 +463,7 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_source_avro_resilient",
     oracle="""
 SELECT 'rows' AS metric, CAST(COUNT(*) AS BIGINT) AS n FROM events
-  WHERE user_id % 4 <> 1 OR user_id IS NULL
+  WHERE ((user_id % 4) + 4) % 4 <> 1 OR user_id IS NULL
 UNION ALL
 SELECT 'bad_files' AS metric, CAST(1 AS BIGINT) AS n
 ORDER BY metric
@@ -559,8 +559,9 @@ def q_table_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = scratch_dir("table_gdpr")
     src = _events_typed(spark, sf_dir)
-    max_user = src.agg(F.max("user_id")).collect()[0][0]  # staging rig only
-    width = (max_user + 4) // 4
+    bounds = src.agg(F.min("user_id"), F.max("user_id")).collect()[0]  # rig only
+    min_user, max_user = bounds[0], bounds[1]
+    width = (max(max_user, 0) + 4) // 4
 
     def land(df, name):
         _land_single(df, d / name)
@@ -568,13 +569,16 @@ def q_table_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds = []
     for i in range(4):
         lo, hi = i * width, (i + 1) * width - 1
-        # range slices must PARTITION the table: NULL user_id rows (which
-        # fail every BETWEEN) land in file 0 — its [min,max] stats stay
-        # valid for pruning, since NULL never equals a lookup target
-        # (probe_nulls class 3)
-        sl = F.col("user_id").between(lo, hi)
+        # range slices must PARTITION the table: file 0 is unbounded BELOW
+        # (a negative user_id fails every 0-based BETWEEN — edge_negatives
+        # corpus) and carries the NULL rows (which fail every BETWEEN —
+        # probe_nulls class 3). Its committed stats state the TRUE min, so
+        # pruning stays sound for negative lookup targets too.
         if i == 0:
-            sl = sl | F.col("user_id").isNull()
+            sl = (F.col("user_id") <= hi) | F.col("user_id").isNull()
+            lo = min(lo, min_user if min_user is not None else lo)
+        else:
+            sl = F.col("user_id").between(lo, hi)
         land(src.filter(sl), f"u{i}.parquet")
         adds.append({"file": f"u{i}.parquet", "stats": {"user_id": [lo, hi]}})
     commit(d, adds=adds, removes=[])
@@ -582,7 +586,9 @@ def q_table_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     affected = files_maybe_containing(d, "user_id", GDPR_TARGET_USER)
     assert len(affected) == 1, affected  # stats pruning must isolate one file
     bucket = int(affected[0][1])
-    lo, hi = bucket * width, (bucket + 1) * width - 1
+    # the scrubbed file keeps the ORIGINAL committed range (conservative —
+    # removing one user can only narrow it), so file 0's true-min stays
+    lo, hi = next(a for a in adds if a["file"] == affected[0])["stats"]["user_id"]
     land(
         # SQL DELETE semantics: only rows where the predicate is TRUE are
         # removed — a NULL user_id is kept, not swept up by the erasure
@@ -656,8 +662,10 @@ def q_table_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_test_spark.streaming.pipeline import scratch_dir
 
     d = scratch_dir("table_compact")
+    # pmod, not %: a negative event_id would fail every == i slice test
+    # and drop silently (edge_negatives corpus, same class as mod_slice)
     src = _events_typed(spark, sf_dir).withColumn(
-        "slice", (F.col("event_id") % 8).cast("int")
+        "slice", F.expr("pmod(event_id, 8)").cast("int")
     )
 
     def land(df, name):

@@ -1252,11 +1252,21 @@ TTL_MS = 30 * 60 * 1000  # session expires after 30 min of event-time silence
 GRACE_MS = TTL_MS
 
 
-def ttl_session_stream(stream: DataFrame) -> DataFrame:
+def ttl_session_stream(stream: DataFrame, ignore_after_ms: int | None = None) -> DataFrame:
     """The TTL-sessionizer stateful operator over a watermarked event
     stream — shared by s_state_ttl and the crafted-arrival boundary test
     (tests/test_streaming.py), so the pinned expiry/fencing semantics are
-    the exact code the registered query runs."""
+    the exact code the registered query runs.
+
+    ``ignore_after_ms``: rows with event-time past this bound still ADVANCE
+    the watermark (they flow through the watermark node untouched) but are
+    never sessionized — the out-of-band contract for the rig's far-future
+    watermark-advancer rows. In-band sentinel identities (a reserved
+    user_id/event_id) are wrong by construction: any in-band value can
+    collide with real data (edge_negatives corpus planted a real user -1
+    and its sessions were swept / relabeled). A pre-filter in the plan
+    would be pushed below the watermark node and defeat the advance; the
+    ignore inside the stateful function happens above it."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -1306,6 +1316,22 @@ def ttl_session_stream(stream: DataFrame) -> DataFrame:
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+        if ignore_after_ms is not None:
+            ts_ms = [t for t in ts_ms if t <= ignore_after_ms]
+        if not ts_ms:
+            # watermark-advancer rows only: keep state untouched, but
+            # RE-REGISTER the timeout (an invocation clears it), clamped
+            # above the current watermark (an already-due session fires on
+            # the next advance; Spark rejects a stale timestamp)
+            if state.exists:
+                lease, n, first_ms, last_ms = state.get
+                due = (
+                    last_ms + TTL_MS + 1
+                    if n
+                    else state.getCurrentWatermarkMs() + GRACE_MS
+                )
+                state.setTimeoutTimestamp(max(due, state.getCurrentWatermarkMs() + 1))
+            return
         if state.exists:
             lease, n, first_ms, last_ms = state.get
         else:
@@ -1395,14 +1421,15 @@ def s_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emission is append-only into a parquet sink behind a checkpoint
     (exactly-once across the phased drain). The AvailableNow drain needs
     later batches to advance the watermark before timeouts fire, so after
-    the real data two far-future sentinel arrivals close every real
-    session (staged as a real user -1 row; dropped on batch read-back —
-    a filter in the streaming plan would be pushed below the watermark
-    node and never advance it, see s_stream_join_left). Because the real
-    events arrive in one staged file, the emitted sessions equal batch
-    30-min-gap sessionization with the final session per user closed by
-    timeout — giving this stateful op a full value oracle instead of the
-    usual rows-only check."""
+    the real data two far-future sentinel arrivals push it forward. The
+    sentinels are identified OUT-OF-BAND by time (rows past the real
+    data's max ts are ignored inside the stateful function — see
+    ttl_session_stream's ignore_after_ms), never by a reserved id: a real
+    user -1 is legal data (edge_negatives corpus) and an id-based drop
+    swept its sessions. Because the real events arrive in one staged
+    file, the emitted sessions equal batch 30-min-gap sessionization with
+    the final session per user closed by timeout — giving this stateful
+    op a full value oracle instead of the usual rows-only check."""
     d = scratch_dir("s_state_ttl")
     stage, out, cp = d / "src", d / "out", d / "cp"
     stage.mkdir(parents=True, exist_ok=True)
@@ -1416,7 +1443,14 @@ def s_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_ts=max_ts,
         )
 
-    sessions = ttl_session_stream(read_staged_stream(spark, sf_dir, stage))
+    max_real_ms = (
+        normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        .agg(F.max(F.unix_millis("ts")))
+        .first()[0]
+    )
+    sessions = ttl_session_stream(
+        read_staged_stream(spark, sf_dir, stage), ignore_after_ms=max_real_ms
+    )
 
     def run_once() -> None:
         q = (
@@ -1434,9 +1468,7 @@ def s_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_once()
     stage_sentinel("sentinel_2", hours_ahead=2)
     run_once()
-    # drop ONLY the user -1 sentinel sessions: a NULL user_id is a real key
-    # the stateful op sessionized, and `>= 0` alone would silently sweep it
-    # (probe_nulls class 3)
-    return spark.read.parquet(str(out)).filter(
-        (F.col("user_id") >= 0) | F.col("user_id").isNull()
-    )
+    # no read-back scrubbing needed: sentinel rows were never sessionized
+    # (ignored out-of-band inside the stateful function), so every emitted
+    # session is real data — including negative-id and NULL users
+    return spark.read.parquet(str(out))
