@@ -1433,20 +1433,28 @@ dials AS (
   SELECT '2x4', p.doc_a, p.doc_b
   FROM pred_coarse p JOIN est e ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b
   WHERE e.ej >= {MINHASH_THRESHOLD}),
-tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
-SELECT d.dial,
-       CAST(COUNT(*) AS BIGINT) AS n_pred,
+tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+-- the report has one row PER DIAL even when a dial predicts nothing
+-- (empty corpus, edge_empty): drive from a literal dial dimension
+dialdim AS (SELECT unnest(['2x4', '4x2']) AS dial),
+agg AS (
+  SELECT d.dial,
+         CAST(COUNT(*) AS BIGINT) AS n_pred,
+         CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hit
+  FROM dials d
+  LEFT JOIN truth t ON t.doc_a = d.doc_a AND t.doc_b = d.doc_b
+  GROUP BY d.dial)
+SELECT dd.dial,
+       CAST(COALESCE(a.n_pred, 0) AS BIGINT) AS n_pred,
        tc.n_truth,
-       CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_hit,
-       ROUND(CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
-             AS DOUBLE) / NULLIF(COUNT(*), 0), 6) AS precision,
-       ROUND(CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
-             AS DOUBLE) / NULLIF(tc.n_truth, 0), 6) AS recall
-FROM dials d
-LEFT JOIN truth t ON t.doc_a = d.doc_a AND t.doc_b = d.doc_b, tc
-GROUP BY d.dial, tc.n_truth
-ORDER BY d.dial
+       CAST(COALESCE(a.n_hit, 0) AS BIGINT) AS n_hit,
+       ROUND(CAST(COALESCE(a.n_hit, 0) AS DOUBLE)
+             / NULLIF(COALESCE(a.n_pred, 0), 0), 6) AS precision,
+       ROUND(CAST(COALESCE(a.n_hit, 0) AS DOUBLE)
+             / NULLIF(tc.n_truth, 0), 6) AS recall
+FROM dialdim dd LEFT JOIN agg a ON a.dial = dd.dial, tc
+ORDER BY dd.dial
 """
     return shared
 

@@ -420,6 +420,9 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust,
        {sql_dsum("c_acctbal", "sum_bal")}
 FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+HAVING COUNT(*) > 0 -- Spark emits NO grand-total row over an empty
+                    -- relation (SQL emits one); only that row can have
+                    -- count 0, so this pins Spark's choice exactly
 """,
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,6 +437,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0 -- empty-relation semantics: see q_agg_rollup
 """,
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,6 +452,7 @@ SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
        {sql_dsum("o_totalprice", "sum_price")}
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+HAVING COUNT(*) > 0 -- empty-relation semantics: see q_agg_rollup
 """,
 )
 def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,6 +644,7 @@ SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
        COUNT(*) AS n
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+HAVING COUNT(*) > 0 -- empty-relation semantics: see q_agg_rollup
 """,
 )
 def q_agg_gid(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -238,7 +238,7 @@ first_purchase AS (
   GROUP BY s.user_id, s.signup_ts)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_signups,
        CAST(COUNT(p.user_id) AS BIGINT) AS n_converted,
-       ROUND(CAST(COUNT(p.user_id) AS DOUBLE) / COUNT(*), 6) AS conversion,
+       ROUND(CAST(COUNT(p.user_id) AS DOUBLE) / NULLIF(COUNT(*), 0), 6) AS conversion,
        CAST(SUM(CASE WHEN p.user_id IS NOT NULL THEN
              epoch_ms(p.purchase_ts) - epoch_ms(p.signup_ts) END) AS BIGINT)
          AS total_lag_ms
@@ -286,8 +286,10 @@ def q_funnel_timeboxed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_signups"),
         F.count("c_user").cast("bigint").alias("n_converted"),
-        F.round(F.count("c_user").cast("double") / F.count(F.lit(1)), 6).alias(
-            "conversion"
-        ),
+        # try_divide: zero signups (empty input) is NULL conversion, not
+        # an ANSI divide-by-zero crash (edge_empty corpus)
+        F.round(
+            F.try_divide(F.count("c_user").cast("double"), F.count(F.lit(1))), 6
+        ).alias("conversion"),
         F.sum("lag_ms").cast("bigint").alias("total_lag_ms"),
     )

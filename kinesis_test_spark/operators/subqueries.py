@@ -172,8 +172,9 @@ cum AS (
   FROM (SELECT CAST(TRUNC(l_quantity) AS INT) AS k, COUNT(*) AS n
         FROM lineitem GROUP BY 1)),
 hit AS (SELECT MIN(k) AS k FROM cum, tot WHERE cnt >= tot.target)
-SELECT CAST(hit.k AS INT) AS median_qty_ceil,
-       (SELECT cnt FROM cum WHERE k = hit.k) AS n_at_or_below,
+SELECT CAST(COALESCE(hit.k, 0) AS INT) AS median_qty_ceil,
+       CAST(COALESCE((SELECT cnt FROM cum WHERE k = hit.k), 0) AS BIGINT)
+         AS n_at_or_below,
        tot.target
 FROM hit, tot
 """,

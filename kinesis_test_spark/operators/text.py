@@ -762,11 +762,13 @@ def q_text_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shard"),
     )
     docs.repartition("shard").write.partitionBy("shard").mode("overwrite").json(str(out))
-    back = spark.read.option("basePath", str(out)).json(str(out))
-    # partition-dir inference types `shard` as INT; the oracle's hash
-    # arithmetic is BIGINT — align dtypes before the aggregate (CLAUDE.md
-    # nullable-int rule).
-    back = back.withColumn("shard", F.col("shard").cast("bigint"))
+    # explicit read-back schema: inference double-scans, types the shard
+    # partition dir as INT (the oracle's hash arithmetic is BIGINT), and
+    # CRASHES on an empty export (edge_empty corpus — zero shard dirs
+    # leave nothing to infer from)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, n_chars bigint, shard bigint"
+    ).option("basePath", str(out)).json(str(out))
     return back.groupBy("shard").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("n_chars"),

@@ -317,7 +317,11 @@ def q_sink_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type"
     )
     ev.write.format("jsonl_sink").option("path", str(out)).mode("append").save()
-    back = spark.read.json(str(out))
+    # explicit schema: an empty write leaves nothing to infer from
+    # (edge_empty corpus) and inference double-scans anyway
+    back = spark.read.schema("event_id bigint, user_id bigint, event_type string").json(
+        str(out)
+    )
     return back.groupBy("event_type").agg(F.count("*").alias("n"))
 
 
@@ -560,7 +564,9 @@ def q_table_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = scratch_dir("table_gdpr")
     src = _events_typed(spark, sf_dir)
     bounds = src.agg(F.min("user_id"), F.max("user_id")).collect()[0]  # rig only
-    min_user, max_user = bounds[0], bounds[1]
+    empty = bounds[1] is None  # empty table (or all-NULL keys)
+    min_user = bounds[0] if bounds[0] is not None else 0
+    max_user = bounds[1] if bounds[1] is not None else 0
     width = (max(max_user, 0) + 4) // 4
 
     def land(df, name):
@@ -584,24 +590,31 @@ def q_table_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit(d, adds=adds, removes=[])
 
     affected = files_maybe_containing(d, "user_id", GDPR_TARGET_USER)
-    assert len(affected) == 1, affected  # stats pruning must isolate one file
-    bucket = int(affected[0][1])
-    # the scrubbed file keeps the ORIGINAL committed range (conservative —
-    # removing one user can only narrow it), so file 0's true-min stays
-    lo, hi = next(a for a in adds if a["file"] == affected[0])["stats"]["user_id"]
-    land(
-        # SQL DELETE semantics: only rows where the predicate is TRUE are
-        # removed — a NULL user_id is kept, not swept up by the erasure
-        spark.read.parquet(str(d / affected[0])).filter(
-            (F.col("user_id") != GDPR_TARGET_USER) | F.col("user_id").isNull()
-        ),
-        f"u{bucket}_scrubbed.parquet",
-    )
-    commit(
-        d,
-        adds=[{"file": f"u{bucket}_scrubbed.parquet", "stats": {"user_id": [lo, hi]}}],
-        removes=affected,
-    )
+    if empty:
+        # empty table: every range excludes the target — the delete is a
+        # metadata no-op, not an assertion failure (edge_empty corpus)
+        assert affected == [], affected
+    else:
+        assert len(affected) == 1, affected  # stats pruning isolates one file
+        bucket = int(affected[0][1])
+        # the scrubbed file keeps the ORIGINAL committed range (conservative
+        # — removing one user can only narrow it), so file 0's true-min stays
+        lo, hi = next(a for a in adds if a["file"] == affected[0])["stats"]["user_id"]
+        land(
+            # SQL DELETE semantics: only rows where the predicate is TRUE are
+            # removed — a NULL user_id is kept, not swept up by the erasure
+            spark.read.parquet(str(d / affected[0])).filter(
+                (F.col("user_id") != GDPR_TARGET_USER) | F.col("user_id").isNull()
+            ),
+            f"u{bucket}_scrubbed.parquet",
+        )
+        commit(
+            d,
+            adds=[
+                {"file": f"u{bucket}_scrubbed.parquet", "stats": {"user_id": [lo, hi]}}
+            ],
+            removes=affected,
+        )
     return _agg(spark.read.parquet(*live_files(d)))
 
 

@@ -241,15 +241,18 @@ def s_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # domain (long nanos OR TIMESTAMP_NTZ micros, fixture-dependent)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     lo, hi = raw.agg(F.min("ts"), F.max("ts")).first()
-    if isinstance(lo, int):
+    if lo is None:  # empty source (edge_empty): both phases stage nothing
+        where_recent = where_late = None
+    elif isinstance(lo, int):
         mid = (lo + hi) // 2
-        mid_lit = str(mid)
+        where_recent, where_late = f"ts >= {mid}", f"ts < {mid}"
     else:  # naive datetimes from a TIMESTAMP_NTZ scan
         mid = lo + (hi - lo) / 2
         mid_lit = f"'{mid.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+        where_recent, where_late = f"ts >= {mid_lit}", f"ts < {mid_lit}"
     d = scratch_dir("s_watermark")
     stage = d / "src"
-    stage_events(spark, sf_dir, stage, "recent", where=f"ts >= {mid_lit}")
+    stage_events(spark, sf_dir, stage, "recent", where=where_recent)
     name = _mem_name("wm")
     windowed = (
         read_staged_stream(spark, sf_dir, stage)
@@ -266,7 +269,7 @@ def s_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.processAllAvailable()
-    stage_events(spark, sf_dir, stage, "late", where=f"ts < {mid_lit}")
+    stage_events(spark, sf_dir, stage, "late", where=where_late)
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
@@ -287,7 +290,9 @@ def s_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = spark.read.parquet(f"{sf_dir}/events.parquet").agg(
         F.min("event_id"), F.max("event_id")
     ).first()
-    mid = (lo + hi) // 2  # event_id split point, any sf
+    # empty source (edge_empty): both halves stage nothing; any split
+    # point works because no row matches either predicate
+    mid = (lo + hi) // 2 if lo is not None else 0
     cols = ["event_id", "user_id", "event_type", "ts", "value"]
 
     def run_once() -> None:
@@ -308,7 +313,11 @@ def s_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_once()  # query terminates — the 'kill'
     stage_events(spark, sf_dir, stage, "second", where=f"event_id >= {mid}")
     run_once()  # fresh query, same checkpoint — the 'resume'
-    return spark.read.parquet(str(sink))
+    # explicit schema: an all-empty run may leave the sink with no data
+    # files to infer from (edge_empty corpus)
+    return spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, ts timestamp, value double"
+    ).parquet(str(sink))
 
 
 @query(
@@ -478,7 +487,7 @@ def s_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = spark.read.parquet(f"{sf_dir}/events.parquet").agg(
         F.min("event_id"), F.max("event_id")
     ).first()
-    mid = (lo + hi) // 2
+    mid = (lo + hi) // 2 if lo is not None else 0  # empty source: see s_checkpoint
 
     def run_once() -> None:
         q = (
@@ -580,6 +589,8 @@ def s_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_ts = spark.read.parquet(f"{sf_dir}/events.parquet").agg(F.max("ts")).first()[0]
 
     def stage_sentinel(name: str, hours_ahead: int) -> None:
+        if max_ts is None:  # empty source: nothing to close, no sentinels
+            return
         stage_far_future_sentinels(
             spark, sf_dir, stage, name, hours_ahead,
             keys=[(-1, -1, "click"), (-2, -2, "purchase")],
@@ -625,7 +636,10 @@ def s_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_sentinel("sentinel_2", hours_ahead=2)
     run_once()
     return (
-        spark.read.parquet(str(out))
+        # explicit schema: an empty run leaves the sink with no data files
+        # to infer from (edge_empty corpus)
+        spark.read.schema("click_id bigint, purchase_id bigint, user_id bigint")
+        .parquet(str(out))
         .filter(F.col("click_id") >= 0)  # drop sentinel outer rows (see docstring)
         .select("click_id", "purchase_id", "user_id")
     )
@@ -971,9 +985,11 @@ def s_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s_observe",
     oracle="""
-SELECT CAST(4 AS BIGINT) AS n_batches,
+SELECT CAST(COUNT(DISTINCT CASE WHEN user_id IS NULL THEN 0
+                 ELSE ((user_id % 4) + 4) % 4 END) AS BIGINT) AS n_batches,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))), 0) AS DOUBLE)
+         AS total_value
 FROM events
 """,
 )
@@ -986,7 +1002,9 @@ def s_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged files × maxFilesPerTrigger=1 make the batch structure
     deterministic; the per-batch sums stay DECIMAL until the final single
     conversion, so four-batch accumulation is bit-identical to the batch
-    oracle's one-shot decimal sum."""
+    oracle's one-shot decimal sum. n_batches counts ROW-CARRYING batches
+    (the oracle derives it as the number of non-empty staged slices), and
+    an empty stream reports (0, 0, 0.0) — edge_empty corpus."""
     from decimal import Decimal
 
     d = scratch_dir("s_observe")
@@ -1437,6 +1455,8 @@ def s_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_ts = spark.read.parquet(f"{sf_dir}/events.parquet").agg(F.max("ts")).first()[0]
 
     def stage_sentinel(name: str, hours_ahead: int) -> None:
+        if max_ts is None:  # empty source: nothing to close, no sentinels
+            return
         stage_far_future_sentinels(
             spark, sf_dir, stage, name, hours_ahead,
             keys=[(-1, -1, "click")],
@@ -1470,5 +1490,9 @@ def s_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_once()
     # no read-back scrubbing needed: sentinel rows were never sessionized
     # (ignored out-of-band inside the stateful function), so every emitted
-    # session is real data — including negative-id and NULL users
-    return spark.read.parquet(str(out))
+    # session is real data — including negative-id and NULL users. Explicit
+    # schema: an empty run leaves no sink files to infer from (edge_empty).
+    return spark.read.schema(
+        "user_id bigint, lease bigint, n_events bigint,"
+        " first_ms bigint, last_ms bigint, closed_by string"
+    ).parquet(str(out))
