@@ -564,7 +564,6 @@ def q_table_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = scratch_dir("table_gdpr")
     src = _events_typed(spark, sf_dir)
     bounds = src.agg(F.min("user_id"), F.max("user_id")).collect()[0]  # rig only
-    empty = bounds[1] is None  # empty table (or all-NULL keys)
     min_user = bounds[0] if bounds[0] is not None else 0
     max_user = bounds[1] if bounds[1] is not None else 0
     width = (max(max_user, 0) + 4) // 4
@@ -582,7 +581,7 @@ def q_table_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pruning stays sound for negative lookup targets too.
         if i == 0:
             sl = (F.col("user_id") <= hi) | F.col("user_id").isNull()
-            lo = min(lo, min_user if min_user is not None else lo)
+            lo = min(lo, min_user)
         else:
             sl = F.col("user_id").between(lo, hi)
         land(src.filter(sl), f"u{i}.parquet")
@@ -590,10 +589,11 @@ def q_table_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit(d, adds=adds, removes=[])
 
     affected = files_maybe_containing(d, "user_id", GDPR_TARGET_USER)
-    if empty:
-        # empty table: every range excludes the target — the delete is a
+    if not affected:
+        # no file's range can contain the target (empty table, all-NULL
+        # keys, or a user-id domain that excludes it): the delete is a
         # metadata no-op, not an assertion failure (edge_empty corpus)
-        assert affected == [], affected
+        pass
     else:
         assert len(affected) == 1, affected  # stats pruning isolates one file
         bucket = int(affected[0][1])

@@ -16,6 +16,7 @@ consumer.py:169-218 + README.md:2-6 (lease table → offset/commit logs).
 
 from __future__ import annotations
 
+import datetime as _dt
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -241,8 +242,10 @@ def s_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # domain (long nanos OR TIMESTAMP_NTZ micros, fixture-dependent)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     lo, hi = raw.agg(F.min("ts"), F.max("ts")).first()
-    if lo is None:  # empty source (edge_empty): both phases stage nothing
-        where_recent = where_late = None
+    if lo is None:  # empty source (edge_empty) or all-NULL ts: stage nothing
+        # an explicit FALSE predicate — a None `where` would mean "no
+        # filter" to stage_events and stage the whole table twice
+        where_recent = where_late = "false"
     elif isinstance(lo, int):
         mid = (lo + hi) // 2
         where_recent, where_late = f"ts >= {mid}", f"ts < {mid}"
@@ -617,7 +620,13 @@ def s_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts_b") > F.col("ts_a"))
         & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
         "leftOuter",
-    ).select("click_id", "purchase_id", "user_id")
+    ).select(
+        "click_id", "purchase_id", "user_id",
+        # carried to the sink so read-back can scrub sentinels OUT-OF-BAND
+        # by time (a reserved negative id is in-band — it collides with
+        # legal negative-id clicks, the s_state_ttl lesson)
+        F.col("ts_a").alias("click_ts"),
+    )
 
     def run_once() -> None:
         q = (
@@ -635,14 +644,25 @@ def s_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_once()
     stage_sentinel("sentinel_2", hours_ahead=2)
     run_once()
-    return (
+    # Sentinel scrub is by TIME, not id: sentinels sit ≥1h past the real
+    # max ts, so "click_ts <= real max" keeps every legal click — including
+    # negative-id ones a `click_id >= 0` scrub would silently drop
+    # (edge_negatives class 5). Raw→normalized domain: nanos floor to µs
+    # exactly as normalize_ts does; a naive datetime IS the UTC wall clock.
+    back = spark.read.schema(
         # explicit schema: an empty run leaves the sink with no data files
         # to infer from (edge_empty corpus)
-        spark.read.schema("click_id bigint, purchase_id bigint, user_id bigint")
-        .parquet(str(out))
-        .filter(F.col("click_id") >= 0)  # drop sentinel outer rows (see docstring)
-        .select("click_id", "purchase_id", "user_id")
-    )
+        "click_id bigint, purchase_id bigint, user_id bigint, click_ts timestamp"
+    ).parquet(str(out))
+    if max_ts is not None:
+        if isinstance(max_ts, int):  # long-nanos encoding
+            cutoff = _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                microseconds=max_ts // 1000
+            )
+        else:
+            cutoff = max_ts.replace(tzinfo=None)
+        back = back.filter(F.col("click_ts") <= F.lit(cutoff))
+    return back.select("click_id", "purchase_id", "user_id")
 
 
 @query(

@@ -124,3 +124,22 @@ NEG_EDGE_KEYS = [
 def test_negative_corpus_parity(spark, neg_sf_dir, name):
     problems = check_query(spark, neg_sf_dir, name)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_stream_join_left_keeps_negative_id_clicks(spark, neg_sf_dir):
+    """s_stream_join_left is rows-only, so the parity sweep can't see a
+    silently-dropped row — pin the review finding directly: the planted
+    click with event_id=-1 (a LEGAL id that collides with the old reserved
+    sentinel id) must survive the sentinel scrub, which is now out-of-band
+    by time (sentinels sit ≥1h past the real max ts), not by id sign."""
+    from kinesis_test_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["s_stream_join_left"](spark, neg_sf_dir).toPandas()
+    neg = out[out["click_id"] == -1]
+    # exactly ONE: the real planted click (unmatched — the only planted
+    # purchase belongs to user -7). Zero would mean the scrub still drops
+    # by id sign; two would mean the far-future sentinel click (which
+    # shares id -1) leaked past the time-based scrub.
+    assert len(neg) == 1, out[out["click_id"] < 0]
+    assert neg["purchase_id"].isna().all()

@@ -233,3 +233,34 @@ def test_evolve_then_compact_preserves_time_travel(spark, tmp_path):
     assert v0_rows[0].asDict().keys() == {"x"}
     # the remove was logical: every historical byte is still on disk
     assert (tmp_path / "a.parquet").exists() and (tmp_path / "b.parquet").exists()
+
+
+def test_gdpr_delete_is_noop_when_target_outside_domain(spark, tmp_path):
+    """q_table_gdpr must treat 'no file range can contain the target' as a
+    metadata no-op delete, whatever the reason — review finding: the first
+    empty-input fix keyed the branch on TABLE emptiness, so a non-empty
+    table whose user-id domain excludes GDPR_TARGET_USER (here: ids capped
+    below 7) still hit `assert len(affected) == 1`."""
+    import pyarrow.parquet as pq
+
+    from kinesis_test_spark import registry
+    from kinesis_test_spark.sources.formats import GDPR_TARGET_USER
+
+    registry.load_all()
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "small_domain"
+    d.mkdir()
+    for f in __import__("pathlib").Path(src).glob("*.parquet"):
+        t = pq.read_table(f)
+        if f.name == "events.parquet":
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.less(t["user_id"], GDPR_TARGET_USER))
+            assert t.num_rows > 0  # non-empty, but target absent
+        pq.write_table(t, d / f.name)
+    # nothing was deleted: the aggregate equals the oracle over the full
+    # (capped) table — and the rig must not crash on affected == []
+    from kinesis_test_spark.oracle import check_query
+
+    problems = check_query(spark, str(d), "q_table_gdpr")
+    assert not problems, "; ".join(problems)

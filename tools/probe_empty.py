@@ -5,7 +5,7 @@ The corpus construction lives in tests/test_edge_empty.plant_empty; this
 tool sweeps ALL registered keys against it — run it when adding operators
 that collect driver-side scalars (vocab, centroids, totals) or stage
 fixtures derived from table contents."""
-import sys, shutil
+import os, sys, shutil
 from pathlib import Path
 
 sys.path.insert(0, "/root/repo")
@@ -19,7 +19,9 @@ from kinesis_test_spark import registry  # noqa: E402
 registry.load_all()
 
 SRC = "/root/testdata/sf0.001"
-d = Path("/tmp/empty_sf")
+# pid-scoped: a concurrent probe's rmtree must not delete the corpus out
+# from under this run's in-flight scans (round-6 scratch_dir lesson)
+d = Path(f"/tmp/empty_sf_{os.getpid()}")
 shutil.rmtree(d, ignore_errors=True)
 plant_empty(SRC, d)
 

@@ -5,7 +5,7 @@ The corpus construction lives in tests/test_edge_negatives.plant_negatives
 (the standing in-suite pin over the keys that ever diverged); this tool
 sweeps ALL registered keys against the same corpus — run it when adding
 operators that slice, bucket, or drop rows by id sign."""
-import sys, shutil
+import os, sys, shutil
 from pathlib import Path
 
 sys.path.insert(0, "/root/repo")
@@ -19,7 +19,8 @@ from kinesis_test_spark import registry  # noqa: E402
 registry.load_all()
 
 SRC = "/root/testdata/sf0.001"
-d = Path("/tmp/negs_sf")
+# pid-scoped: a concurrent probe must not rmtree this run's corpus
+d = Path(f"/tmp/negs_sf_{os.getpid()}")
 shutil.rmtree(d, ignore_errors=True)
 plant_negatives(SRC, d)
 
