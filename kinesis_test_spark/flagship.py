@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_test_spark.functions.exact import finite
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t
 
@@ -32,7 +33,7 @@ SELECT 'y=' || CAST(year(ts) AS VARCHAR) || '/m=' || CAST(month(ts) AS VARCHAR)
        event_type,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM deduped
 GROUP BY hour_key, event_type
 ORDER BY n_events DESC, hour_key, event_type
@@ -58,7 +59,7 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.sum(finite("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
         .orderBy(F.col("n_events").desc(), "hour_key", "event_type")
         .limit(500)

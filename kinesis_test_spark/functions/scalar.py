@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_test_spark.functions.exact import finite
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t
 
@@ -208,8 +209,17 @@ def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_cast",
     oracle="""
 SELECT event_id,
-       CAST(value AS VARCHAR) AS value_str,
-       CAST(TRUNC(value) AS BIGINT) AS value_int, -- Spark CAST truncates; DuckDB rounds
+       -- non-finite doubles render with Spark's spelling (the contract):
+       -- NaN / Infinity / -Infinity, not DuckDB's nan / inf / -inf
+       CASE WHEN isnan(value) THEN 'NaN'
+            WHEN value = CAST('Infinity' AS DOUBLE) THEN 'Infinity'
+            WHEN value = CAST('-Infinity' AS DOUBLE) THEN '-Infinity'
+            ELSE CAST(value AS VARCHAR) END AS value_str,
+       -- Spark CAST truncates; DuckDB rounds — and a non-finite value is
+       -- range-guarded NULL on both engines (edge_nonfinite corpus)
+       CAST(TRUNC(CASE WHEN NOT isnan(value)
+                   AND abs(value) <> CAST('Infinity' AS DOUBLE)
+                  THEN value END) AS BIGINT) AS value_int,
        TRY_CAST(event_type AS DOUBLE) AS bad_cast,
        CAST(CASE WHEN user_id BETWEEN -32768 AND 32767
                  THEN CAST(user_id AS SMALLINT) END AS BIGINT) AS uid_small,
@@ -227,7 +237,7 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.col("value").cast("string").alias("value_str"),
-        F.col("value").cast("int").cast("bigint").alias("value_int"),
+        finite(F.col("value")).cast("int").cast("bigint").alias("value_int"),
         F.col("event_type").try_cast("double").alias("bad_cast"),
         F.when(
             F.col("user_id").between(-32768, 32767), F.col("user_id").cast("smallint")
@@ -383,15 +393,24 @@ def q_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_explode_dq",
     oracle="""
 SELECT event_id, issue_name, issue_value FROM (
-  SELECT event_id, 'value_high' AS issue_name, CAST(value AS VARCHAR) AS issue_value
-  FROM events WHERE value > 250
+  -- vstr: Spark's non-finite spelling (NaN/Infinity), the repo contract;
+  -- NaN > 250 is TRUE on both engines, so NaN/+Inf land in value_high
+  WITH vs AS (
+    SELECT event_id, user_id, value,
+           CASE WHEN isnan(value) THEN 'NaN'
+                WHEN value = CAST('Infinity' AS DOUBLE) THEN 'Infinity'
+                WHEN value = CAST('-Infinity' AS DOUBLE) THEN '-Infinity'
+                ELSE CAST(value AS VARCHAR) END AS vstr
+    FROM events)
+  SELECT event_id, 'value_high' AS issue_name, vstr AS issue_value
+  FROM vs WHERE value > 250
   UNION ALL
-  SELECT event_id, 'check_user', CAST(user_id AS VARCHAR) FROM events WHERE value > 250
+  SELECT event_id, 'check_user', CAST(user_id AS VARCHAR) FROM vs WHERE value > 250
   UNION ALL
-  SELECT event_id, 'value_mid', CAST(value AS VARCHAR)
-  FROM events WHERE value > 100 AND value <= 250
+  SELECT event_id, 'value_mid', vstr
+  FROM vs WHERE value > 100 AND value <= 250
   UNION ALL
-  SELECT event_id, NULL, NULL FROM events WHERE value <= 100 OR value IS NULL
+  SELECT event_id, NULL, NULL FROM vs WHERE value <= 100 OR value IS NULL
 )
 """,
 )

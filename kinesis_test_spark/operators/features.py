@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_test_spark.functions.exact import finite
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t
 from kinesis_test_spark.sources.tables import events_until
@@ -86,7 +87,11 @@ SELECT user_id,
        CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_clicks,
        CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchases,
        CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_errors,
-       CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+       CAST(SUM(CAST(CASE WHEN event_type = 'purchase'
+                          THEN (CASE WHEN NOT isnan(value)
+                                 AND abs(value) <> CAST('Infinity' AS DOUBLE)
+                                THEN value END)
+                          ELSE 0 END
                 AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value,
        strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen
 FROM events
@@ -112,7 +117,7 @@ def q_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(is_type("purchase")).alias("n_purchases"),
         F.count(is_type("error")).alias("n_errors"),
         F.sum(
-            F.when(F.col("event_type") == "purchase", F.col("value"))
+            F.when(F.col("event_type") == "purchase", finite(F.col("value")))
             .otherwise(F.lit(0.0))
             .cast("decimal(18,6)")
         )
@@ -212,14 +217,14 @@ CDC_NEW_START, CDC_NEW_END = "2024-01-22", "2024-01-29"
     oracle=f"""
 WITH a AS (
   SELECT user_id, event_type,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val,
+         CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,2))) AS DOUBLE) AS val,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM events
   WHERE ts >= TIMESTAMP '{CDC_OLD_START}' AND ts < TIMESTAMP '{CDC_OLD_END}'
   GROUP BY user_id, event_type),
 b AS (
   SELECT user_id, event_type,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val,
+         CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,2))) AS DOUBLE) AS val,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM events
   WHERE ts >= TIMESTAMP '{CDC_NEW_START}' AND ts < TIMESTAMP '{CDC_NEW_END}'
@@ -255,7 +260,7 @@ def q_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
             .groupBy("user_id", "event_type")
             .agg(
-                F.sum(F.col("value").cast("decimal(18,2)"))
+                F.sum(finite("value").cast("decimal(18,2)"))
                 .cast("double")
                 .alias(vk),
                 F.count(F.lit(1)).cast("bigint").alias(nk),

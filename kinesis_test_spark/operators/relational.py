@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_test_spark.functions.exact import davg, dsum, sql_davg, sql_dsum
+from kinesis_test_spark.functions.exact import davg, dsum, finite, sql_davg, sql_dsum
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t, views
 
@@ -490,24 +490,31 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_stats",
     oracle="""
 SELECT event_type,
-       ROUND(stddev_samp(value), 6) AS sd_value,
-       ROUND(var_samp(value), 6) AS var_value,
-       ROUND(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
-       ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50,
-       ROUND(CAST(quantile_cont(value, 0.9) AS DOUBLE), 6) AS p90
-FROM events GROUP BY event_type
+       ROUND(stddev_samp(fv), 6) AS sd_value,
+       ROUND(var_samp(fv), 6) AS var_value,
+       ROUND(corr(fv, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
+       ROUND(CAST(quantile_cont(fv, 0.5) AS DOUBLE), 6) AS p50,
+       ROUND(CAST(quantile_cont(fv, 0.9) AS DOUBLE), 6) AS p90
+FROM (SELECT event_type, user_id,
+             CASE WHEN NOT isnan(value)
+                   AND abs(value) <> CAST('Infinity' AS DOUBLE)
+                  THEN value END AS fv
+      FROM events) GROUP BY event_type
 """,
 )
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates; rounded to 6dp — variance/corr accumulation
-    order differs across engines, exactness isn't recoverable via decimal."""
-    ev = t(spark, sf_dir, "events")
+    order differs across engines, exactness isn't recoverable via decimal.
+    Moment stats get the finite guard: a NaN input makes DuckDB's
+    stddev/var/corr RAISE OutOfRange where Spark yields NaN, so non-finite
+    values are excluded explicitly on both sides (EDGES non-finite class)."""
+    ev = t(spark, sf_dir, "events").withColumn("fv", finite(F.col("value")))
     return ev.groupBy("event_type").agg(
-        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
-        F.round(F.var_samp("value"), 6).alias("var_value"),
-        F.round(F.corr("value", F.col("user_id").cast("double")), 6).alias("corr_vu"),
-        F.round(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)"), 6).alias("p50"),
-        F.round(F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY value)"), 6).alias("p90"),
+        F.round(F.stddev_samp("fv"), 6).alias("sd_value"),
+        F.round(F.var_samp("fv"), 6).alias("var_value"),
+        F.round(F.corr("fv", F.col("user_id").cast("double")), 6).alias("corr_vu"),
+        F.round(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY fv)"), 6).alias("p50"),
+        F.round(F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY fv)"), 6).alias("p90"),
     )
 
 
@@ -706,7 +713,7 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
        CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY GROUPING SETS ((y, m, d, h), (y, m, d), (y, m), (y))
 """,
@@ -723,7 +730,7 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
                CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
                COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+               CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY GROUPING SETS ((y, m, d, h), (y, m, d), (y, m), (y))
         """
@@ -893,7 +900,7 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """,
 )
@@ -912,7 +919,7 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("ts").cast("int").alias("d"),
     ).agg(
         F.count("*").alias("pn"),
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("psum"),
+        F.sum(finite("value").cast("decimal(18,6)")).alias("psum"),
     )
     return daily.groupBy("y", "m").agg(
         F.sum("pn").alias("n"),
@@ -1000,8 +1007,10 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH stats AS (
   SELECT event_type,
-         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu,
-         ROUND(stddev_samp(value), 6) AS sigma
+         CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu,
+         ROUND(stddev_samp(CASE WHEN NOT isnan(value)
+                             AND abs(value) <> CAST('Infinity' AS DOUBLE)
+                            THEN value END), 6) AS sigma
   FROM events GROUP BY event_type)
 SELECT e.event_id, e.event_type, e.value,
        ROUND((e.value - s.mu) / s.sigma, 4) AS z
@@ -1019,9 +1028,9 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
         (
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*")
+            F.sum(finite("value").cast("decimal(18,6)")).cast("double") / F.count("*")
         ).alias("mu"),
-        F.round(F.stddev_samp("value"), 6).alias("sigma"),
+        F.round(F.stddev_samp(finite(F.col("value"))), 6).alias("sigma"),
     )
     z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
     return (
@@ -1208,8 +1217,10 @@ WITH assigned AS (
 stats AS (
   SELECT variant,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_v,
-         ROUND(VAR_SAMP(value), 6) AS var_v
+         CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_v,
+         ROUND(VAR_SAMP(CASE WHEN NOT isnan(value)
+                          AND abs(value) <> CAST('Infinity' AS DOUBLE)
+                         THEN value END), 6) AS var_v
   FROM assigned GROUP BY variant),
 wide AS (
   SELECT
@@ -1250,10 +1261,10 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = assigned.groupBy("variant").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         (
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            F.sum(finite("value").cast("decimal(18,2)")).cast("double")
             / F.count(F.lit(1))
         ).alias("mean_v"),
-        F.round(F.var_samp("value"), 6).alias("var_v"),
+        F.round(F.var_samp(finite(F.col("value"))), 6).alias("var_v"),
     )
 
     def pick(col, variant):
@@ -1292,7 +1303,7 @@ WITH base AS (
   SELECT user_id,
          MAX(ts) AS last_seen,
          CAST(COUNT(*) AS BIGINT) AS freq,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+         CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,2))) AS DOUBLE) AS monetary
   FROM events WHERE event_type = 'purchase' GROUP BY user_id),
 scored AS (
   SELECT user_id,
@@ -1319,7 +1330,7 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.groupBy("user_id").agg(
         F.max("ts").alias("last_seen"),
         F.count(F.lit(1)).cast("bigint").alias("freq"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("monetary"),
+        F.sum(finite("value").cast("decimal(18,2)")).cast("double").alias("monetary"),
     )
     scored = base.select(
         "user_id",
@@ -1478,7 +1489,7 @@ revenue AS (
          CAST(floor((epoch_ms(time_bucket(INTERVAL '1 week', e.ts))
                      - epoch_ms(f.cohort)) / 604800000.0) AS BIGINT)
            AS week_offset,
-         CAST(e.value AS DECIMAL(18,2)) AS v
+         CAST((CASE WHEN NOT isnan(e.value) AND abs(e.value) <> CAST('Infinity' AS DOUBLE) THEN e.value END) AS DECIMAL(18,2)) AS v
   FROM events e JOIN first_seen f ON f.user_id = e.user_id
   WHERE e.event_type = 'purchase'),
 weekly AS (
@@ -1523,7 +1534,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("week_offset"),
         )
         .agg(
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("revenue")
+            F.sum(finite("value").cast("decimal(18,2)")).cast("double").alias("revenue")
         )
     )
     w = (
@@ -1625,12 +1636,12 @@ rs AS (
                ((strpos('0123456789abcdef', substr(md5('bs|' || CAST(b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('bs|' || CAST(b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 2, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('bs|' || CAST(b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('bs|' || CAST(b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 4, 1)) - 1)) AS h
         FROM p, (SELECT unnest(generate_series(0, 19)) AS b))),
 means AS (
-  SELECT b, CAST(SUM(CAST(value * w AS DECIMAL(18,2))) AS DOUBLE)
+  SELECT b, CAST(SUM(CAST((CASE WHEN NOT isnan(value * w) AND abs(value * w) <> CAST('Infinity' AS DOUBLE) THEN value * w END) AS DECIMAL(18,2))) AS DOUBLE)
             / NULLIF(SUM(w), 0) AS m
   FROM rs GROUP BY b),
 base AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mv
+         CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mv
   FROM p),
 se AS (SELECT ROUND(stddev_samp(m), 6) AS se_boot FROM means)
 SELECT base.n, ROUND(base.mv, 6) AS mean_value, se.se_boot,
@@ -1674,7 +1685,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b")
         .agg(
             F.try_divide(
-                F.sum((F.col("value") * F.col("w")).cast("decimal(18,2)")).cast(
+                F.sum(finite(F.col("value") * F.col("w")).cast("decimal(18,2)")).cast(
                     "double"
                 ),
                 F.sum("w"),
@@ -1684,7 +1695,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = p.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         (
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            F.sum(finite("value").cast("decimal(18,2)")).cast("double")
             / F.count(F.lit(1))
         ).alias("mv"),
     )

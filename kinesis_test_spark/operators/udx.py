@@ -14,6 +14,7 @@ pure built-ins — must agree row-for-row.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,14 +65,26 @@ def q_udf_s3key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @pandas_udf(DoubleType())
 def _weighted_mean(v: pd.Series, w: pd.Series) -> float:
-    return round(float((v * w).sum() / w.sum()), 6)
+    # non-finite quarantine (edge_nonfinite): pandas .sum() skips NaN but
+    # SUMS Inf — mask both value-and-weight to finite values, like the
+    # oracle's CASE guard; an empty/zero-weight residue is NULL not 0/0
+    m = np.isfinite(v.astype(float))
+    den = float(w[m].sum())
+    if den == 0.0:
+        return None
+    return round(float((v[m] * w[m]).sum() / den), 6)
 
 
 @query(
     "q_udaf_weighted",
     oracle="""
 SELECT event_type,
-       ROUND(SUM(value * (event_id % 10 + 1)) / SUM(event_id % 10 + 1), 6) AS wmean
+       ROUND(SUM(CASE WHEN NOT isnan(value)
+                   AND abs(value) <> CAST('Infinity' AS DOUBLE)
+                  THEN value * (event_id % 10 + 1) END)
+             / NULLIF(SUM(CASE WHEN NOT isnan(value)
+                           AND abs(value) <> CAST('Infinity' AS DOUBLE)
+                          THEN event_id % 10 + 1 END), 0), 6) AS wmean
 FROM events GROUP BY event_type
 """,
 )
@@ -115,9 +128,13 @@ def q_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_grouped_map",
     oracle="""
 SELECT event_id, event_type,
-       ROUND((value - AVG(value) OVER (PARTITION BY event_type))
-             / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS value_z
-FROM events
+       ROUND((value - AVG(fv) OVER (PARTITION BY event_type))
+             / stddev_samp(fv) OVER (PARTITION BY event_type), 4) AS value_z
+FROM (SELECT event_id, event_type, value,
+             CASE WHEN NOT isnan(value)
+                   AND abs(value) <> CAST('Infinity' AS DOUBLE)
+                  THEN value END AS fv
+      FROM events)
 """,
 )
 def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,8 +146,12 @@ def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        mu = pdf["value"].mean()
-        sd = pdf["value"].std(ddof=1)
+        # moments over FINITE values only (edge_nonfinite): .mean() skips
+        # NaN already, but an Inf poisons it — mask like the oracle does;
+        # z for the non-finite rows themselves stays NaN/±Inf (symmetric)
+        fv = pdf["value"][np.isfinite(pdf["value"].astype(float))]
+        mu = fv.mean()
+        sd = fv.std(ddof=1)
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],

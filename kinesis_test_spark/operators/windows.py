@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_test_spark.functions.exact import finite
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t
 
@@ -78,7 +79,7 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_frame",
     oracle="""
 SELECT event_id, user_id, ts,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER
+       CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) OVER
             (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
        COUNT(*) OVER
@@ -97,7 +98,7 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.sum(F.col("value").cast("decimal(18,6)"))
+        F.sum(finite("value").cast("decimal(18,6)"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .cast("double")
         .alias("running_value"),
@@ -168,7 +169,7 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_range_frame",
     oracle="""
 SELECT event_id, user_id, ts,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER
+       CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) OVER
             (PARTITION BY user_id ORDER BY epoch_ms(ts)
              RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS trailing_5m_value,
@@ -193,7 +194,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.sum(F.col("value").cast("decimal(18,6)"))
+        F.sum(finite("value").cast("decimal(18,6)"))
         .over(w)
         .cast("double")
         .alias("trailing_5m_value"),
@@ -406,10 +407,14 @@ def q_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_rolling_median",
     oracle="""
 SELECT event_id, user_id,
-       ROUND(quantile_cont(value, 0.5) OVER (
+       ROUND(quantile_cont(fv, 0.5) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_med
-FROM events
+FROM (SELECT event_id, user_id, ts,
+             CASE WHEN NOT isnan(value)
+                   AND abs(value) <> CAST('Infinity' AS DOUBLE)
+                  THEN value END AS fv
+      FROM events)
 """,
 )
 def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,7 +424,10 @@ def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     function over the bounded ROWS frame; per-row state is the 5-element
     frame, so cost is O(frame) per row after the one user_id shuffle.
     6dp round on both engines (interpolation arithmetic)."""
-    ev = t(spark, sf_dir, "events")
+    # finite guard (edge_nonfinite): a NaN inside the frame makes Spark's
+    # percentile count it as the greatest value while DuckDB's windowed
+    # quantile_cont NULLs the whole frame — exclude non-finite on both sides
+    ev = t(spark, sf_dir, "events").withColumn("fv", finite(F.col("value")))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -428,7 +436,7 @@ def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("roll_med"),
+        F.round(F.expr("percentile(fv, 0.5)").over(w), 6).alias("roll_med"),
     )
 
 
@@ -445,7 +453,7 @@ held AS (
   SELECT user_id, value, t1 - t0 AS dur_ms FROM seg WHERE t1 IS NOT NULL)
 SELECT user_id,
        CAST(SUM(dur_ms) AS BIGINT) AS span_ms,
-       ROUND(CAST(SUM(CAST(value * dur_ms AS DECIMAL(28,6))) AS DOUBLE)
+       ROUND(CAST(SUM(CAST((CASE WHEN NOT isnan(value * dur_ms) AND abs(value * dur_ms) <> CAST('Infinity' AS DOUBLE) THEN value * dur_ms END) AS DECIMAL(28,6))) AS DOUBLE)
              / NULLIF(SUM(dur_ms), 0), 6) AS twa_value,
        CAST(COUNT(*) AS BIGINT) AS n_segments
 FROM held GROUP BY user_id ORDER BY user_id
@@ -479,7 +487,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.try_divide(
                     F.sum(
-                        (F.col("value") * F.col("dur_ms")).cast("decimal(28,6)")
+                        finite(F.col("value") * F.col("dur_ms")).cast("decimal(28,6)")
                     ).cast("double"),
                     F.sum("dur_ms"),
                 ),

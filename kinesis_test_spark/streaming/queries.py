@@ -22,6 +22,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_test_spark.functions.exact import finite
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources.tables import normalize_ts
 from kinesis_test_spark.streaming.pipeline import (
@@ -327,7 +328,7 @@ def s_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_json_ingest",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
 """,
 )
@@ -367,7 +368,7 @@ def s_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = _mem_name("json_ingest")
     agg = stream.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.sum(finite("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
     run_to_memory(agg, name, d / "cp", output_mode="complete")
     return spark.table(name)
@@ -377,7 +378,9 @@ def s_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_custom_state",
     oracle="""
 SELECT user_id, COUNT(*) AS n_events,
-       ROUND(MAX(value), 6) AS max_value
+       ROUND(MAX(CASE WHEN NOT isnan(value)
+                  AND abs(value) <> CAST('Infinity' AS DOUBLE)
+                 THEN value END), 6) AS max_value
 FROM events GROUP BY user_id
 """,
 )
@@ -407,14 +410,28 @@ def s_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def update(key, pdfs, state: GroupState):
+        # running max over FINITE values only (edge_nonfinite): pandas
+        # float64 can't tell NULL from NaN, so SQL's "ignore NULL,
+        # propagate NaN" MAX is unimplementable here — both sides
+        # quarantine non-finite instead. -inf doubles as the "no finite
+        # value yet" sentinel: the mask excludes a planted -Inf, so no
+        # legal input can collide with it.
+        import numpy as np
+
         n, mx = state.get if state.exists else (0, float("-inf"))
         for pdf in pdfs:
             n += len(pdf)
-            if len(pdf):
-                mx = max(mx, float(pdf["value"].max()))
+            v = pdf["value"].astype(float)
+            fv = v[np.isfinite(v)]
+            if len(fv):
+                mx = max(mx, float(fv.max()))
         state.update((n, mx))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "max_value": [round(mx, 6)]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_value": [round(mx, 6) if mx != float("-inf") else None],
+            }
         )
 
     d = scratch_dir("s_custom_state")
@@ -434,7 +451,7 @@ def s_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_static_join",
     oracle="""
 SELECT n.n_name, COUNT(*) AS n_events,
-       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST((CASE WHEN NOT isnan(e.value) AND abs(e.value) <> CAST('Infinity' AS DOUBLE) THEN e.value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
 GROUP BY n.n_name
 """,
@@ -451,7 +468,7 @@ def s_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream.join(nation, stream.user_id % 25 == nation.n_nationkey)
     agg = joined.groupBy("n_name").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.sum(finite("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
     run_to_memory(agg, name, d / "cp", output_mode="complete")
     return spark.table(name)
@@ -1008,7 +1025,7 @@ def s_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(COUNT(DISTINCT CASE WHEN user_id IS NULL THEN 0
                  ELSE ((user_id % 4) + 4) % 4 END) AS BIGINT) AS n_batches,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))), 0) AS DOUBLE)
+       CAST(COALESCE(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,2))), 0) AS DOUBLE)
          AS total_value
 FROM events
 """,
@@ -1037,7 +1054,7 @@ def s_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).observe(
         "metrics",
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+        F.sum(finite("value").cast("decimal(18,2)")).alias("v"),
     )
     q = (
         observed.select("event_id")
@@ -1069,7 +1086,7 @@ def s_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_table_stream",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
 """,
 )
@@ -1120,7 +1137,7 @@ def s_table_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(*live_files(table))
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.sum(finite("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
 
 
@@ -1128,7 +1145,7 @@ def s_table_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_avro_ingest",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
 """,
 )
@@ -1188,7 +1205,7 @@ def s_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
+            F.sum(finite("value").cast("decimal(18,6)"))
             .cast("double")
             .alias("sum_value"),
         )

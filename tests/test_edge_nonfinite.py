@@ -1,0 +1,173 @@
+"""Standing pin for the NON-FINITE float adversarial corpus (EDGES.md).
+
+Schema-legal NaN / +Inf / -Inf doubles are planted into events.value and
+into embedding vectors of a restaged sf0.001, and every key the non-finite
+probe ever flagged is re-run through the driver's own oracle gate.  The
+class exists because double columns admit non-finite values but the fixture
+generator never emits them, so each engine's WILDLY different non-finite
+handling stays invisible:
+
+  * decimal-exact aggregation (the repo's own determinism rule): Spark
+    CAST(NaN/Inf AS DECIMAL) yields NULL — the sum SILENTLY DROPS the row —
+    while DuckDB raises InvalidInput even through TRY_CAST.  The contract
+    is explicit symmetric exclusion: non-finite values are quarantined out
+    of exact sums/avgs on BOTH engines (functions/exact.finite + sql_finite)
+  * moment statistics: stddev/var/corr over a NaN input return NaN in
+    Spark but raise OutOfRange in DuckDB — same explicit exclusion
+  * narrowing casts: TRY_CAST(NaN AS BIGINT) is NULL in Spark, raises in
+    DuckDB — oracles guard with isfinite() before the cast
+  * agreements we RELY on (probed, both engines): NaN > 0 is TRUE, NaN
+    sorts greater than +Inf, min/max propagate NaN, round(NaN,6)=NaN,
+    plain double avg/sum propagate NaN
+
+The full-surface sweep lives in tools/probe_nonfinite.py (which imports
+``plant_nonfinite`` from here — one source of truth for the corpus); this
+test pins the keys that ever diverged.
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kinesis_test_spark.oracle import check_query
+
+SF_SRC = "/root/testdata/sf0.001"
+
+NAN = float("nan")
+INF = float("inf")
+
+
+def plant_nonfinite(src: str, dest: Path) -> None:
+    """Restage ``src`` into ``dest`` with planted non-finite doubles.
+
+    events: one NaN / +Inf / -Inf value row per high-traffic event_type
+    (purchase rows feed every revenue aggregate), on EXISTING users so the
+    rows flow through joins and sessionization; embeddings: one vector with
+    a NaN component and one with +Inf (norms, dot products, quantizers)."""
+    dest.mkdir(parents=True, exist_ok=True)
+    for f in Path(src).glob("*.parquet"):
+        shutil.copy(f, dest / f.name)
+
+    ev = pq.read_table(dest / "events.parquet")
+    h = ev.slice(0, 4).to_pydict()
+    extra = pa.table(
+        {
+            "event_id": [94000001, 94000002, 94000003, 94000004],
+            "ts": h["ts"],
+            "user_id": h["user_id"],
+            "event_type": ["purchase", "click", "view", "purchase"],
+            "value": [NAN, INF, -INF, INF],
+            "props": h["props"],
+        },
+        schema=ev.schema,
+    )
+    pq.write_table(pa.concat_tables([ev, extra]), dest / "events.parquet")
+
+    emb = pq.read_table(dest / "embeddings.parquet")
+    eh = emb.slice(0, 1).to_pydict()
+    dim = len(eh["embedding"][0])
+    nan_vec = [0.1] * dim
+    nan_vec[1] = NAN
+    inf_vec = [0.1] * dim
+    inf_vec[2] = INF
+    ex = pa.table(
+        {
+            "vec_id": [95000001, 95000002],
+            "embedding": [nan_vec, inf_vec],
+            "label": eh["label"] * 2,
+        },
+        schema=emb.schema,
+    )
+    pq.write_table(pa.concat_tables([emb, ex]), dest / "embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def nonfinite_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nonfinite_sf")
+    plant_nonfinite(SF_SRC, d)
+    return str(d)
+
+
+# Every key the round-8 non-finite probe flagged (44/263 on the first
+# sweep; 0/263 after the fixes), grouped by the divergence each exposed:
+NONFINITE_EDGE_KEYS = [
+    # decimal-exact aggregation: Spark CAST(NaN/Inf AS DECIMAL) silently
+    # NULLs (the sum DROPS the row) while DuckDB raises even via TRY_CAST
+    # — now explicit symmetric exclusion (exact.finite / sql_finite and
+    # the inline CASE guards)
+    "q_flagship",
+    "q_time_rollup",
+    "q_rollup_incremental",
+    "q_cohort_ltv",
+    "q_ab_test",
+    "q_bootstrap_ci",
+    "q_rfm",
+    "q_feature_snapshot",  # conditional-sum form (CASE ... THEN value)
+    "q_window_frame",
+    "q_window_range_frame",
+    "q_time_weighted_avg",
+    "q_source_csv",
+    "q_source_orc",
+    "q_source_xml",
+    "q_source_avro_py",
+    "q_table_snapshot",
+    "q_table_time_travel",
+    "q_table_compact",
+    "q_table_gdpr",
+    "q_table_evolve",
+    "s_json_ingest",
+    "s_avro_ingest",
+    "s_observe",
+    "s_static_join",
+    "s_table_stream",
+    # moment statistics: DuckDB stddev/var/corr RAISE OutOfRange on NaN,
+    # Spark returns NaN — finite-guarded inputs on both sides
+    "q_agg_stats",
+    "q_outliers",
+    "q_grouped_map",
+    "q_udaf_weighted",  # + pandas .sum() skips NaN but SUMS Inf
+    # windowed percentile: Spark counts NaN as the greatest frame value,
+    # DuckDB NULLs the frame
+    "q_window_rolling_median",
+    # double→string rendering: Spark 'NaN'/'Infinity' vs DuckDB
+    # 'nan'/'inf' — Spark's spelling is the contract
+    "q_fn_cast",  # + non-finite→int cast is range-guarded NULL
+    "q_explode_dq",
+    # vector validity: a NaN cosine sorts to the TOP of Spark's DESC
+    # rankings (NaN is greatest) and poisons centroid assignment — vectors
+    # with any non-finite component are quarantined (similarity.vec_valid
+    # / _SQL_VEC_VALID: e IS NULL, cosine -1.0 sentinel / SQL NULL)
+    "q_sim_search",
+    "q_sim_search_ivf",
+    "q_sim_search_ivf_multiprobe",
+    "q_sim_lsh",
+    "q_ann_batch",
+    "q_ann_recall",
+    "q_kmeans_step",
+    "q_emb_centroid",
+    "q_emb_drift",
+    "q_dedup_embedding",
+    "q_dedup_embedding_cells",
+    # custom stateful max: pandas float64 cannot tell NULL from NaN, so
+    # both sides quarantine non-finite out of the running max
+    "s_custom_state",
+]
+
+
+@pytest.mark.parametrize("name", NONFINITE_EDGE_KEYS)
+def test_nonfinite_corpus_parity(spark, nonfinite_sf_dir, name):
+    problems = check_query(spark, nonfinite_sf_dir, name)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_corpus_actually_plants_nonfinite(nonfinite_sf_dir):
+    """Guard the rig itself: parquet round-trips NaN/Inf intact."""
+    vals = pq.read_table(f"{nonfinite_sf_dir}/events.parquet")["value"].to_pylist()
+    assert any(v is not None and math.isnan(v) for v in vals)
+    assert any(v == INF for v in vals) and any(v == -INF for v in vals)
