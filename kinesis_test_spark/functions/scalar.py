@@ -138,18 +138,28 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_math",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS price_r2,
+       CAST(ROUND(CAST(fprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS price_r2,
        abs(l_discount - 0.05) AS disc_dev,
-       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
-       CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+       CAST(ceil(fqty) AS BIGINT) AS qty_ceil,
+       CAST(floor(fqty) AS BIGINT) AS qty_floor,
        ROUND(ln(l_extendedprice), 6) AS log_price,
        ROUND(sqrt(l_quantity), 6) AS qty_sqrt,
        l_orderkey % 7 AS key_mod,
        greatest(l_discount, l_tax) AS max_rate,
        least(l_discount, l_tax) AS min_rate,
-       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE)
+       CAST(CAST(fprice AS DECIMAL(18,2)) * CAST(fqty AS DECIMAL(18,2)) AS DOUBLE)
          AS exact_product
-FROM lineitem
+FROM (SELECT *,
+             -- the decimal/int routes are range-guarded NULL on non-finite
+             -- input (edge_nonfinite); ln/sqrt/greatest/least propagate
+             -- NaN identically on both engines and stay raw
+             CASE WHEN NOT isnan(l_extendedprice)
+                   AND abs(l_extendedprice) <> CAST('Infinity' AS DOUBLE)
+                  THEN l_extendedprice END AS fprice,
+             CASE WHEN NOT isnan(l_quantity)
+                   AND abs(l_quantity) <> CAST('Infinity' AS DOUBLE)
+                  THEN l_quantity END AS fqty
+      FROM lineitem)
 """,
 )
 def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,16 +169,18 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_extendedprice").cast("decimal(18,4)"), 2).cast("double").alias("price_r2"),
+        F.round(finite("l_extendedprice").cast("decimal(18,4)"), 2)
+        .cast("double")
+        .alias("price_r2"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
-        F.ceil("l_quantity").alias("qty_ceil"),
-        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(finite("l_quantity")).alias("qty_ceil"),
+        F.floor(finite("l_quantity")).alias("qty_floor"),
         F.round(F.log("l_extendedprice"), 6).alias("log_price"),
         F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
         F.greatest("l_discount", "l_tax").alias("max_rate"),
         F.least("l_discount", "l_tax").alias("min_rate"),
-        (F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_quantity").cast("decimal(18,2)"))
+        (finite("l_extendedprice").cast("decimal(18,2)") * finite("l_quantity").cast("decimal(18,2)"))
         .cast("double")
         .alias("exact_product"),
     )

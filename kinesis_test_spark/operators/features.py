@@ -147,8 +147,13 @@ SELECT 'orders_fk_customer',
                                WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
 UNION ALL
 SELECT 'lineitem_discount_range',
+       -- isnan stated EXPLICITLY: NaN > 1.0 is TRUE in both engines'
+       -- executors, but DuckDB's parquet zone-map pushdown drops the
+       -- NaN row from a bare range predicate (edge_nonfinite probe
+       -- finding) — and a NaN discount IS a range violation
        CAST((SELECT COUNT(*) FROM lineitem
-             WHERE l_discount < 0.0 OR l_discount > 1.0) AS BIGINT)
+             WHERE l_discount < 0.0 OR l_discount > 1.0
+                OR isnan(l_discount)) AS BIGINT)
 UNION ALL
 SELECT 'lineitem_ship_before_order',
        CAST((SELECT COUNT(*) FROM lineitem l JOIN orders o
@@ -186,7 +191,9 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, o.o_custkey == c.c_custkey, "left_anti"
     ).agg(F.count("*").alias("violations"))
     disc_range = li.filter(
-        (F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0)
+        (F.col("l_discount") < 0.0)
+        | (F.col("l_discount") > 1.0)
+        | F.isnan("l_discount")  # explicit — see the oracle's comment
     ).agg(F.count("*").alias("violations"))
     ship_before = (
         li.join(o, li.l_orderkey == o.o_orderkey)

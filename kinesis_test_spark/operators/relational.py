@@ -596,7 +596,9 @@ def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_histogram",
     oracle="""
-SELECT CAST(FLOOR(o_totalprice / 25000) + 1 AS BIGINT) AS bucket,
+SELECT CAST(FLOOR((CASE WHEN NOT isnan(o_totalprice)
+                     AND abs(o_totalprice) <> CAST('Infinity' AS DOUBLE)
+                    THEN o_totalprice END) / 25000) + 1 AS BIGINT) AS bucket,
        COUNT(*) AS n,
        CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
        CAST(MAX(o_totalprice) AS DOUBLE) AS hi
@@ -609,8 +611,11 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     OLAP binning primitive; one partial+final agg, bucket count independent
     of data volume."""
     o = t(spark, sf_dir, "orders")
+    # NULL bucket = the invalid bin: a non-finite price can't be floored
+    # into a bucket id (DuckDB raises, Spark ANSI-errors the BIGINT cast) —
+    # min/max still report over the raw values (NaN/Inf propagate equally)
     return (
-        o.select((F.floor(F.col("o_totalprice") / 25000) + 1).alias("bucket"), "o_totalprice")
+        o.select((F.floor(finite("o_totalprice") / 25000) + 1).alias("bucket"), "o_totalprice")
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n"),
@@ -1091,7 +1096,7 @@ def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH seg AS (
   SELECT c.c_mktsegment,
-         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS seg_rev
+         CAST(SUM(CAST((CASE WHEN NOT isnan(o.o_totalprice) AND abs(o.o_totalprice) <> CAST('Infinity' AS DOUBLE) THEN o.o_totalprice END) AS DECIMAL(25,6))) AS DOUBLE) AS seg_rev
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
   GROUP BY c.c_mktsegment)
 SELECT c_mktsegment, seg_rev,
@@ -1113,7 +1118,7 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            F.sum(finite("o_totalprice").cast("decimal(25,6)"))
             .cast("double")
             .alias("seg_rev")
         )

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_test_spark.functions.exact import davg, dsum, sql_davg, sql_dsum
+from kinesis_test_spark.functions.exact import davg, dsum, finite, sql_davg, sql_dsum
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t
 
@@ -128,7 +128,7 @@ Q18_QTY_THRESHOLD = 300
 WITH big AS (
   SELECT l_orderkey
   FROM lineitem GROUP BY l_orderkey
-  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > {Q18_QTY_THRESHOLD})
+  HAVING CAST(SUM(CAST((CASE WHEN NOT isnan(l_quantity) AND abs(l_quantity) <> CAST('Infinity' AS DOUBLE) THEN l_quantity END) AS DECIMAL(18,2))) AS DOUBLE) > {Q18_QTY_THRESHOLD})
 SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
        {sql_dsum("l.l_quantity", "sum_qty")}
 FROM customer c
@@ -333,9 +333,9 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT ROUND(
   100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
-                 THEN l.l_extendedprice * (1 - l.l_discount)
+                 THEN (CASE WHEN NOT isnan(l.l_extendedprice * (1 - l.l_discount)) AND abs(l.l_extendedprice * (1 - l.l_discount)) <> CAST('Infinity' AS DOUBLE) THEN l.l_extendedprice * (1 - l.l_discount) END)
                  ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE)
-        / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        / CAST(SUM(CAST((CASE WHEN NOT isnan(l.l_extendedprice * (1 - l.l_discount)) AND abs(l.l_extendedprice * (1 - l.l_discount)) <> CAST('Infinity' AS DOUBLE) THEN l.l_extendedprice * (1 - l.l_discount) END)
                  AS DECIMAL(25,6))) AS DOUBLE), 6) AS promo_revenue_pct
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
@@ -450,9 +450,9 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q8",
     oracle="""
 SELECT o_year,
-       ROUND(CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END
+       ROUND(CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN (CASE WHEN NOT isnan(volume) AND abs(volume) <> CAST('Infinity' AS DOUBLE) THEN volume END) ELSE 0 END
                  AS DECIMAL(25,6))) AS DOUBLE)
-           / CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS DOUBLE), 6) AS mkt_share
+           / CAST(SUM(CAST((CASE WHEN NOT isnan(volume) AND abs(volume) <> CAST('Infinity' AS DOUBLE) THEN volume END) AS DECIMAL(25,6))) AS DOUBLE), 6) AS mkt_share
 FROM (
   SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
          l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -753,13 +753,15 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q17",
     oracle="""
-SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+SELECT ROUND(CAST(SUM(CAST((CASE WHEN NOT isnan(l.l_extendedprice) AND abs(l.l_extendedprice) <> CAST('Infinity' AS DOUBLE) THEN l.l_extendedprice END) AS DECIMAL(25,6))) AS DOUBLE)
              / 7.0, 6) AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#3'
   AND l.l_quantity < 0.2 * (
-    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+    SELECT CAST(SUM(CAST((CASE WHEN NOT isnan(l2.l_quantity)
+                           AND abs(l2.l_quantity) <> CAST('Infinity' AS DOUBLE)
+                          THEN l2.l_quantity END) AS DECIMAL(18,2))) AS DOUBLE)
            / COUNT(l2.l_quantity)
     FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
 """,
@@ -787,12 +789,12 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_partkey")
     joined = li.join(p, li.l_partkey == p.p_partkey).withColumn(
         "avg_qty",
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double")
+        F.sum(finite("l_quantity").cast("decimal(18,2)")).over(w).cast("double")
         / F.count("l_quantity").over(w),
     )
     return joined.filter(F.col("l_quantity") < 0.2 * F.col("avg_qty")).agg(
         F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double") / 7.0,
+            F.sum(finite("l_extendedprice").cast("decimal(25,6)")).cast("double") / 7.0,
             6,
         ).alias("avg_yearly")
     )
@@ -801,7 +803,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q19",
     oracle="""
-SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+SELECT CAST(SUM(CAST((CASE WHEN NOT isnan(l.l_extendedprice * (1 - l.l_discount)) AND abs(l.l_extendedprice * (1 - l.l_discount)) <> CAST('Infinity' AS DOUBLE) THEN l.l_extendedprice * (1 - l.l_discount) END)
                 AS DECIMAL(25,6))) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -953,7 +955,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PS_CTE = """
 ps AS (
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty,
+         CAST(SUM(CAST((CASE WHEN NOT isnan(l_quantity) AND abs(l_quantity) <> CAST('Infinity' AS DOUBLE) THEN l_quantity END) AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty,
          MIN(l_extendedprice) AS ps_supplycost
   FROM lineitem
   GROUP BY l_partkey, l_suppkey
@@ -972,7 +974,7 @@ def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
     ).agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        F.sum(finite("l_quantity").cast("decimal(18,2)"))
         .cast("double")
         .alias("ps_availqty"),
         F.min("l_extendedprice").alias("ps_supplycost"),
@@ -1048,7 +1050,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_PS_CTE},
 agg AS (
   SELECT ps.ps_partkey,
-         CAST(SUM(CAST(ps.ps_supplycost * ps.ps_availqty AS DECIMAL(25,6)))
+         CAST(SUM(CAST((CASE WHEN NOT isnan(ps.ps_supplycost * ps.ps_availqty) AND abs(ps.ps_supplycost * ps.ps_availqty) <> CAST('Infinity' AS DOUBLE) THEN ps.ps_supplycost * ps.ps_availqty END) AS DECIMAL(25,6)))
               AS DOUBLE) AS part_value
   FROM ps
   JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
@@ -1091,7 +1093,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ps_partkey")
         .agg(
             F.sum(
-                (F.col("ps_supplycost") * F.col("ps_availqty")).cast("decimal(25,6)")
+                finite(F.col("ps_supplycost") * F.col("ps_availqty")).cast("decimal(25,6)")
             )
             .cast("double")
             .alias("part_value")
@@ -1162,10 +1164,10 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH ps AS (
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty,
+         CAST(SUM(CAST((CASE WHEN NOT isnan(l_quantity) AND abs(l_quantity) <> CAST('Infinity' AS DOUBLE) THEN l_quantity END) AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty,
          CAST(SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
                              AND l_shipdate <  TIMESTAMP '1997-01-01'
-                            THEN l_quantity ELSE 0.0 END
+                            THEN (CASE WHEN NOT isnan(l_quantity) AND abs(l_quantity) <> CAST('Infinity' AS DOUBLE) THEN l_quantity END) ELSE 0.0 END
                        AS DECIMAL(18,2))) AS DOUBLE) AS qty_1996
   FROM lineitem
   GROUP BY l_partkey, l_suppkey
@@ -1200,11 +1202,11 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
     ).agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        F.sum(finite("l_quantity").cast("decimal(18,2)"))
         .cast("double")
         .alias("ps_availqty"),
         F.sum(
-            F.when(in_96, F.col("l_quantity")).otherwise(F.lit(0.0)).cast(
+            F.when(in_96, finite("l_quantity")).otherwise(F.lit(0.0)).cast(
                 "decimal(18,2)"
             )
         )

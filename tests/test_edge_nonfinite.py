@@ -1,8 +1,10 @@
 """Standing pin for the NON-FINITE float adversarial corpus (EDGES.md).
 
-Schema-legal NaN / +Inf / -Inf doubles are planted into events.value and
-into embedding vectors of a restaged sf0.001, and every key the non-finite
-probe ever flagged is re-run through the driver's own oracle gate.  The
+Schema-legal NaN / +Inf / -Inf doubles are planted into events.value,
+embedding vectors, lineitem's quantity/price/discount/tax (on existing
+join keys, so every TPC-H path carries the dirt) and orders.o_totalprice
+of a restaged sf0.001, and every key the non-finite probe ever flagged is
+re-run through the driver's own oracle gate.  The
 class exists because double columns admit non-finite values but the fixture
 generator never emits them, so each engine's WILDLY different non-finite
 handling stays invisible:
@@ -86,6 +88,39 @@ def plant_nonfinite(src: str, dest: Path) -> None:
     )
     pq.write_table(pa.concat_tables([emb, ex]), dest / "embeddings.parquet")
 
+    # phase 2: monetary doubles. Rows reference EXISTING order/part/supp
+    # keys (head rows) so every TPC-H join path carries the dirt; the
+    # derived-partsupp CTE (tpch._ps) propagates a NaN l_extendedprice
+    # into ps_supplycost, stressing Q2/Q11/Q16/Q20 as well.
+    li = pq.read_table(dest / "lineitem.parquet")
+    lh = li.slice(0, 4).to_pydict()
+    lx = pa.table(
+        {
+            "l_orderkey": lh["l_orderkey"],
+            "l_partkey": lh["l_partkey"],
+            "l_suppkey": lh["l_suppkey"],
+            "l_linenumber": [91, 92, 93, 94],
+            "l_quantity": [lh["l_quantity"][0], NAN, 5.0, 7.0],
+            "l_extendedprice": [NAN, 100.0, INF, 200.0],
+            "l_discount": [0.05, 0.05, 0.05, NAN],
+            "l_tax": [0.02, INF, 0.02, 0.02],
+            "l_returnflag": lh["l_returnflag"],
+            "l_linestatus": lh["l_linestatus"],
+            "l_shipdate": lh["l_shipdate"],
+        },
+        schema=li.schema,
+    )
+    pq.write_table(pa.concat_tables([li, lx]), dest / "lineitem.parquet")
+
+    orders = pq.read_table(dest / "orders.parquet")
+    oh = orders.slice(0, 2).to_pydict()
+    names = orders.schema.names
+    od = {n: list(oh[n]) for n in names}
+    od["o_orderkey"] = [96000001, 96000002]
+    od["o_totalprice"] = [NAN, INF]
+    ox = pa.table(od, schema=orders.schema)
+    pq.write_table(pa.concat_tables([orders, ox]), dest / "orders.parquet")
+
 
 @pytest.fixture(scope="module")
 def nonfinite_sf_dir(tmp_path_factory):
@@ -157,6 +192,23 @@ NONFINITE_EDGE_KEYS = [
     # custom stateful max: pandas float64 cannot tell NULL from NaN, so
     # both sides quarantine non-finite out of the running max
     "s_custom_state",
+    # --- phase 2: lineitem/orders monetary doubles (10/263 on the first
+    # extended sweep — the dsum/sql_dsum plumbing had already covered the
+    # rest of TPC-H transitively; these were the inline-oracle stragglers)
+    "q_agg_histogram",  # non-finite price -> NULL (invalid) bucket
+    "q_cte",
+    "q_subquery_scalar",
+    "q_sql_script",  # NULL quantity bin sorts after every finite cutoff
+    "q_fn_math",  # decimal/int routes guarded; ln/sqrt/greatest stay raw
+    "q_revenue_share",
+    "q_tpch_q11",
+    "q_tpch_q18",
+    "q_tpch_q20",
+    # DuckDB's parquet zone-map pushdown DROPS a NaN row from a bare
+    # range predicate even though nan > 1.0 is TRUE in its executor —
+    # the range check states isnan() explicitly on both engines (and a
+    # NaN discount IS a violation)
+    "q_dq_checks",
 ]
 
 
