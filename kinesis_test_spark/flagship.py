@@ -33,7 +33,7 @@ SELECT 'y=' || CAST(year(ts) AS VARCHAR) || '/m=' || CAST(month(ts) AS VARCHAR)
        event_type,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
-       CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM deduped
 GROUP BY hour_key, event_type
 ORDER BY n_events DESC, hour_key, event_type

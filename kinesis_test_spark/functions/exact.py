@@ -17,30 +17,31 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_INF = float("inf")
+# The exact-aggregation domain: |x| < 1e12. One bound quarantines every
+# value the decimal routes can misrepresent — NaN and ±Inf (abs(x) < b is
+# FALSE for NaN in BOTH engines: NaN compares greater than everything) AND
+# finite out-of-range magnitudes, where the engines split exactly like
+# they do on NaN (Spark CAST(1e20 AS DECIMAL(18,2)) silently NULLs, DuckDB
+# raises even through TRY_CAST). 1e12 is the tightest 10^(prec-scale)
+# across the routes in use, applied uniformly so the cast precision stays
+# an implementation detail rather than a per-operator semantic boundary.
+EXACT_MAX = 1e12
 
 
 def finite(col: Column | str) -> Column:
-    """NULL out non-finite doubles (NaN/±Inf) — the quarantine contract.
-
-    The engines disagree violently on non-finite input to the decimal
-    route: Spark CAST(NaN/Inf AS DECIMAL) yields NULL (the sum silently
-    drops the row) while DuckDB raises InvalidInput even through TRY_CAST.
-    The contract is EXPLICIT symmetric exclusion, stated on both sides
-    (mirror: ``sql_finite``). NULL input stays NULL (isnan(NULL) is NULL)."""
+    """NULL out doubles outside the exact-aggregation domain (NaN, ±Inf,
+    |x| >= EXACT_MAX) — the quarantine contract, stated identically on
+    both engines (mirror: ``sql_finite``). NULL input stays NULL."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(~F.isnan(c) & (F.abs(c) != F.lit(_INF)), c)
+    return F.when(F.abs(c) < F.lit(EXACT_MAX), c)
 
 
 def sql_finite(expr: str) -> str:
     """SQL mirror of ``finite`` — ENGINE-PORTABLE on purpose: sql_dsum
     strings also run as Spark SQL (the SQL-string-API keys, e.g. TPC-H Q6
-    feeds one text to both engines), so no DuckDB-only isfinite() here;
-    isnan()/abs()/CAST('Infinity' AS DOUBLE) behave identically in both."""
-    return (
-        f"(CASE WHEN NOT isnan({expr})"
-        f" AND abs({expr}) <> CAST('Infinity' AS DOUBLE) THEN {expr} END)"
-    )
+    feeds one text to both engines). abs(x) < 1e12 evaluates identically
+    in both (NaN/Inf compare greater than any bound; NULL stays NULL)."""
+    return f"(CASE WHEN abs({expr}) < 1.0e12 THEN {expr} END)"
 
 
 def dsum(col: Column | str, alias: str, prec: int = 18, scale: int = 2) -> Column:

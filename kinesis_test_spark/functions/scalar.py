@@ -153,11 +153,9 @@ FROM (SELECT *,
              -- the decimal/int routes are range-guarded NULL on non-finite
              -- input (edge_nonfinite); ln/sqrt/greatest/least propagate
              -- NaN identically on both engines and stay raw
-             CASE WHEN NOT isnan(l_extendedprice)
-                   AND abs(l_extendedprice) <> CAST('Infinity' AS DOUBLE)
+             CASE WHEN abs(l_extendedprice) < 1.0e12
                   THEN l_extendedprice END AS fprice,
-             CASE WHEN NOT isnan(l_quantity)
-                   AND abs(l_quantity) <> CAST('Infinity' AS DOUBLE)
+             CASE WHEN abs(l_quantity) < 1.0e12
                   THEN l_quantity END AS fqty
       FROM lineitem)
 """,
@@ -221,16 +219,19 @@ def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_cast",
     oracle="""
 SELECT event_id,
-       -- non-finite doubles render with Spark's spelling (the contract):
-       -- NaN / Infinity / -Infinity, not DuckDB's nan / inf / -inf
+       -- doubles render via %.6f on BOTH engines: raw CAST-to-string is
+       -- formatter-defined (Spark picks the SHORTER of plain/scientific
+       -- per value — '1.25E7' — where DuckDB stays plain to 1e16), so no
+       -- magnitude domain makes the casts agree; printf does, for every
+       -- finite double. Non-finite spells Spark-style (NaN/Infinity).
        CASE WHEN isnan(value) THEN 'NaN'
             WHEN value = CAST('Infinity' AS DOUBLE) THEN 'Infinity'
             WHEN value = CAST('-Infinity' AS DOUBLE) THEN '-Infinity'
-            ELSE CAST(value AS VARCHAR) END AS value_str,
-       -- Spark CAST truncates; DuckDB rounds — and a non-finite value is
-       -- range-guarded NULL on both engines (edge_nonfinite corpus)
-       CAST(TRUNC(CASE WHEN NOT isnan(value)
-                   AND abs(value) <> CAST('Infinity' AS DOUBLE)
+            ELSE printf('%.6f', value) END AS value_str,
+       -- Spark CAST truncates; DuckDB rounds — and the int route is
+       -- range-guarded NULL outside int32 (Spark's CAST(double AS INT)
+       -- ANSI-raises past 2^31 where TRUNC->BIGINT would still fit)
+       CAST(TRUNC(CASE WHEN abs(value) < 2147483648.0
                   THEN value END) AS BIGINT) AS value_int,
        TRY_CAST(event_type AS DOUBLE) AS bad_cast,
        CAST(CASE WHEN user_id BETWEEN -32768 AND 32767
@@ -248,8 +249,13 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.col("value").cast("string").alias("value_str"),
-        finite(F.col("value")).cast("int").cast("bigint").alias("value_int"),
+        F.when(
+            F.col("value").isNotNull(), F.format_string("%.6f", F.col("value"))
+        ).alias("value_str"),  # format_string(NULL) is the literal 'null'
+        F.when(F.abs("value") < F.lit(2147483648.0), F.col("value"))
+        .cast("int")
+        .cast("bigint")
+        .alias("value_int"),
         F.col("event_type").try_cast("double").alias("bad_cast"),
         F.when(
             F.col("user_id").between(-32768, 32767), F.col("user_id").cast("smallint")
@@ -405,14 +411,15 @@ def q_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_explode_dq",
     oracle="""
 SELECT event_id, issue_name, issue_value FROM (
-  -- vstr: Spark's non-finite spelling (NaN/Infinity), the repo contract;
-  -- NaN > 250 is TRUE on both engines, so NaN/+Inf land in value_high
+  -- vstr renders via %.6f (q_fn_cast's rendering rule: raw casts are
+  -- formatter-defined), non-finite spells Spark-style; NaN > 250 is TRUE
+  -- on both engines, so NaN/+Inf land in value_high
   WITH vs AS (
     SELECT event_id, user_id, value,
            CASE WHEN isnan(value) THEN 'NaN'
                 WHEN value = CAST('Infinity' AS DOUBLE) THEN 'Infinity'
                 WHEN value = CAST('-Infinity' AS DOUBLE) THEN '-Infinity'
-                ELSE CAST(value AS VARCHAR) END AS vstr
+                ELSE printf('%.6f', value) END AS vstr
     FROM events)
   SELECT event_id, 'value_high' AS issue_name, vstr AS issue_value
   FROM vs WHERE value > 250
@@ -437,12 +444,15 @@ def q_explode_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     issue = lambda name, val: F.struct(  # noqa: E731
         F.lit(name).alias("issue_name"), val.cast("string").alias("issue_value")
     )
+    # doubles render via %.6f (the rendering rule — see the oracle comment);
+    # format_string spells non-finite Spark-style (NaN/Infinity) natively
+    vstr = F.format_string("%.6f", F.col("value"))
     dq = (
         F.when(
             F.col("value") > 250,
-            F.array(issue("value_high", F.col("value")), issue("check_user", F.col("user_id"))),
+            F.array(issue("value_high", vstr), issue("check_user", F.col("user_id"))),
         )
-        .when(F.col("value") > 100, F.array(issue("value_mid", F.col("value"))))
+        .when(F.col("value") > 100, F.array(issue("value_mid", vstr)))
         .otherwise(F.array().cast("array<struct<issue_name:string,issue_value:string>>"))
     )
     exploded = ev.select("event_id", F.explode_outer(dq).alias("issue"))

@@ -88,8 +88,7 @@ SELECT user_id,
        CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchases,
        CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_errors,
        CAST(SUM(CAST(CASE WHEN event_type = 'purchase'
-                          THEN (CASE WHEN NOT isnan(value)
-                                 AND abs(value) <> CAST('Infinity' AS DOUBLE)
+                          THEN (CASE WHEN abs(value) < 1.0e12
                                 THEN value END)
                           ELSE 0 END
                 AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value,
@@ -224,14 +223,14 @@ CDC_NEW_START, CDC_NEW_END = "2024-01-22", "2024-01-29"
     oracle=f"""
 WITH a AS (
   SELECT user_id, event_type,
-         CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,2))) AS DOUBLE) AS val,
+         CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,2))) AS DOUBLE) AS val,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM events
   WHERE ts >= TIMESTAMP '{CDC_OLD_START}' AND ts < TIMESTAMP '{CDC_OLD_END}'
   GROUP BY user_id, event_type),
 b AS (
   SELECT user_id, event_type,
-         CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,2))) AS DOUBLE) AS val,
+         CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,2))) AS DOUBLE) AS val,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM events
   WHERE ts >= TIMESTAMP '{CDC_NEW_START}' AND ts < TIMESTAMP '{CDC_NEW_END}'

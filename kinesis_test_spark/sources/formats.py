@@ -19,7 +19,7 @@ from kinesis_test_spark.sources import t
 
 _ORACLE = """
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
        CAST(SUM(user_id) AS BIGINT) AS sum_users
 FROM events GROUP BY event_type
 """
@@ -424,7 +424,7 @@ def _stage_logged_table(spark: SparkSession, sf_dir: str):
     "q_table_snapshot",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
        CAST(SUM(user_id) AS BIGINT) AS sum_users
 FROM events WHERE user_id % 7 <> 0 OR user_id IS NULL GROUP BY event_type
 """,
@@ -447,7 +447,7 @@ def q_table_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_table_time_travel",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
        CAST(SUM(user_id) AS BIGINT) AS sum_users
 FROM events GROUP BY event_type
 """,
@@ -537,7 +537,7 @@ GDPR_TARGET_USER = 7
     "q_table_gdpr",
     oracle=f"""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
        CAST(SUM(user_id) AS BIGINT) AS sum_users
 FROM events WHERE user_id <> {GDPR_TARGET_USER} OR user_id IS NULL
 GROUP BY event_type
@@ -655,7 +655,7 @@ COMPACT_EXEC_TARGET = 3  # target: ~3 source files per compacted output
     "q_table_compact",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
        CAST(SUM(user_id) AS BIGINT) AS sum_users
 FROM events GROUP BY event_type
 """,
@@ -717,7 +717,7 @@ def q_table_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_table_evolve",
     oracle="""
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM (SELECT CASE WHEN ((user_id % 2) + 2) % 2 = 1 THEN 'backfill_v1' END AS source,
              value
       FROM events)

@@ -328,7 +328,7 @@ def s_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_json_ingest",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
 """,
 )
@@ -378,8 +378,7 @@ def s_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_custom_state",
     oracle="""
 SELECT user_id, COUNT(*) AS n_events,
-       ROUND(MAX(CASE WHEN NOT isnan(value)
-                  AND abs(value) <> CAST('Infinity' AS DOUBLE)
+       ROUND(MAX(CASE WHEN abs(value) < 1.0e12
                  THEN value END), 6) AS max_value
 FROM events GROUP BY user_id
 """,
@@ -422,7 +421,7 @@ def s_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in pdfs:
             n += len(pdf)
             v = pdf["value"].astype(float)
-            fv = v[np.isfinite(v)]
+            fv = v[np.abs(v) < 1e12]  # exact-domain mask (NaN/Inf/huge)
             if len(fv):
                 mx = max(mx, float(fv.max()))
         state.update((n, mx))
@@ -451,7 +450,7 @@ def s_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_static_join",
     oracle="""
 SELECT n.n_name, COUNT(*) AS n_events,
-       CAST(SUM(CAST((CASE WHEN NOT isnan(e.value) AND abs(e.value) <> CAST('Infinity' AS DOUBLE) THEN e.value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST((CASE WHEN abs(e.value) < 1.0e12 THEN e.value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
 GROUP BY n.n_name
 """,
@@ -1025,7 +1024,7 @@ def s_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(COUNT(DISTINCT CASE WHEN user_id IS NULL THEN 0
                  ELSE ((user_id % 4) + 4) % 4 END) AS BIGINT) AS n_batches,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(COALESCE(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,2))), 0) AS DOUBLE)
+       CAST(COALESCE(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,2))), 0) AS DOUBLE)
          AS total_value
 FROM events
 """,
@@ -1086,7 +1085,7 @@ def s_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_table_stream",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
 """,
 )
@@ -1145,7 +1144,7 @@ def s_table_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_avro_ingest",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST((CASE WHEN NOT isnan(value) AND abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
 """,
 )
