@@ -22,33 +22,50 @@ from pyspark.sql import functions as F
 # FALSE for NaN in BOTH engines: NaN compares greater than everything) AND
 # finite out-of-range magnitudes, where the engines split exactly like
 # they do on NaN (Spark CAST(1e20 AS DECIMAL(18,2)) silently NULLs, DuckDB
-# raises even through TRY_CAST). 1e12 is the tightest 10^(prec-scale)
-# across the routes in use, applied uniformly so the cast precision stays
-# an implementation detail rather than a per-operator semantic boundary.
+# raises even through TRY_CAST). Guards adjacent to a DECIMAL(p,s) cast
+# bound at min(10^(p-s), 10^DOUBLE_SAFE_EXP) — what the route can
+# represent AND hand back through DOUBLE deterministically — so wide
+# routes don't quarantine legitimate values (a time-weighted product
+# legitimately nears 1e12); statistics, rendering, and non-decimal
+# guards use this default domain.
 EXACT_MAX = 1e12
 
 
-def finite(col: Column | str) -> Column:
-    """NULL out doubles outside the exact-aggregation domain (NaN, ±Inf,
-    |x| >= EXACT_MAX) — the quarantine contract, stated identically on
-    both engines (mirror: ``sql_finite``). NULL input stays NULL."""
+# Decimal-adjacent guards cap at 1e15 regardless of the route's width:
+# the aggregate VALUE is exact at any 10^(p-s), but the OUTPUT leaves as
+# DOUBLE, and DuckDB's DECIMAL->DOUBLE conversion (int128 divided by 10^s
+# in float arithmetic) drifts a ULP from Java's correctly-rounded
+# BigDecimal.doubleValue once magnitudes push the scaled value past 2^53
+# (observed: TPC-H Q1 accepting a planted 1e20 diverged in the 17th digit).
+DOUBLE_SAFE_EXP = 15
+
+
+def finite(col: Column | str, exp: int = 12) -> Column:
+    """NULL out doubles outside the quarantine bound 10**exp (defaults to
+    EXACT_MAX's 1e12) — NaN/±Inf always excluded (they compare greater
+    than any bound in both engines), NULL stays NULL. Guards adjacent to
+    a DECIMAL(p,s) cast pass exp = p - s (capped at DOUBLE_SAFE_EXP) so
+    the bound is what the route can represent AND still hand back through
+    DOUBLE deterministically (mirror: ``sql_finite``);
+    statistics/rendering guards keep the default domain."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.abs(c) < F.lit(EXACT_MAX), c)
+    return F.when(F.abs(c) < F.lit(10.0 ** min(exp, DOUBLE_SAFE_EXP)), c)
 
 
-def sql_finite(expr: str) -> str:
+def sql_finite(expr: str, exp: int = 12) -> str:
     """SQL mirror of ``finite`` — ENGINE-PORTABLE on purpose: sql_dsum
     strings also run as Spark SQL (the SQL-string-API keys, e.g. TPC-H Q6
-    feeds one text to both engines). abs(x) < 1e12 evaluates identically
+    feeds one text to both engines). abs(x) < 1.0eN evaluates identically
     in both (NaN/Inf compare greater than any bound; NULL stays NULL)."""
-    return f"(CASE WHEN abs({expr}) < 1.0e12 THEN {expr} END)"
+    return f"(CASE WHEN abs({expr}) < 1.0e{min(exp, DOUBLE_SAFE_EXP)} THEN {expr} END)"
 
 
 def dsum(col: Column | str, alias: str, prec: int = 18, scale: int = 2) -> Column:
     """Order-independent SUM over a double column, returned as double.
 
-    Non-finite inputs are excluded explicitly (see ``finite``)."""
-    c = finite(col)
+    Inputs the DECIMAL(prec,scale) route cannot represent are excluded
+    explicitly (see ``finite``; bound 10^(prec-scale))."""
+    c = finite(col, prec - scale)
     return F.sum(c.cast(f"decimal({prec},{scale})")).cast("double").alias(alias)
 
 
@@ -57,19 +74,19 @@ def davg(col: Column | str, alias: str, prec: int = 18, scale: int = 2) -> Colum
 
     The count is over the SAME finite-guarded value as the sum — counting
     raw non-NULLs would divide a non-finite-excluded sum by a larger n."""
-    c = finite(col)
+    c = finite(col, prec - scale)
     return (
         F.sum(c.cast(f"decimal({prec},{scale})")).cast("double") / F.count(c)
     ).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str, prec: int = 18, scale: int = 2) -> str:
-    g = sql_finite(expr)
+    g = sql_finite(expr, prec - scale)
     return f"CAST(SUM(CAST({g} AS DECIMAL({prec},{scale}))) AS DOUBLE) AS {alias}"
 
 
 def sql_davg(expr: str, alias: str, prec: int = 18, scale: int = 2) -> str:
-    g = sql_finite(expr)
+    g = sql_finite(expr, prec - scale)
     return (
         f"CAST(SUM(CAST({g} AS DECIMAL({prec},{scale}))) AS DOUBLE)"
         f" / COUNT({g}) AS {alias}"

@@ -1097,7 +1097,7 @@ def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH seg AS (
   SELECT c.c_mktsegment,
-         CAST(SUM(CAST((CASE WHEN abs(o.o_totalprice) < 1.0e12 THEN o.o_totalprice END) AS DECIMAL(25,6))) AS DOUBLE) AS seg_rev
+         CAST(SUM(CAST((CASE WHEN abs(o.o_totalprice) < 1.0e15 THEN o.o_totalprice END) AS DECIMAL(25,6))) AS DOUBLE) AS seg_rev
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
   GROUP BY c.c_mktsegment)
 SELECT c_mktsegment, seg_rev,
@@ -1119,7 +1119,7 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.sum(finite("o_totalprice").cast("decimal(25,6)"))
+            F.sum(finite("o_totalprice", 19).cast("decimal(25,6)"))
             .cast("double")
             .alias("seg_rev")
         )
@@ -1223,7 +1223,7 @@ WITH assigned AS (
 stats AS (
   SELECT variant,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_v,
+         CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e15 THEN value END) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_v,
          ROUND(VAR_SAMP(CASE WHEN abs(value) < 1.0e12
                          THEN value END), 6) AS var_v
   FROM assigned GROUP BY variant),
@@ -1266,7 +1266,7 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = assigned.groupBy("variant").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         (
-            F.sum(finite("value").cast("decimal(18,2)")).cast("double")
+            F.sum(finite("value", 16).cast("decimal(18,2)")).cast("double")
             / F.count(F.lit(1))
         ).alias("mean_v"),
         F.round(F.var_samp(finite(F.col("value"))), 6).alias("var_v"),
@@ -1308,7 +1308,7 @@ WITH base AS (
   SELECT user_id,
          MAX(ts) AS last_seen,
          CAST(COUNT(*) AS BIGINT) AS freq,
-         CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+         CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e15 THEN value END) AS DECIMAL(18,2))) AS DOUBLE) AS monetary
   FROM events WHERE event_type = 'purchase' GROUP BY user_id),
 scored AS (
   SELECT user_id,
@@ -1335,7 +1335,7 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.groupBy("user_id").agg(
         F.max("ts").alias("last_seen"),
         F.count(F.lit(1)).cast("bigint").alias("freq"),
-        F.sum(finite("value").cast("decimal(18,2)")).cast("double").alias("monetary"),
+        F.sum(finite("value", 16).cast("decimal(18,2)")).cast("double").alias("monetary"),
     )
     scored = base.select(
         "user_id",
@@ -1494,7 +1494,7 @@ revenue AS (
          CAST(floor((epoch_ms(time_bucket(INTERVAL '1 week', e.ts))
                      - epoch_ms(f.cohort)) / 604800000.0) AS BIGINT)
            AS week_offset,
-         CAST((CASE WHEN abs(e.value) < 1.0e12 THEN e.value END) AS DECIMAL(18,2)) AS v
+         CAST((CASE WHEN abs(e.value) < 1.0e15 THEN e.value END) AS DECIMAL(18,2)) AS v
   FROM events e JOIN first_seen f ON f.user_id = e.user_id
   WHERE e.event_type = 'purchase'),
 weekly AS (
@@ -1539,7 +1539,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("week_offset"),
         )
         .agg(
-            F.sum(finite("value").cast("decimal(18,2)")).cast("double").alias("revenue")
+            F.sum(finite("value", 16).cast("decimal(18,2)")).cast("double").alias("revenue")
         )
     )
     w = (
@@ -1641,12 +1641,12 @@ rs AS (
                ((strpos('0123456789abcdef', substr(md5('bs|' || CAST(b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('bs|' || CAST(b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 2, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('bs|' || CAST(b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('bs|' || CAST(b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 4, 1)) - 1)) AS h
         FROM p, (SELECT unnest(generate_series(0, 19)) AS b))),
 means AS (
-  SELECT b, CAST(SUM(CAST((CASE WHEN abs(value * w) < 1.0e12 THEN value * w END) AS DECIMAL(18,2))) AS DOUBLE)
+  SELECT b, CAST(SUM(CAST((CASE WHEN abs(value * w) < 1.0e15 THEN value * w END) AS DECIMAL(18,2))) AS DOUBLE)
             / NULLIF(SUM(w), 0) AS m
   FROM rs GROUP BY b),
 base AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mv
+         CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e15 THEN value END) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mv
   FROM p),
 se AS (SELECT ROUND(stddev_samp(m), 6) AS se_boot FROM means)
 SELECT base.n, ROUND(base.mv, 6) AS mean_value, se.se_boot,
@@ -1690,7 +1690,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b")
         .agg(
             F.try_divide(
-                F.sum(finite(F.col("value") * F.col("w")).cast("decimal(18,2)")).cast(
+                F.sum(finite(F.col("value") * F.col("w"), 16).cast("decimal(18,2)")).cast(
                     "double"
                 ),
                 F.sum("w"),
@@ -1700,7 +1700,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = p.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         (
-            F.sum(finite("value").cast("decimal(18,2)")).cast("double")
+            F.sum(finite("value", 16).cast("decimal(18,2)")).cast("double")
             / F.count(F.lit(1))
         ).alias("mv"),
     )

@@ -128,7 +128,7 @@ Q18_QTY_THRESHOLD = 300
 WITH big AS (
   SELECT l_orderkey
   FROM lineitem GROUP BY l_orderkey
-  HAVING CAST(SUM(CAST((CASE WHEN abs(l_quantity) < 1.0e12 THEN l_quantity END) AS DECIMAL(18,2))) AS DOUBLE) > {Q18_QTY_THRESHOLD})
+  HAVING CAST(SUM(CAST((CASE WHEN abs(l_quantity) < 1.0e15 THEN l_quantity END) AS DECIMAL(18,2))) AS DOUBLE) > {Q18_QTY_THRESHOLD})
 SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
        {sql_dsum("l.l_quantity", "sum_qty")}
 FROM customer c
@@ -333,9 +333,9 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT ROUND(
   100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
-                 THEN (CASE WHEN abs(l.l_extendedprice * (1 - l.l_discount)) < 1.0e12 THEN l.l_extendedprice * (1 - l.l_discount) END)
+                 THEN (CASE WHEN abs(l.l_extendedprice * (1 - l.l_discount)) < 1.0e15 THEN l.l_extendedprice * (1 - l.l_discount) END)
                  ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE)
-        / CAST(SUM(CAST((CASE WHEN abs(l.l_extendedprice * (1 - l.l_discount)) < 1.0e12 THEN l.l_extendedprice * (1 - l.l_discount) END)
+        / CAST(SUM(CAST((CASE WHEN abs(l.l_extendedprice * (1 - l.l_discount)) < 1.0e15 THEN l.l_extendedprice * (1 - l.l_discount) END)
                  AS DECIMAL(25,6))) AS DOUBLE), 6) AS promo_revenue_pct
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
@@ -450,9 +450,9 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q8",
     oracle="""
 SELECT o_year,
-       ROUND(CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN (CASE WHEN abs(volume) < 1.0e12 THEN volume END) ELSE 0 END
+       ROUND(CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN (CASE WHEN abs(volume) < 1.0e15 THEN volume END) ELSE 0 END
                  AS DECIMAL(25,6))) AS DOUBLE)
-           / CAST(SUM(CAST((CASE WHEN abs(volume) < 1.0e12 THEN volume END) AS DECIMAL(25,6))) AS DOUBLE), 6) AS mkt_share
+           / CAST(SUM(CAST((CASE WHEN abs(volume) < 1.0e15 THEN volume END) AS DECIMAL(25,6))) AS DOUBLE), 6) AS mkt_share
 FROM (
   SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
          l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -587,11 +587,11 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q22",
     oracle="""
 SELECT n_grp, CAST(COUNT(*) AS BIGINT) AS numcust,
-       CAST(SUM(CAST((CASE WHEN abs(c_acctbal) < 1.0e12 THEN c_acctbal END) AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+       CAST(SUM(CAST((CASE WHEN abs(c_acctbal) < 1.0e15 THEN c_acctbal END) AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
 FROM (
   SELECT CAST(c.c_nationkey % 5 AS BIGINT) AS n_grp, c.c_acctbal
   FROM customer c
-  WHERE c.c_acctbal > (SELECT CAST(SUM(CAST((CASE WHEN abs(c_acctbal) < 1.0e12 THEN c_acctbal END) AS DECIMAL(18,2))) AS DOUBLE)
+  WHERE c.c_acctbal > (SELECT CAST(SUM(CAST((CASE WHEN abs(c_acctbal) < 1.0e15 THEN c_acctbal END) AS DECIMAL(18,2))) AS DOUBLE)
                               / COUNT(c_acctbal)
                        FROM customer WHERE c_acctbal > 0.0)
     AND NOT EXISTS (SELECT 1 FROM orders o
@@ -627,7 +627,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_grp")
         .agg(
             F.count("*").alias("numcust"),
-            F.sum(finite("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
+            F.sum(finite("c_acctbal", 16).cast("decimal(18,2)")).cast("double").alias("totacctbal"),
         )
         .orderBy("n_grp")
     )
@@ -753,13 +753,13 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q17",
     oracle="""
-SELECT ROUND(CAST(SUM(CAST((CASE WHEN abs(l.l_extendedprice) < 1.0e12 THEN l.l_extendedprice END) AS DECIMAL(25,6))) AS DOUBLE)
+SELECT ROUND(CAST(SUM(CAST((CASE WHEN abs(l.l_extendedprice) < 1.0e15 THEN l.l_extendedprice END) AS DECIMAL(25,6))) AS DOUBLE)
              / 7.0, 6) AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#3'
   AND l.l_quantity < 0.2 * (
-    SELECT CAST(SUM(CAST((CASE WHEN abs(l2.l_quantity) < 1.0e12
+    SELECT CAST(SUM(CAST((CASE WHEN abs(l2.l_quantity) < 1.0e15
                           THEN l2.l_quantity END) AS DECIMAL(18,2))) AS DOUBLE)
            / COUNT(l2.l_quantity)
     FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
@@ -788,12 +788,12 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_partkey")
     joined = li.join(p, li.l_partkey == p.p_partkey).withColumn(
         "avg_qty",
-        F.sum(finite("l_quantity").cast("decimal(18,2)")).over(w).cast("double")
+        F.sum(finite("l_quantity", 16).cast("decimal(18,2)")).over(w).cast("double")
         / F.count("l_quantity").over(w),
     )
     return joined.filter(F.col("l_quantity") < 0.2 * F.col("avg_qty")).agg(
         F.round(
-            F.sum(finite("l_extendedprice").cast("decimal(25,6)")).cast("double") / 7.0,
+            F.sum(finite("l_extendedprice", 19).cast("decimal(25,6)")).cast("double") / 7.0,
             6,
         ).alias("avg_yearly")
     )
@@ -802,7 +802,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q19",
     oracle="""
-SELECT CAST(SUM(CAST((CASE WHEN abs(l.l_extendedprice * (1 - l.l_discount)) < 1.0e12 THEN l.l_extendedprice * (1 - l.l_discount) END)
+SELECT CAST(SUM(CAST((CASE WHEN abs(l.l_extendedprice * (1 - l.l_discount)) < 1.0e15 THEN l.l_extendedprice * (1 - l.l_discount) END)
                 AS DECIMAL(25,6))) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -954,7 +954,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PS_CTE = """
 ps AS (
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         CAST(SUM(CAST((CASE WHEN abs(l_quantity) < 1.0e12 THEN l_quantity END) AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty,
+         CAST(SUM(CAST((CASE WHEN abs(l_quantity) < 1.0e15 THEN l_quantity END) AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty,
          MIN(l_extendedprice) AS ps_supplycost
   FROM lineitem
   GROUP BY l_partkey, l_suppkey
@@ -973,7 +973,7 @@ def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
     ).agg(
-        F.sum(finite("l_quantity").cast("decimal(18,2)"))
+        F.sum(finite("l_quantity", 16).cast("decimal(18,2)"))
         .cast("double")
         .alias("ps_availqty"),
         F.min("l_extendedprice").alias("ps_supplycost"),
@@ -1049,7 +1049,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_PS_CTE},
 agg AS (
   SELECT ps.ps_partkey,
-         CAST(SUM(CAST((CASE WHEN abs(ps.ps_supplycost * ps.ps_availqty) < 1.0e12 THEN ps.ps_supplycost * ps.ps_availqty END) AS DECIMAL(25,6)))
+         CAST(SUM(CAST((CASE WHEN abs(ps.ps_supplycost * ps.ps_availqty) < 1.0e15 THEN ps.ps_supplycost * ps.ps_availqty END) AS DECIMAL(25,6)))
               AS DOUBLE) AS part_value
   FROM ps
   JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
@@ -1092,7 +1092,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ps_partkey")
         .agg(
             F.sum(
-                finite(F.col("ps_supplycost") * F.col("ps_availqty")).cast("decimal(25,6)")
+                finite(F.col("ps_supplycost") * F.col("ps_availqty"), 19).cast("decimal(25,6)")
             )
             .cast("double")
             .alias("part_value")
@@ -1163,7 +1163,7 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH ps AS (
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         CAST(SUM(CAST((CASE WHEN abs(l_quantity) < 1.0e12 THEN l_quantity END) AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty,
+         CAST(SUM(CAST((CASE WHEN abs(l_quantity) < 1.0e15 THEN l_quantity END) AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty,
          CAST(SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
                              AND l_shipdate <  TIMESTAMP '1997-01-01'
                             THEN (CASE WHEN abs(l_quantity) < 1.0e12 THEN l_quantity END) ELSE 0.0 END
@@ -1201,7 +1201,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
     ).agg(
-        F.sum(finite("l_quantity").cast("decimal(18,2)"))
+        F.sum(finite("l_quantity", 16).cast("decimal(18,2)"))
         .cast("double")
         .alias("ps_availqty"),
         F.sum(

@@ -452,7 +452,7 @@ held AS (
   SELECT user_id, value, t1 - t0 AS dur_ms FROM seg WHERE t1 IS NOT NULL)
 SELECT user_id,
        CAST(SUM(dur_ms) AS BIGINT) AS span_ms,
-       ROUND(CAST(SUM(CAST((CASE WHEN abs(value * dur_ms) < 1.0e12 THEN value * dur_ms END) AS DECIMAL(28,6))) AS DOUBLE)
+       ROUND(CAST(SUM(CAST((CASE WHEN abs(value * dur_ms) < 1.0e15 THEN value * dur_ms END) AS DECIMAL(28,6))) AS DOUBLE)
              / NULLIF(SUM(dur_ms), 0), 6) AS twa_value,
        CAST(COUNT(*) AS BIGINT) AS n_segments
 FROM held GROUP BY user_id ORDER BY user_id
@@ -486,7 +486,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.try_divide(
                     F.sum(
-                        finite(F.col("value") * F.col("dur_ms")).cast("decimal(28,6)")
+                        finite(F.col("value") * F.col("dur_ms"), 22).cast("decimal(28,6)")
                     ).cast("double"),
                     F.sum("dur_ms"),
                 ),

@@ -1024,7 +1024,7 @@ def s_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(COUNT(DISTINCT CASE WHEN user_id IS NULL THEN 0
                  ELSE ((user_id % 4) + 4) % 4 END) AS BIGINT) AS n_batches,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(COALESCE(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,2))), 0) AS DOUBLE)
+       CAST(COALESCE(SUM(CAST((CASE WHEN abs(value) < 1.0e15 THEN value END) AS DECIMAL(18,2))), 0) AS DOUBLE)
          AS total_value
 FROM events
 """,
@@ -1053,7 +1053,7 @@ def s_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).observe(
         "metrics",
         F.count(F.lit(1)).alias("n"),
-        F.sum(finite("value").cast("decimal(18,2)")).alias("v"),
+        F.sum(finite("value", 16).cast("decimal(18,2)")).alias("v"),
     )
     q = (
         observed.select("event_id")

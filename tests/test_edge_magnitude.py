@@ -43,15 +43,20 @@ def plant_magnitude(src: str, dest: Path) -> None:
     for f in Path(src).glob("*.parquet"):
         shutil.copy(f, dest / f.name)
 
+    # MID sits BETWEEN the default 1e12 domain and the wider per-route
+    # bounds (10^(p-s)): a (18,6) route quarantines it while a (18,2)
+    # route accepts it — planted to prove every Spark/oracle guard PAIR
+    # carries the same bound (a pair mismatch diverges only on this band)
+    MID = 5e13
     ev = pq.read_table(dest / "events.parquet")
-    h = ev.slice(0, 2).to_pydict()
+    h = ev.slice(0, 3).to_pydict()
     extra = pa.table(
         {
-            "event_id": [97000001, 97000002],
+            "event_id": [97000001, 97000002, 97000003],
             "ts": h["ts"],
             "user_id": h["user_id"],
-            "event_type": ["purchase", "click"],
-            "value": [BIG, -BIG],
+            "event_type": ["purchase", "click", "purchase"],
+            "value": [BIG, -BIG, MID],
             "props": h["props"],
         },
         schema=ev.schema,
@@ -59,20 +64,20 @@ def plant_magnitude(src: str, dest: Path) -> None:
     pq.write_table(pa.concat_tables([ev, extra]), dest / "events.parquet")
 
     li = pq.read_table(dest / "lineitem.parquet")
-    lh = li.slice(0, 1).to_pydict()
+    lh = li.slice(0, 2).to_pydict()
     ld = {n: list(lh[n]) for n in li.schema.names}
-    ld["l_linenumber"] = [95]
-    ld["l_extendedprice"] = [BIG]
+    ld["l_linenumber"] = [95, 96]
+    ld["l_extendedprice"] = [BIG, 5e17]  # 5e17: (25,6) accepts, (18,x) rejects
     pq.write_table(
         pa.concat_tables([li, pa.table(ld, schema=li.schema)]),
         dest / "lineitem.parquet",
     )
 
     orders = pq.read_table(dest / "orders.parquet")
-    oh = orders.slice(0, 1).to_pydict()
+    oh = orders.slice(0, 2).to_pydict()
     od = {n: list(oh[n]) for n in orders.schema.names}
-    od["o_orderkey"] = [98000001]
-    od["o_totalprice"] = [-BIG]
+    od["o_orderkey"] = [98000001, 98000002]
+    od["o_totalprice"] = [-BIG, MID]
     pq.write_table(
         pa.concat_tables([orders, pa.table(od, schema=orders.schema)]),
         dest / "orders.parquet",

@@ -17,10 +17,17 @@ handling stays invisible:
   * moment statistics: stddev/var/corr over a NaN input return NaN in
     Spark but raise OutOfRange in DuckDB — same explicit exclusion
   * narrowing casts: TRY_CAST(NaN AS BIGINT) is NULL in Spark, raises in
-    DuckDB — oracles guard with isfinite() before the cast
+    DuckDB — oracles guard before the cast
   * agreements we RELY on (probed, both engines): NaN > 0 is TRUE, NaN
     sorts greater than +Inf, min/max propagate NaN, round(NaN,6)=NaN,
     plain double avg/sum propagate NaN
+
+All quarantine guards are bounded predicates abs(x) < 10^exp — FALSE for
+NaN/±Inf in both engines (NaN compares greater than any bound) and for
+finite out-of-range magnitudes, the sibling class test_edge_magnitude
+covers. Bounds are route-derived: min(10^(p-s), 1e15) next to a
+DECIMAL(p,s) cast (functions/exact.finite/sql_finite), the default 1e12
+(functions/exact.EXACT_MAX) for statistics/rendering guards.
 
 The full-surface sweep lives in tools/probe_nonfinite.py (which imports
 ``plant_nonfinite`` from here — one source of truth for the corpus); this
