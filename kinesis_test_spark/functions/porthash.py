@@ -32,3 +32,44 @@ def sql_hex16(expr: str) -> str:
     """Same value in DuckDB SQL (no hex→int builtin that matches conv)."""
     digit = lambda i: f"(strpos('{HEX}', substr(md5({expr}), {i}, 1)) - 1)"  # noqa: E731
     return f"({digit(1)} * 4096 + {digit(2)} * 256 + {digit(3)} * 16 + {digit(4)})"
+
+
+# --- portable ASCII-only case folding -------------------------------------
+#
+# Full Unicode case mapping is ENGINE-SPECIFIC: Spark uses the JDK's full
+# mappings (upper('ß')='SS', lower('İ')='i'+COMBINING DOT, context-sensitive
+# Greek final sigma) while DuckDB's utf8proc applies simple 1:1 mappings
+# (upper('ß')='ẞ', lower('İ')='i', upper('ﬁ')='ﬁ').  Any key that RECOMPUTES
+# a case fold on both engines therefore diverges on schema-legal text
+# (tests/test_edge_unicode.py).  Keys that need a cross-engine-deterministic
+# fold use these ASCII-only translate-based helpers on BOTH sides; non-ASCII
+# letters pass through unchanged, which is also locale- and
+# Unicode-version-stable — the right property for dedup/normalization at
+# scale (a corpus normalizer must not change behavior when the JDK updates
+# its Unicode tables).
+
+ASCII_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col: Column | str) -> Column:
+    """ASCII-only lowercase (Spark side; mirror: ``sql_ascii_lower``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, ASCII_UP, ASCII_LO)
+
+
+def ascii_upper(col: Column | str) -> Column:
+    """ASCII-only uppercase (Spark side; mirror: ``sql_ascii_upper``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, ASCII_LO, ASCII_UP)
+
+
+def sql_ascii_lower(expr: str) -> str:
+    """DuckDB mirror of ``ascii_lower`` (translate is codepoint-exact in
+    both engines; only the 26 ASCII letters are mapped)."""
+    return f"translate({expr}, '{ASCII_UP}', '{ASCII_LO}')"
+
+
+def sql_ascii_upper(expr: str) -> str:
+    """DuckDB mirror of ``ascii_upper``."""
+    return f"translate({expr}, '{ASCII_LO}', '{ASCII_UP}')"

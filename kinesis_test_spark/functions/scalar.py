@@ -17,19 +17,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_test_spark.functions.exact import finite
+from kinesis_test_spark.functions.porthash import ascii_lower, sql_ascii_lower
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t
 
 
 @query(
     "q_fn_string",
-    oracle="""
+    oracle=f"""
 SELECT c_custkey,
-       lower(c_name) AS lname,
+       {sql_ascii_lower("c_name")} AS lname,
        substr(c_name, 10, 9) AS numpart,
        CAST(length(c_name) AS INT) AS name_len,
        split_part(c_name, '#', 2) AS after_hash,
-       CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+       TRY_CAST(NULLIF(regexp_extract(c_name, '([0-9]+)', 1), '') AS BIGINT) AS name_num,
        concat(c_mktsegment, '-', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
        replace(c_name, 'Customer', 'cust') AS renamed,
        trim(lpad(CAST(c_custkey AS VARCHAR), 8, '0')) AS padded,
@@ -38,15 +39,23 @@ FROM customer
 """,
 )
 def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String family (reference parses page names / user agents, event.py:12,22)."""
+    """String family (reference parses page names / user agents, event.py:12,22).
+
+    Case folding is the portable ASCII-only translate (porthash.ascii_lower):
+    full Unicode lower() is engine-specific (Java full mappings vs utf8proc
+    simple — tests/test_edge_unicode.py), and the numeric extract goes
+    through try_cast because a regex miss yields '' (raises on a plain CAST
+    in both engines)."""
     c = t(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
-        F.lower("c_name").alias("lname"),
+        ascii_lower("c_name").alias("lname"),
         F.substring("c_name", 10, 9).alias("numpart"),
         F.length("c_name").alias("name_len"),
         F.element_at(F.split("c_name", "#"), 2).alias("after_hash"),
-        F.regexp_extract("c_name", r"([0-9]+)", 1).cast("bigint").alias("name_num"),
+        F.nullif(F.regexp_extract("c_name", r"([0-9]+)", 1), F.lit(""))
+        .try_cast("bigint")
+        .alias("name_num"),
         F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
         F.regexp_replace("c_name", "Customer", "cust").alias("renamed"),
         F.trim(F.lpad(F.col("c_custkey").cast("string"), 8, "0")).alias("padded"),

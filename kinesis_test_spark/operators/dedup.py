@@ -30,6 +30,12 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_test_spark.functions.porthash import (
+    ascii_lower,
+    ascii_upper,
+    sql_ascii_lower,
+    sql_ascii_upper,
+)
 from kinesis_test_spark.iterate import truncate_lineage
 from kinesis_test_spark.operators.similarity import vec_valid
 from kinesis_test_spark.registry import query
@@ -928,15 +934,15 @@ def q_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_normalized",
-    oracle="""
+    oracle=f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000, upper(text) || ' !!' FROM documents
+  SELECT doc_id + 100000, {sql_ascii_upper("text")} || ' !!' FROM documents
   WHERE doc_id % 10 = 0),
 norm AS (
   SELECT doc_id,
-         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+         trim(regexp_replace(regexp_replace({sql_ascii_lower("text")}, '[^a-z0-9 ]', ' ', 'g'),
                              ' +', ' ', 'g')) AS norm_text
   FROM corpus)
 SELECT norm_text, COUNT(*) AS n_variants, MIN(doc_id) AS canonical_doc
@@ -951,16 +957,21 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     (uppercased + punctuation, new ids) so the normalization is actually
     exercised; the cheapest rung of the dedup ladder after raw equality —
     one groupBy on the normalized content (in production, on its hash —
-    same shuffle key either way)."""
+    same shuffle key either way). Case folding is the portable ASCII-only
+    translate (porthash): the staged copy and the normalizer are both
+    RECOMPUTED per engine, and full upper()/lower() diverge on ß/İ/ﬁ
+    (Java full mappings expand ß to ASCII 'SS'; utf8proc does not —
+    tests/test_edge_unicode.py). A normalizer must also not change
+    behavior when the JDK revs its Unicode tables."""
     d = t(spark, sf_dir, "documents")
     variants = d.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat(F.upper("text"), F.lit(" !!")).alias("text"),
+        F.concat(ascii_upper("text"), F.lit(" !!")).alias("text"),
     )
     corpus = d.select("doc_id", "text").unionByName(variants)
     norm = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+            F.regexp_replace(ascii_lower("text"), "[^a-z0-9 ]", " "), " +", " "
         )
     )
     return (

@@ -31,7 +31,7 @@ from kinesis_test_spark.sources import t
     oracle="""
 SELECT d.doc_id, d.lang, d.source, e.label,
        CAST(len(e.embedding) AS INT) AS dim,
-       CAST(length(d.text) AS INT) AS payload_len,
+       CAST(strlen(d.text) AS INT) AS payload_len,
        md5(d.text) AS payload_md5
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 """,
@@ -185,9 +185,9 @@ FROM documents
     "q_mm_decode",
     oracle="""
 SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS payload_len,
-       CAST(length(text) % 64 AS BIGINT) AS width,
-       CAST((length(text) * 7) % 64 AS BIGINT) AS height,
+       CAST(strlen(text) AS BIGINT) AS payload_len,
+       CAST(strlen(text) % 64 AS BIGINT) AS width,
+       CAST((strlen(text) * 7) % 64 AS BIGINT) AS height,
        CASE WHEN text IS NOT NULL THEN 'fake/v1' END AS format
 FROM documents
 """,
@@ -196,7 +196,10 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode pipeline: documents → binary payload column →
     Arrow batches → typed (width, height, format) rows. The oracle states
     the stub's arithmetic directly — proving the Spark-side plumbing
-    (binary handling, batch iteration, schema) end to end."""
+    (binary handling, batch iteration, schema) end to end. The payload is
+    the UTF-8 ENCODING of text, so every length in the decode family's
+    oracles is strlen (bytes), not length (codepoints) — they differ on
+    non-ASCII text (tests/test_edge_unicode.py)."""
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
@@ -235,7 +238,7 @@ WITH nums AS (SELECT unnest(generate_series(1, 5)) AS i)
 SELECT doc_id, CAST(i AS INT) AS frame_idx,
        md5(text || ':' || CAST(i AS VARCHAR)) AS frame_md5
 FROM documents, nums
-WHERE i <= length(text) % 5 + 1
+WHERE i <= strlen(text) % 5 + 1
 """,
 )
 def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,9 +284,9 @@ def decode_batch_arrow(batches):
     "q_mm_decode_arrow",
     oracle="""
 SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS payload_len,
-       CAST(length(text) % 64 AS BIGINT) AS width,
-       CAST((length(text) * 7) % 64 AS BIGINT) AS height,
+       CAST(strlen(text) AS BIGINT) AS payload_len,
+       CAST(strlen(text) % 64 AS BIGINT) AS width,
+       CAST((strlen(text) * 7) % 64 AS BIGINT) AS height,
        CASE WHEN text IS NOT NULL THEN 'fake/v1' END AS format
 FROM documents
 """,
@@ -335,12 +338,12 @@ def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "q_mm_resize",
     oracle="""
 SELECT doc_id,
-       CAST(length(text) % 64 AS BIGINT) AS width,
-       CAST((length(text) * 7) % 64 AS BIGINT) AS height,
-       CAST((length(text) % 64) // 2 AS BIGINT) AS thumb_w,
-       CAST(((length(text) * 7) % 64) // 2 AS BIGINT) AS thumb_h,
-       md5(text || ':' || CAST((length(text) % 64) // 2 AS VARCHAR)
-                || 'x' || CAST(((length(text) * 7) % 64) // 2 AS VARCHAR)) AS thumb_md5
+       CAST(strlen(text) % 64 AS BIGINT) AS width,
+       CAST((strlen(text) * 7) % 64 AS BIGINT) AS height,
+       CAST((strlen(text) % 64) // 2 AS BIGINT) AS thumb_w,
+       CAST(((strlen(text) * 7) % 64) // 2 AS BIGINT) AS thumb_h,
+       md5(text || ':' || CAST((strlen(text) % 64) // 2 AS VARCHAR)
+                || 'x' || CAST(((strlen(text) * 7) % 64) // 2 AS VARCHAR)) AS thumb_md5
 FROM documents
 """,
 )

@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis_test_spark.functions.porthash import spark_hex16, sql_hex16
+from kinesis_test_spark.functions.porthash import (
+    ascii_lower,
+    spark_hex16,
+    sql_ascii_lower,
+    sql_hex16,
+)
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t
 
@@ -940,7 +945,7 @@ PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
     oracle=f"""
 WITH profiles AS (
   SELECT c_custkey,
-         c_name || ' contact ' || lower(replace(c_name, '#', '')) ||
+         c_name || ' contact ' || {sql_ascii_lower("replace(c_name, '#', '')")} ||
          '@example.com tel 555-' ||
          lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
          ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
@@ -978,7 +983,9 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile = F.concat(
         F.col("c_name"),
         F.lit(" contact "),
-        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit(""))),
+        # portable ASCII-only fold: the profile is FABRICATED independently
+        # on both engines, and full lower() diverges on İ/Σ (porthash)
+        ascii_lower(F.replace(F.col("c_name"), F.lit("#"), F.lit(""))),
         F.lit("@example.com tel 555-"),
         F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
         F.lit(" from 10.0."),
