@@ -113,8 +113,8 @@ SELECT event_id,
        CAST(dayofweek(ts) + 1 AS INT) AS dow,
        date_trunc('day', ts) AS day_start,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS formatted,
-       epoch_ms(ts) AS ms,
-       make_timestamp(epoch_ms(ts) * 1000) AS from_ms,
+       (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) AS ms,
+       make_timestamp((epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) * 1000) AS from_ms,
        datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since,
        strftime(CAST(ts AS DATE) + 7, '%Y-%m-%d') AS week_later
 FROM events

@@ -141,12 +141,12 @@ c AS (SELECT event_id AS c_id, user_id, ts AS c_ts FROM events
       WHERE event_type = 'click'),
 scored AS (
   SELECT p.p_id, p.user_id, c.c_id,
-         abs(epoch_ms(p.p_ts) - epoch_ms(c.c_ts)) AS dt_ms,
+         abs((epoch_us(time_bucket(INTERVAL '1 millisecond', p.p_ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', c.c_ts)) // 1000)) AS dt_ms,
          row_number() OVER (
            PARTITION BY p.p_id
-           ORDER BY abs(epoch_ms(p.p_ts) - epoch_ms(c.c_ts)), c.c_ts, c.c_id) AS rn
+           ORDER BY abs((epoch_us(time_bucket(INTERVAL '1 millisecond', p.p_ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', c.c_ts)) // 1000)), c.c_ts, c.c_id) AS rn
   FROM p JOIN c ON p.user_id = c.user_id
-  WHERE abs(epoch_ms(p.p_ts) - epoch_ms(c.c_ts)) <= {NEAREST_BAND_MS})
+  WHERE abs((epoch_us(time_bucket(INTERVAL '1 millisecond', p.p_ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', c.c_ts)) // 1000)) <= {NEAREST_BAND_MS})
 SELECT p_id, user_id, c_id, dt_ms FROM scored WHERE rn = 1
 """,
 )

@@ -976,7 +976,7 @@ WITH first_seen AS (
 activity AS (
   SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS wk FROM events e)
 SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
-       CAST((epoch_ms(a.wk) - epoch_ms(f.cohort)) // 604800000 AS INT) AS week_offset,
+       CAST(((epoch_us(time_bucket(INTERVAL '1 millisecond', a.wk)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', f.cohort)) // 1000)) // 604800000 AS INT) AS week_offset,
        COUNT(*) AS n_users
 FROM activity a JOIN first_seen f ON f.user_id = a.user_id
 GROUP BY 1, 2
@@ -1142,8 +1142,8 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_gap_histogram",
     oracle="""
 WITH gaps AS (
-  SELECT (epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
-                                                ORDER BY ts, event_id))) // 1000 AS gap_s
+  SELECT ((epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))) // 1000)) // 1000 AS gap_s
   FROM events)
 SELECT CASE WHEN gap_s < 60 THEN '<1m'
             WHEN gap_s < 3600 THEN '1m-1h'
@@ -1425,7 +1425,7 @@ attributed AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
 SELECT event_id, user_id, value, attributed_click_id,
-       CAST(epoch_ms(ts) - epoch_ms(attr_ts) AS BIGINT) AS lag_ms
+       CAST((epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', attr_ts)) // 1000) AS BIGINT) AS lag_ms
 FROM attributed WHERE event_type = 'purchase'
 ORDER BY event_id
 """,
@@ -1491,8 +1491,8 @@ WITH first_seen AS (
   FROM events GROUP BY user_id),
 revenue AS (
   SELECT f.cohort, e.user_id,
-         CAST(floor((epoch_ms(time_bucket(INTERVAL '1 week', e.ts))
-                     - epoch_ms(f.cohort)) / 604800000.0) AS BIGINT)
+         CAST(floor(((epoch_us(time_bucket(INTERVAL '1 millisecond', time_bucket(INTERVAL '1 week', e.ts))) // 1000)
+                     - (epoch_us(time_bucket(INTERVAL '1 millisecond', f.cohort)) // 1000)) / 604800000.0) AS BIGINT)
            AS week_offset,
          CAST((CASE WHEN abs(e.value) < 1.0e15 THEN e.value END) AS DECIMAL(18,2)) AS v
   FROM events e JOIN first_seen f ON f.user_id = e.user_id

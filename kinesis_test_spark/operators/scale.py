@@ -75,7 +75,7 @@ SELECT a.user_id, COUNT(*) AS n_pairs
 FROM events a JOIN events b
   ON a.user_id = b.user_id
  AND b.ts > a.ts
- AND epoch_ms(b.ts) - epoch_ms(a.ts) <= {BAND_SEC * 1000}
+ AND (epoch_us(time_bucket(INTERVAL '1 millisecond', b.ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', a.ts)) // 1000) <= {BAND_SEC * 1000}
 GROUP BY a.user_id
 """,
 )

@@ -27,7 +27,7 @@ GAP_MS = 30 * 60 * 1000
 WITH flagged AS (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {GAP_MS}
+                OR (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', lag(ts) OVER w)) // 1000) > {GAP_MS}
               THEN 1 ELSE 0 END AS is_start
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -71,7 +71,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+                OR (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', lag(ts) OVER w)) // 1000) >= 1800000
               THEN 1 ELSE 0 END AS is_start
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
@@ -115,11 +115,11 @@ WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
            WHERE event_type = 'view' GROUP BY user_id),
 c AS (SELECT e.user_id, MIN(e.ts) AS t_click
       FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
-       AND epoch_ms(e.ts) - epoch_ms(v.t_view) <= 86400000
+       AND (epoch_us(time_bucket(INTERVAL '1 millisecond', e.ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', v.t_view)) // 1000) <= 86400000
       WHERE e.event_type = 'click' GROUP BY e.user_id),
 p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
       FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
-       AND epoch_ms(e.ts) - epoch_ms(c.t_click) <= 86400000
+       AND (epoch_us(time_bucket(INTERVAL '1 millisecond', e.ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', c.t_click)) // 1000) <= 86400000
       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
 SELECT (SELECT COUNT(*) FROM v) AS n_view,
        (SELECT COUNT(*) FROM c) AS n_view_click,
@@ -240,7 +240,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_signups,
        CAST(COUNT(p.user_id) AS BIGINT) AS n_converted,
        ROUND(CAST(COUNT(p.user_id) AS DOUBLE) / NULLIF(COUNT(*), 0), 6) AS conversion,
        CAST(SUM(CASE WHEN p.user_id IS NOT NULL THEN
-             epoch_ms(p.purchase_ts) - epoch_ms(p.signup_ts) END) AS BIGINT)
+             (epoch_us(time_bucket(INTERVAL '1 millisecond', p.purchase_ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', p.signup_ts)) // 1000) END) AS BIGINT)
          AS total_lag_ms
 FROM signups s LEFT JOIN first_purchase p ON p.user_id = s.user_id
 """,

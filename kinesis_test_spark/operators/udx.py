@@ -174,7 +174,7 @@ def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH flagged AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                OR (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', lag(ts) OVER w)) // 1000) > 1800000
               THEN 1 ELSE 0 END AS is_start
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )

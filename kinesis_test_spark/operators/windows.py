@@ -54,7 +54,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, user_id, ts,
        lag(event_id) OVER w AS prev_event_id,
-       epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS gap_ms,
+       (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', lag(ts) OVER w)) // 1000) AS gap_ms,
        lead(event_id) OVER w AS next_event_id
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -170,11 +170,11 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, user_id, ts,
        CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) OVER
-            (PARTITION BY user_id ORDER BY epoch_ms(ts)
+            (PARTITION BY user_id ORDER BY (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000)
              RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS trailing_5m_value,
        COUNT(*) OVER
-            (PARTITION BY user_id ORDER BY epoch_ms(ts)
+            (PARTITION BY user_id ORDER BY (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000)
              RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW) AS trailing_5m_events
 FROM events
 """,
@@ -444,8 +444,8 @@ def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH seg AS (
   SELECT user_id, value,
-         epoch_ms(ts) AS t0,
-         lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+         (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) AS t0,
+         lead((epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000)) OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS t1
   FROM events),
 held AS (

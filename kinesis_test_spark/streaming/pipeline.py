@@ -126,6 +126,27 @@ def stage_events(spark: SparkSession, sf_dir: str, stage: Path, name: str, where
     land_arrival(df, stage, name)
 
 
+def post_epoch(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Quarantine pre-epoch event times out of a WATERMARKED stream —
+    explicitly and symmetrically (oracle mirror: ``POST_EPOCH_SQL``).
+
+    Spark's event-time watermark starts at the epoch and never goes
+    below it, so rows with ts <= 1970-01-01 are silently treated as late
+    in the very first micro-batch of watermark-consuming operators
+    (dropDuplicatesWithinWatermark drops ts <= epoch outright;
+    applyInPandasWithState and stream-stream joins drop ts < epoch —
+    probed in tests/test_edge_ts_extremes.py). The engine cannot admit
+    them, so the contract states the drop: the event-time domain of a
+    watermarked stream is strictly post-epoch, filtered identically on
+    both engines rather than lost to an operator-specific boundary."""
+    return df.filter(F.unix_micros(F.col(ts_col)) > 0)
+
+
+# DuckDB mirror of ``post_epoch`` for oracle WHERE clauses; format with
+# the aliased column when the oracle joins the table to itself.
+POST_EPOCH_SQL = "epoch_us({col}) > 0"
+
+
 def mod_slice(n: int, i: int, col: str = "user_id") -> str:
     """Null-safe staging predicate for slice ``i`` of ``n``: modulo slices
     must PARTITION the input, but a NULL key fails every `% n = i` test —

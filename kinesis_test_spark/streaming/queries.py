@@ -26,8 +26,10 @@ from kinesis_test_spark.functions.exact import finite
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources.tables import normalize_ts
 from kinesis_test_spark.streaming.pipeline import (
+    POST_EPOCH_SQL,
     mod_slice,
     partitioned_json_sink,
+    post_epoch,
     read_events_stream,
     read_staged_stream,
     run_to_memory,
@@ -120,7 +122,7 @@ def s_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+                OR (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', lag(ts) OVER w)) // 1000) >= 1800000
               THEN 1 ELSE 0 END AS is_start
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
@@ -532,7 +534,8 @@ SELECT a.event_id AS a_event_id, b.event_id AS b_event_id, a.user_id
 FROM events a JOIN events b
   ON a.user_id = b.user_id
  AND b.ts > a.ts
- AND epoch_ms(b.ts) - epoch_ms(a.ts) <= 300000
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+WHERE epoch_us(a.ts) > 0 AND epoch_us(b.ts) > 0
 """,
 )
 def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,11 +544,13 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound the join state (old rows are evicted once they can no longer
     match); the time-range condition tells Spark exactly how long to keep
     each side. Drained with AvailableNow, the result must equal the batch
-    band join."""
+    band join. The band is stated in exact MICROS (the engine compares
+    raw timestamps against an interval) and the event-time domain is
+    strictly post-epoch on both engines (pipeline.post_epoch)."""
     d = scratch_dir("s_stream_join")
     name = _mem_name("ssjoin")
     left = (
-        read_events_stream(spark, sf_dir)
+        post_epoch(read_events_stream(spark, sf_dir))
         .select(
             F.col("event_id").alias("a_event_id"),
             F.col("user_id"),
@@ -554,7 +559,7 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts_a", "10 minutes")
     )
     right = (
-        read_events_stream(spark, sf_dir)
+        post_epoch(read_events_stream(spark, sf_dir))
         .select(
             F.col("event_id").alias("b_event_id"),
             F.col("user_id").alias("user_id_b"),
@@ -617,8 +622,11 @@ def s_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def side(alias_id: str, etype: str, uid: str, ts: str) -> DataFrame:
+        # strictly post-epoch domain (pipeline.post_epoch): the join drops
+        # pre-epoch event times against the initial watermark anyway —
+        # rows-only checks can't see that, so state it explicitly
         return (
-            read_staged_stream(spark, sf_dir, stage)
+            post_epoch(read_staged_stream(spark, sf_dir, stage))
             .withWatermark("ts", "10 minutes")
             .filter(F.col("event_type") == etype)
             .select(
@@ -824,21 +832,24 @@ def s_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s_dedup_watermarked",
-    oracle="SELECT event_id, user_id, event_type, value FROM events",
+    oracle="SELECT event_id, user_id, event_type, value FROM events"
+    f" WHERE {POST_EPOCH_SQL.format(col='ts')}",
 )
 def s_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark — the PRODUCTION form of streaming
     dedup: state for a key is evicted once the watermark passes it, so
     unbounded streams hold bounded dedup state (plain dropDuplicates, used
     in s_dedup, keeps state forever). Same replayed-source construction;
-    same exact result."""
+    same exact result. Event-time domain is strictly post-epoch on BOTH
+    engines (pipeline.post_epoch): the operator itself drops ts <= epoch
+    against the initial watermark."""
     d = scratch_dir("s_dedup_wm")
     stage = d / "src"
     stage_events(spark, sf_dir, stage, "a")
     stage_events(spark, sf_dir, stage, "b")
     name = _mem_name("dedup_wm")
     deduped = (
-        read_staged_stream(spark, sf_dir, stage)
+        post_epoch(read_staged_stream(spark, sf_dir, stage))
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", "value")
@@ -1430,9 +1441,10 @@ def ttl_session_stream(stream: DataFrame, ignore_after_ms: int | None = None) ->
 WITH flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {TTL_MS}
+                OR (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', lag(ts) OVER w)) // 1000) > {TTL_MS}
               THEN 1 ELSE 0 END AS is_start
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  FROM events WHERE {POST_EPOCH_SQL.format(col='ts')}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, ts,
          CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1441,8 +1453,8 @@ WITH flagged AS (
 sess AS (
   SELECT user_id, seq,
          CAST(COUNT(*) AS BIGINT) AS n_events,
-         CAST(epoch_ms(MIN(ts)) AS BIGINT) AS first_ms,
-         CAST(epoch_ms(MAX(ts)) AS BIGINT) AS last_ms
+         CAST((epoch_us(time_bucket(INTERVAL '1 millisecond', MIN(ts))) // 1000) AS BIGINT) AS first_ms,
+         CAST((epoch_us(time_bucket(INTERVAL '1 millisecond', MAX(ts))) // 1000) AS BIGINT) AS last_ms
   FROM numbered GROUP BY user_id, seq)
 SELECT user_id, seq AS lease, n_events, first_ms, last_ms,
        CASE WHEN seq = MAX(seq) OVER (PARTITION BY user_id)
@@ -1504,8 +1516,11 @@ def s_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.unix_millis("ts")))
         .first()[0]
     )
+    # strictly post-epoch domain: applyInPandasWithState drops pre-epoch
+    # event times against the initial watermark (pipeline.post_epoch)
     sessions = ttl_session_stream(
-        read_staged_stream(spark, sf_dir, stage), ignore_after_ms=max_real_ms
+        post_epoch(read_staged_stream(spark, sf_dir, stage)),
+        ignore_after_ms=max_real_ms,
     )
 
     def run_once() -> None:

@@ -8,9 +8,10 @@ data is non-negative, so sign assumptions hide:
 
   * modulo slicing/bucketing: Spark % keeps the dividend's sign (pmod
     required — found by the round-8 review pass in mod_slice)
-  * DuckDB `//` is FLOOR division, Spark integer div TRUNCATES — they
-    disagree on negative operands, so oracles must floor() explicitly
-    when an operand can be negative
+  * DuckDB `//` (and integer `/`) TRUNCATES toward zero, while Spark's
+    shiftright is arithmetic (= FLOOR division by 2^k) — they disagree
+    on negative operands, so oracles state the floor explicitly
+    (subtract pmod first) when an operand can be negative
   * sentinel conventions: streaming rigs stage watermark-advancer rows
     with negative ids and drop them on read-back — a `>= 0` drop filter
     silently sweeps REAL negative-id rows (the in-band-signaling bug);
