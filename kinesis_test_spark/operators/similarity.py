@@ -51,29 +51,44 @@ def cosine(u: Column, v: Column, ndigits: int = 6) -> Column:
     )
 
 
-# A vector is VALID iff present and every component sits inside the
-# exact-aggregation domain (|x| < 1e12, functions/exact.EXACT_MAX).
-# NaN poisons similarity rankings asymmetrically (Spark sorts a NaN cosine
-# to the TOP of a DESC order; DuckDB windowed aggs NULL or raise), and a
-# finite-but-huge component overflows the DECIMAL(28,16) centroid route —
-# invalid vectors are quarantined: e is NULL, every `e IS NOT NULL` /
-# cosine sentinel path then treats them identically on both engines.
-# SQL mirror: _SQL_VEC_VALID below (edge_nonfinite/edge_magnitude corpora).
+# The corpus dimensionality. list<float> admits ANY length, so shape is
+# part of the validity contract (see vec_valid); the per-dim unnest
+# oracles and PQ subspace math also key off this constant.
+DIM = 64
+
+# A vector is VALID iff present, EXACTLY DIM-long, and every component
+# sits inside the exact-aggregation domain (|x| < 1e12,
+# functions/exact.EXACT_MAX). NaN poisons similarity rankings
+# asymmetrically (Spark sorts a NaN cosine to the TOP of a DESC order;
+# DuckDB windowed aggs NULL or raise), a finite-but-huge component
+# overflows the DECIMAL(28,16) centroid route, and a WRONG-LENGTH vector
+# splits the engines outright: Spark zip_with NULL-pads the shorter side
+# (dot -> NULL -> -1.0 sentinel) while DuckDB list_cosine_similarity
+# RAISES on mismatched lengths — and an un-quarantined EMPTY list hits a
+# DuckDB internal error that invalidates the whole connection
+# (tests/test_edge_ragged.py). Invalid vectors are quarantined: e is
+# NULL, every `e IS NOT NULL` / cosine sentinel path then treats them
+# identically on both engines. SQL mirror: _SQL_VEC_VALID below.
 
 
 def vec_valid(col: str = "embedding"):
-    # components must sit inside the exact-aggregation domain (|x| < 1e12,
-    # functions/exact.EXACT_MAX): abs(x) < b is FALSE for NaN/±Inf in both
-    # engines, and a finite-but-huge component would overflow the
-    # DECIMAL(28,16) centroid route exactly like a NaN poisons rankings
-    return F.col(col).isNotNull() & F.forall(
-        col,
-        lambda x: x.isNotNull() & (F.abs(x.cast("double")) < F.lit(1.0e12)),
+    # shape + domain: exactly DIM components (ragged vectors split the
+    # engines — see the contract comment above), each non-NULL and inside
+    # the exact-aggregation domain (abs(x) < b is FALSE for NaN/±Inf in
+    # both engines)
+    return (
+        F.col(col).isNotNull()
+        & (F.size(col) == F.lit(DIM))
+        & F.forall(
+            col,
+            lambda x: x.isNotNull() & (F.abs(x.cast("double")) < F.lit(1.0e12)),
+        )
     )
 
 
 _SQL_VEC_VALID = (
-    "(embedding IS NOT NULL AND len(list_filter(embedding,"
+    f"(embedding IS NOT NULL AND len(embedding) = {DIM}"
+    " AND len(list_filter(embedding,"
     " x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)"
 )
 
@@ -91,10 +106,10 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sim_search",
     oracle=f"""
-WITH q AS (SELECT (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS qe FROM embeddings
+WITH q AS (SELECT (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS qe FROM embeddings
            WHERE vec_id = {QUERY_VEC_ID})
 SELECT vec_id, label,
-       ROUND(list_cosine_similarity((CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END), qe), 6) AS cos_sim
+       ROUND(list_cosine_similarity((CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END), qe), 6) AS cos_sim
 FROM embeddings, q
 WHERE vec_id <> {QUERY_VEC_ID}
 ORDER BY cos_sim DESC, vec_id
@@ -121,10 +136,10 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sim_search_ivf",
     oracle=f"""
-WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
+WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
               FROM embeddings
-              WHERE vec_id < {N_CENTROIDS} AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
-v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings),
+              WHERE vec_id < {N_CENTROIDS} AND (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
+v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings),
 scored AS (
   SELECT v.vec_id, v.label, v.e, cent.cid,
          row_number() OVER (
@@ -179,7 +194,6 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 N_PLANES = 8
-DIM = 64
 LSH_RERANK_THRESHOLD = 0.3
 
 
@@ -214,8 +228,8 @@ def _lsh_oracle() -> str:
     )
     return f"""
 WITH planes AS (SELECT [{planes_sql}] AS R),
-v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
-     WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
+v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+     WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
 bucketed AS (
   SELECT vec_id, label, e, CAST({bits} AS BIGINT) AS bucket FROM v, planes)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
@@ -279,11 +293,11 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_kmeans_step",
     oracle=f"""
-WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
+WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
               FROM embeddings
-              WHERE vec_id < {N_CENTROIDS} AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
-v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
-     WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
+              WHERE vec_id < {N_CENTROIDS} AND (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
+v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+     WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
 scored AS (
   SELECT v.vec_id, v.e, cent.cid,
          row_number() OVER (PARTITION BY v.vec_id
@@ -350,10 +364,10 @@ N_PROBES = 2
 @query(
     "q_sim_search_ivf_multiprobe",
     oracle=f"""
-WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
+WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
               FROM embeddings
-              WHERE vec_id < {N_CENTROIDS} AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
-v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings),
+              WHERE vec_id < {N_CENTROIDS} AND (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
+v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings),
 scored AS (
   SELECT v.vec_id, v.label, v.e, cent.cid,
          row_number() OVER (PARTITION BY v.vec_id
@@ -502,7 +516,7 @@ BATCH_TOP_K = 5
 @query(
     "q_emb_normalize",
     oracle="""
-WITH v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings)
+WITH v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings)
 SELECT vec_id, label,
        ROUND(sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)), 6)
          AS l2_norm,
@@ -535,8 +549,8 @@ def q_emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_emb_centroid",
     oracle=f"""
-WITH v AS (SELECT label, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
-           WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
+WITH v AS (SELECT label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+           WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
 comp AS (
   SELECT label, dim, e[dim] AS val
   FROM v, (SELECT unnest(generate_series(1, {DIM})) AS dim))
@@ -573,8 +587,8 @@ def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ann_batch",
     oracle=f"""
-WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
-     WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
+WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+     WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
 q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_BATCH_QUERIES}),
 db AS (SELECT vec_id, e FROM v WHERE vec_id >= {N_BATCH_QUERIES}),
 scored AS (
@@ -625,8 +639,8 @@ PQ_CODES = 16  # codewords per subspace (first 16 vectors' sub-vectors)
 @query(
     "q_emb_pq",
     oracle=f"""
-WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
-     WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
+WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+     WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
 sub AS (
   SELECT vec_id, m, e[(m * {PQ_SUBDIM} + 1):((m + 1) * {PQ_SUBDIM})] AS se
   FROM v, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)),
@@ -697,8 +711,8 @@ def q_emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ann_recall",
     oracle=f"""
-WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
-     WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
+WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+     WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
 q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_BATCH_QUERIES}),
 db AS (SELECT vec_id, e FROM v WHERE vec_id >= {N_BATCH_QUERIES}),
 exact AS (
@@ -822,8 +836,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_emb_drift",
     oracle=f"""
-WITH v AS (SELECT vec_id % 2 AS grp, (CASE WHEN (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e
-           FROM embeddings WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
+WITH v AS (SELECT vec_id % 2 AS grp, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e
+           FROM embeddings WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
 comp AS (
   SELECT grp, dim,
          ROUND(CAST(SUM(CAST(e[dim] AS DECIMAL(28,16))) AS DOUBLE)
