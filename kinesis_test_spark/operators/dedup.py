@@ -39,7 +39,7 @@ from kinesis_test_spark.functions.porthash import (
 from kinesis_test_spark.iterate import truncate_lineage
 from kinesis_test_spark.operators.similarity import vec_valid
 from kinesis_test_spark.registry import query
-from kinesis_test_spark.sources import t
+from kinesis_test_spark.sources import t, unique_docs
 
 N_SEEDS = 8
 N_BANDS = 4  # rows-per-band = 2
@@ -65,7 +65,8 @@ shingles AS (
     SELECT doc_id,
            unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
+    FROM (SELECT doc_id, string_split(text, ' ') AS w
+          FROM (SELECT DISTINCT doc_id, text FROM documents))))
 """
 
 
@@ -86,7 +87,10 @@ def _build_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     files (one input split), which would serialize the md5-heavy shingle
     work onto one core — on a real multi-file/multi-row-group table the
     scan itself provides this parallelism."""
-    d = t(spark, sf_dir, "documents").repartition(
+    # one row per doc IDENTITY (sources.unique_docs contract): a
+    # redelivered byte-identical copy must not double the shingle
+    # multiset (the oracle's DISTINCT (doc_id, s) is per-set already)
+    d = unique_docs(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     # split() is hoisted into a real column: referencing it from inside a
@@ -695,7 +699,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
-    labels = t(spark, sf_dir, "documents").select(
+    # roster at doc-IDENTITY grain (the oracle's recursive UNION dedups;
+    # a redelivered row must not appear twice in the labeling)
+    labels = unique_docs(spark, sf_dir).select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     )
     edges = truncate_lineage(edges)  # fixed edge set, reused every round
@@ -1359,7 +1365,9 @@ scored AS (
          ROUND(CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
                * len(list_distinct(string_split(d.text, ' ')))
                / len(string_split(d.text, ' ')), 6) AS score
-  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+  FROM clusters c
+  JOIN (SELECT DISTINCT doc_id, text FROM documents) d
+    ON d.doc_id = c.doc_id),
 ranked AS (
   SELECT doc_id, cluster_id, score,
          row_number() OVER (PARTITION BY cluster_id
@@ -1384,7 +1392,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     labels = q_dedup_clusters(spark, sf_dir)
-    d = t(spark, sf_dir, "documents")
+    d = unique_docs(spark, sf_dir)
     words = F.split("text", " ")
     n_distinct = F.size(F.array_distinct(words))
     scored = labels.join(d, "doc_id").select(

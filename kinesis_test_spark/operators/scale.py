@@ -150,7 +150,10 @@ ZORDER_BITS = 8  # interleave 8 bits of each dimension → 16-bit z-key
     "q_zorder_key",
     oracle=f"""
 WITH dims AS (
-  SELECT event_id,
+  -- DISTINCT: a redelivered byte-identical row must not double the
+  -- per-group bit SUM below (tests/test_edge_dupkeys.py); the key
+  -- assignment is a FUNCTION of (event_id, dx, dy)
+  SELECT DISTINCT event_id,
          CAST(user_id % 256 AS BIGINT) AS dx,
          CAST(hour(ts) AS BIGINT) AS dy
   FROM events WHERE event_id < 1000),
@@ -183,6 +186,7 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.select("event_id", dx.alias("dx"), dy.alias("dy"))
+        .distinct()  # one key assignment per (event_id, dx, dy) — oracle DISTINCT
         .withColumn("zkey", zexpr.cast("bigint"))
         .orderBy("event_id")
     )

@@ -25,7 +25,7 @@ from kinesis_test_spark.functions.porthash import (
     sql_hex16,
 )
 from kinesis_test_spark.registry import query
-from kinesis_test_spark.sources import t
+from kinesis_test_spark.sources import t, unique_docs
 
 # language "profiles": stopword lists the score counts occurrences of.
 LANG_PROFILES = {
@@ -452,14 +452,15 @@ VOCAB_SIZE = 20
 @query(
     "q_text_tokenize_ids",
     oracle=f"""
-WITH counts AS (
+WITH docs AS (SELECT DISTINCT doc_id, text FROM documents),
+counts AS (
   SELECT w AS word, COUNT(*) AS n
-  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM docs)
   GROUP BY w),
 vocab AS (
   SELECT word, CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS token_id
   FROM counts ORDER BY n DESC, word LIMIT {VOCAB_SIZE}),
-w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM docs),
 nums AS (SELECT unnest(generate_series(1, 600)) AS i),
 positioned AS (
   SELECT doc_id, i, words[i] AS word FROM w, nums WHERE i <= len(words)),
@@ -481,7 +482,10 @@ def q_text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized, and the coding pass stays embarrassingly parallel."""
     import pandas as pd
 
-    d = t(spark, sf_dir, "documents").repartition(
+    # one row per doc IDENTITY (sources.unique_docs contract): a
+    # redelivered copy must neither double the vocab's term counts nor
+    # emit its token row twice (tests/test_edge_dupkeys.py)
+    d = unique_docs(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     vocab_rows = (

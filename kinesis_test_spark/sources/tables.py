@@ -111,6 +111,26 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per document IDENTITY (oracle mirror: SELECT DISTINCT ...
+    FROM documents). At-least-once delivery redelivers byte-identical
+    rows (reference analog: consumer.py:292-303 dedups by sequence
+    number), and a doc-grain operator — shingling, tokenizing, a codec
+    formula keyed on doc_id — must process each identity ONCE, not once
+    per redelivery (tests/test_edge_dupkeys.py: duplicated rows doubled
+    shingle multisets, token streams, and formula sums asymmetrically).
+    dropDuplicates over the full row is canonical because redelivered
+    copies are byte-identical; mutated same-id rows are out of contract
+    (identity is the id — arrival order decides, which no batch oracle
+    can state)."""
+    return t(spark, sf_dir, "documents").dropDuplicates(["doc_id"])
+
+
+# Oracle-side mirror of ``unique_docs`` — interpolate as the FROM source
+# in any doc-grain oracle.
+SQL_UNIQUE_DOCS = "(SELECT DISTINCT doc_id, text, lang, source, n_chars FROM documents)"
+
+
 def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: t(spark, sf_dir, name) for name in TABLES}
 

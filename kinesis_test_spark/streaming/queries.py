@@ -161,7 +161,10 @@ def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s_dedup",
-    oracle="SELECT event_id, user_id, event_type, ts, value FROM events",
+    # DISTINCT: the engine dedups by event_id, so a redelivered
+    # byte-identical FIXTURE row must collapse on the oracle side too
+    # (tests/test_edge_dupkeys.py)
+    oracle="SELECT DISTINCT event_id, user_id, event_type, ts, value FROM events",
 )
 def s_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record-level streaming dedup (upgrades the reference's
@@ -738,7 +741,7 @@ def s_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
        CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
        event_type, COUNT(*) AS n
-FROM events GROUP BY 1, 2, 3, 4, 5
+FROM (SELECT DISTINCT * FROM events) GROUP BY 1, 2, 3, 4, 5
 """,
 )
 def s_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,7 +835,7 @@ def s_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s_dedup_watermarked",
-    oracle="SELECT event_id, user_id, event_type, value FROM events"
+    oracle="SELECT DISTINCT event_id, user_id, event_type, value FROM events"
     f" WHERE {POST_EPOCH_SQL.format(col='ts')}",
 )
 def s_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,108 @@
+"""Standing pin for the DUPLICATE-KEY adversarial corpus (EDGES.md).
+
+Byte-identical duplicate rows — the at-least-once delivery shape: a
+producer retry emits the SAME record twice (reference analog:
+consumer.py:292-303 deduplicates by sequence number because the Kinesis
+source redelivers) — are planted into events (duplicate event_id),
+documents (duplicate doc_id) and embeddings (duplicate vec_id) of a
+restaged sf0.001, and every key the dupkeys probe ever flagged is
+re-run through the driver's own oracle gate.
+
+The class exists because the fixture generator emits unique ids, so
+id-uniqueness assumptions hide on both sides:
+
+  * engine-side arbitrary picks (dropDuplicates, first()) become
+    VISIBLE only when the fixture itself carries duplicates — with
+    byte-identical payloads the pick is well-defined, so any oracle
+    that forgot a DISTINCT over-counts
+  * aggregations legitimately count a redelivered record twice on BOTH
+    engines — that agreement is the point: duplicates-as-data are
+    symmetric; only id-uniqueness shortcuts diverge
+
+Mutated retries (same id, DIFFERENT payload) are deliberately OUT of
+scope: record identity is the id, and which variant survives a dedup is
+arrival-order-defined — not expressible in the batch oracle. The
+corpus keeps payloads byte-identical so every surviving choice is
+canonical.
+
+The full-surface sweep lives in tools/probe_dupkeys.py (which imports
+``plant_dupkeys`` from here — one source of truth for the corpus); this
+test pins the keys that ever diverged.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kinesis_test_spark.oracle import check_query
+
+SF_SRC = "/root/testdata/sf0.001"
+
+
+def plant_dupkeys(src: str, dest: Path) -> None:
+    """Restage ``src`` into ``dest`` with byte-identical duplicate rows:
+    the first two events rows, the first documents row, and the first
+    embeddings row are each appended again, exactly as read."""
+    dest.mkdir(parents=True, exist_ok=True)
+    for f in Path(src).glob("*.parquet"):
+        shutil.copy(f, dest / f.name)
+
+    for table, n_dup in [("events", 2), ("documents", 1), ("embeddings", 1)]:
+        t = pq.read_table(dest / f"{table}.parquet")
+        pq.write_table(
+            pa.concat_tables([t, t.slice(0, n_dup)]), dest / f"{table}.parquet"
+        )
+
+
+@pytest.fixture(scope="module")
+def dup_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dup_sf")
+    plant_dupkeys(SF_SRC, d)
+    return str(d)
+
+
+# Every key the round-8 dupkeys probe flagged (15/263 at first sweep),
+# grouped by the id-uniqueness shortcut each exposed:
+DUP_EDGE_KEYS = [
+    # streaming dedup oracles assumed fixture-level id uniqueness —
+    # now SELECT DISTINCT (the engine's dropDuplicates collapses a
+    # redelivered fixture row, so the oracle must too)
+    "s_dedup",
+    "s_dedup_watermarked",
+    "s_reference_pipeline",
+    # shingle multiset doubled: Spark's array_distinct is per-ROW, so a
+    # redelivered doc doubled (doc_id, s) multiplicity (jaccard 1.81!)
+    # while the oracle's DISTINCT was per-set — the shared shingle
+    # relation now reads sources.unique_docs (one row per doc identity)
+    "q_dedup_ngram_jaccard",
+    "q_dedup_verify",
+    "q_dedup_containment",
+    "q_text_contamination",
+    # doc rosters listed the redelivered doc twice (cluster labeling,
+    # keep/drop actions, quality scoring) — unique_docs + oracle DISTINCT
+    "q_dedup_clusters",
+    "q_dedup_keeplist",
+    "q_dedup_keep_best",
+    # per-doc formula pipelines: Spark emitted one output row per INPUT
+    # row while the oracle GROUPed BY doc_id over both copies (doubled
+    # sums / interleaved token streams) — unique_docs on the Spark side,
+    # DISTINCT source in the oracle
+    "q_mm_png_roundtrip",
+    "q_mm_wav_features",
+    "q_mm_framepack",
+    "q_text_tokenize_ids",
+    # rank/bit-sum keyed per (event_id, dx, dy): the duplicate doubled
+    # the oracle's per-group bit SUM — DISTINCT on both sides
+    "q_zorder_key",
+]
+
+
+@pytest.mark.parametrize("name", DUP_EDGE_KEYS)
+def test_dupkeys_corpus_parity(spark, dup_sf_dir, name):
+    problems = check_query(spark, dup_sf_dir, name)
+    assert not problems, f"{name}: " + "; ".join(problems)
