@@ -89,9 +89,13 @@ def _build_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan itself provides this parallelism."""
     # one row per doc IDENTITY (sources.unique_docs contract): a
     # redelivered byte-identical copy must not double the shingle
-    # multiset (the oracle's DISTINCT (doc_id, s) is per-set already)
-    d = unique_docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    # multiset (the oracle's DISTINCT (doc_id, s) is per-set already).
+    # repartition FIRST: the dedup aggregate then reuses the doc_id hash
+    # partitioning instead of adding a second exchange.
+    d = (
+        t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .dropDuplicates(["doc_id"])
     )
     # split() is hoisted into a real column: referencing it from inside a
     # higher-order-function lambda would re-tokenize the full text per
