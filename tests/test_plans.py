@@ -408,3 +408,17 @@ def test_zorder_layout_tightens_both_dims(spark, sf_dir):
     # ts-sorted files see nearly all user buckets; z-sorted files must not
     assert z_dx < 0.7 * t_dx, (z_dx, t_dx)
     assert z_dy <= t_dy * 1.1 + 1, (z_dy, t_dy)
+
+
+def test_shingle_identity_dedup_reuses_partitioning(spark, sf_dir):
+    """The doc-identity dedup (tests/test_edge_dupkeys.py contract) must
+    not add a shuffle: _build_shingles repartitions by doc_id FIRST, so
+    the dropDuplicates aggregate reuses that exchange. One Exchange total
+    — at corpus scale a second full-shuffle of the documents table would
+    double the most expensive stage of every shingle consumer."""
+    from kinesis_test_spark.operators.dedup import _build_shingles
+
+    plan = plans.formatted(_build_shingles(spark, sf_dir))
+    # formatted() prints each node twice (tree line + detail section) —
+    # count tree nodes only
+    assert plan.count("+- Exchange") == 1, plan
