@@ -354,10 +354,15 @@ SELECT event_id,
            CASE WHEN json_valid(props) THEN trim(props->>'$.k') END,
            '^[+-]?[0-9]+$'), '') AS BIGINT) AS k,
        CAST(NULL AS VARCHAR) AS missing,
-       '{"event_id":' || CAST(event_id AS VARCHAR) ||
-       CASE WHEN event_type IS NULL THEN '}'
-            ELSE ',"event_type":"' || event_type || '"}' END
-         AS reencoded
+       -- to_json OMITS every null struct field (probe_nulls class 2),
+       -- including a NULL event_id (edge_dupkeys identity-NULL rows)
+       '{' ||
+       CASE WHEN event_id IS NULL THEN ''
+            ELSE '"event_id":' || CAST(event_id AS VARCHAR) END ||
+       CASE WHEN event_type IS NULL THEN ''
+            WHEN event_id IS NULL THEN '"event_type":"' || event_type || '"'
+            ELSE ',"event_type":"' || event_type || '"' END ||
+       '}' AS reencoded
 FROM events
 """,
 )

@@ -88,7 +88,11 @@ def q_join_asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-for-row."""
     o = t(spark, sf_dir, "orders")
     e = t(spark, sf_dir, "events")
-    events_side = e.select(
+    # an as-of match needs a time: a NULL-ts event would sort FIRST in
+    # the merged stream and get carried as 'last event before' every
+    # order, where the range-join form's `e.ts <= o.o_orderdate`
+    # naturally excludes it — state the exclusion (edge corpus)
+    events_side = e.filter(F.col("ts").isNotNull()).select(
         F.col("user_id").alias("k"),
         F.col("ts"),
         F.lit(0).alias("is_order"),
@@ -205,7 +209,7 @@ FROM (
   SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
          e.event_id AS next_event_id, e.ts AS next_event_ts,
          row_number() OVER (PARTITION BY o.o_orderkey
-                            ORDER BY e.ts ASC, e.event_id ASC) AS rn
+                            ORDER BY e.ts ASC, e.event_id ASC NULLS FIRST) AS rn
   FROM orders o
   LEFT JOIN events e ON e.user_id = o.o_custkey AND e.ts > o.o_orderdate
 ) WHERE rn = 1

@@ -66,7 +66,8 @@ shingles AS (
            unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
     FROM (SELECT doc_id, string_split(text, ' ') AS w
-          FROM (SELECT DISTINCT doc_id, text FROM documents))))
+          FROM (SELECT DISTINCT doc_id, text FROM documents
+                WHERE doc_id IS NOT NULL))))
 """
 
 
@@ -94,6 +95,7 @@ def _build_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitioning instead of adding a second exchange.
     d = (
         t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .dropDuplicates(["doc_id"])
     )
@@ -679,7 +681,7 @@ edges AS (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION ALL SELECT doc_b, doc_a FROM pairs),
 reach(u, v) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT doc_id, doc_id FROM documents WHERE doc_id IS NOT NULL
   UNION
   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
 SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
@@ -755,7 +757,7 @@ edges AS (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION ALL SELECT doc_b, doc_a FROM pairs),
 reach(u, v) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT doc_id, doc_id FROM documents WHERE doc_id IS NOT NULL
   UNION
   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
 clusters AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
@@ -1360,7 +1362,7 @@ edges AS (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION ALL SELECT doc_b, doc_a FROM pairs),
 reach(u, v) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT doc_id, doc_id FROM documents WHERE doc_id IS NOT NULL
   UNION
   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
 clusters AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
@@ -1370,7 +1372,7 @@ scored AS (
                * len(list_distinct(string_split(d.text, ' ')))
                / len(string_split(d.text, ' ')), 6) AS score
   FROM clusters c
-  JOIN (SELECT DISTINCT doc_id, text FROM documents) d
+  JOIN (SELECT DISTINCT doc_id, text FROM documents WHERE doc_id IS NOT NULL) d
     ON d.doc_id = c.doc_id),
 ranked AS (
   SELECT doc_id, cluster_id, score,

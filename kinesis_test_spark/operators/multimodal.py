@@ -444,7 +444,7 @@ def _pm(expr: str, m: int) -> str:
     oracle=f"""
 WITH px AS (
   SELECT d.doc_id, x.x, y.y
-  FROM (SELECT DISTINCT doc_id FROM documents) d,
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL) d,
        (SELECT unnest(generate_series(0, {PNG_W - 1})) AS x) x,
        (SELECT unnest(generate_series(0, {PNG_H - 1})) AS y) y)
 SELECT doc_id, CAST({PNG_W} AS INT) AS width, CAST({PNG_H} AS INT) AS height,
@@ -471,7 +471,7 @@ def q_mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kinesis_test_spark.operators.png_py import decode_png, encode_png
 
-    d = t(spark, sf_dir, "documents").select("doc_id").repartition(8, "doc_id").dropDuplicates(["doc_id"])
+    d = t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id").isNotNull()).repartition(8, "doc_id").dropDuplicates(["doc_id"])
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -522,7 +522,7 @@ WAV_N = 256  # samples per clip
     oracle=f"""
 WITH s AS (
   SELECT d.doc_id, {_pm("d.doc_id * 37 + i.i * i.i", 2048)} - 1024 AS sample
-  FROM (SELECT DISTINCT doc_id FROM documents) d,
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL) d,
        (SELECT unnest(generate_series(0, {WAV_N - 1})) AS i) i)
 SELECT doc_id, CAST({WAV_N} AS INT) AS n_samples,
        CAST(MAX(abs(sample)) AS BIGINT) AS peak,
@@ -543,7 +543,7 @@ def q_mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kinesis_test_spark.operators.wav_py import decode_wav, encode_wav
 
-    d = t(spark, sf_dir, "documents").select("doc_id").repartition(8, "doc_id").dropDuplicates(["doc_id"])
+    d = t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id").isNotNull()).repartition(8, "doc_id").dropDuplicates(["doc_id"])
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -581,7 +581,7 @@ PACK_FRAMES = 4
     oracle=f"""
 WITH px AS (
   SELECT d.doc_id, f.f, x.x, y.y
-  FROM (SELECT DISTINCT doc_id FROM documents) d,
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL) d,
        (SELECT unnest(generate_series(0, {PACK_FRAMES - 1})) AS f) f,
        (SELECT unnest(generate_series(0, {PNG_W - 1})) AS x) x,
        (SELECT unnest(generate_series(0, {PNG_H - 1})) AS y) y)
@@ -608,7 +608,7 @@ def q_mm_framepack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kinesis_test_spark.operators.png_py import decode_png, encode_png
 
-    d = t(spark, sf_dir, "documents").select("doc_id").repartition(8, "doc_id").dropDuplicates(["doc_id"])
+    d = t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id").isNotNull()).repartition(8, "doc_id").dropDuplicates(["doc_id"])
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

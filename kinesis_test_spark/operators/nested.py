@@ -65,11 +65,11 @@ SELECT event_id AS src_event_id,
        CASE WHEN ok AND NOT corrupt THEN CAST(2 AS BIGINT) END AS n_message_types,
        corrupt AS is_corrupt
 FROM (SELECT *,
-             user_id IS NOT NULL AND event_type IS NOT NULL
-               AND ts IS NOT NULL AS ok,
+             event_id IS NOT NULL AND user_id IS NOT NULL
+               AND event_type IS NOT NULL AND ts IS NOT NULL AS ok,
              COALESCE(value < 0.1, FALSE)
-               AND (user_id IS NOT NULL AND event_type IS NOT NULL
-                    AND ts IS NOT NULL) AS corrupt
+               AND (event_id IS NOT NULL AND user_id IS NOT NULL
+                    AND event_type IS NOT NULL AND ts IS NOT NULL) AS corrupt
       FROM events)
 """,
 )
@@ -77,7 +77,7 @@ def q_nested_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json(PERMISSIVE) over the nested wire form: valid payloads parse
     into the full EVENT_SCHEMA (3-level struct access), corrupt ones yield
     NULL fields + the raw text in _corrupt_record. NULL semantics
-    (probe_nulls class 2): a NULL user_id/event_type/ts nulls the
+    (probe_nulls class 2): a NULL event_id/user_id/event_type/ts nulls the
     CONCATENATED payload, so from_json sees NULL input — every parsed
     field is NULL and is_corrupt is FALSE (no corrupt record was seen);
     a NULL value falls through F.when to the un-corrupted branch. The
@@ -110,8 +110,8 @@ SELECT event_id AS src_event_id,
        CASE WHEN ok THEN CAST(user_id % 100 AS VARCHAR) || '-sess' END
          AS visit_tealium_session_id,
        CASE WHEN ok THEN event_type END AS event_type
-FROM (SELECT *, user_id IS NOT NULL AND event_type IS NOT NULL
-               AND ts IS NOT NULL AS ok
+FROM (SELECT *, event_id IS NOT NULL AND user_id IS NOT NULL
+               AND event_type IS NOT NULL AND ts IS NOT NULL AS ok
       FROM events)
 WHERE value >= 0.1
 """,

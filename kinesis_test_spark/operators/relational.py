@@ -96,8 +96,14 @@ def q_time_partition_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("ts").alias("m"),
         F.dayofmonth("ts").alias("d"),
         F.hour("ts").alias("h"),
-        F.format_string(
-            "y=%d/m=%d/d=%d/h=%d", F.year("ts"), F.month("ts"), F.dayofmonth("ts"), F.hour("ts")
+        # gated: format_string renders a NULL argument as the text 'null';
+        # a NULL ts must yield a NULL partition key (edge corpus)
+        F.when(
+            F.col("ts").isNotNull(),
+            F.format_string(
+                "y=%d/m=%d/d=%d/h=%d",
+                F.year("ts"), F.month("ts"), F.dayofmonth("ts"), F.hour("ts"),
+            ),
         ).alias("s3_key_prefix"),
     )
 
@@ -1143,7 +1149,7 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH gaps AS (
   SELECT ((epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', lag(ts) OVER (PARTITION BY user_id
-                                                ORDER BY ts, event_id))) // 1000)) // 1000 AS gap_s
+                                                ORDER BY ts NULLS FIRST, event_id NULLS FIRST))) // 1000)) // 1000 AS gap_s
   FROM events)
 SELECT CASE WHEN gap_s < 60 THEN '<1m'
             WHEN gap_s < 3600 THEN '1m-1h'
@@ -1422,7 +1428,7 @@ attributed AS (
          last_value(click_id IGNORE NULLS) OVER w AS attributed_click_id,
          last_value(click_ts IGNORE NULLS) OVER w AS attr_ts
   FROM tagged
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
 SELECT event_id, user_id, value, attributed_click_id,
        CAST((epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', attr_ts)) // 1000) AS BIGINT) AS lag_ms
@@ -1496,7 +1502,7 @@ revenue AS (
            AS week_offset,
          CAST((CASE WHEN abs(e.value) < 1.0e15 THEN e.value END) AS DECIMAL(18,2)) AS v
   FROM events e JOIN first_seen f ON f.user_id = e.user_id
-  WHERE e.event_type = 'purchase'),
+  WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL),
 weekly AS (
   SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset,
          CAST(SUM(v) AS DOUBLE) AS revenue
@@ -1523,7 +1529,12 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_seen = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort")
     )
-    purchases = ev.filter(F.col("event_type") == "purchase")
+    # a revenue point needs a week: NULL-ts purchases are quarantined
+    # symmetrically (edge corpus — a NULL week_offset group otherwise
+    # appears on exactly one side)
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+    )
     weekly = (
         purchases.join(first_seen, "user_id")
         .groupBy(

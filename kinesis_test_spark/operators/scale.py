@@ -48,7 +48,10 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = ev.select(
         "event_id",
         (F.col("user_id") % 3).alias("skew_key"),
-        F.pmod(F.col("event_id"), F.lit(N_SALTS)).alias("salt"),
+        # coalesce: a NULL event_id would NULL the salt and fail the
+        # equi-join — the same silent fact loss the null-safe key join
+        # exists to prevent (edge_dupkeys identity-NULL rows land salt 0)
+        F.coalesce(F.pmod(F.col("event_id"), F.lit(N_SALTS)), F.lit(0)).alias("salt"),
     )
     dim = (
         ev.select((F.col("user_id") % 3).alias("skew_key"))

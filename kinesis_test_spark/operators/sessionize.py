@@ -29,11 +29,11 @@ WITH flagged AS (
          CASE WHEN lag(ts) OVER w IS NULL
                 OR (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', lag(ts) OVER w)) // 1000) > {GAP_MS}
               THEN 1 ELSE 0 END AS is_start
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
 ), numbered AS (
   SELECT user_id, event_id, ts,
-         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS BIGINT) AS session_seq
   FROM flagged
@@ -44,7 +44,11 @@ FROM numbered GROUP BY user_id, session_seq
 """,
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    # a session is a TIME construct: rows without an event time cannot be
+    # placed in one — quarantined identically on both engines (edge
+    # corpus; session_window drops them natively, the lag formulation
+    # must state it)
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     is_start = F.when(
@@ -73,10 +77,11 @@ WITH flagged AS (
          CASE WHEN lag(ts) OVER w IS NULL
                 OR (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', lag(ts) OVER w)) // 1000) >= 1800000
               THEN 1 ELSE 0 END AS is_start
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
 ), numbered AS (
   SELECT user_id, ts,
-         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
   FROM flagged)
 SELECT user_id,
@@ -172,18 +177,18 @@ WITH g AS (
   SELECT user_id, ts, event_id,
          CASE WHEN event_type IN ('click', 'view') THEN 1800 ELSE 3600 END
            AS gap_s
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 flagged AS (
   SELECT user_id, ts, event_id, gap_s,
          CASE WHEN MAX(ts + to_seconds(gap_s)) OVER prior IS NULL
                 OR ts >= MAX(ts + to_seconds(gap_s)) OVER prior
               THEN 1 ELSE 0 END AS is_start
   FROM g
-  WINDOW prior AS (PARTITION BY user_id ORDER BY ts, event_id
+  WINDOW prior AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
 numbered AS (
   SELECT user_id, ts, gap_s,
-         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
   FROM flagged)
 SELECT user_id,

@@ -452,7 +452,7 @@ VOCAB_SIZE = 20
 @query(
     "q_text_tokenize_ids",
     oracle=f"""
-WITH docs AS (SELECT DISTINCT doc_id, text FROM documents),
+WITH docs AS (SELECT DISTINCT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
 counts AS (
   SELECT w AS word, COUNT(*) AS n
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM docs)
@@ -487,6 +487,7 @@ def q_text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # emit its token row twice (tests/test_edge_dupkeys.py)
     d = (
         t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .dropDuplicates(["doc_id"])
     )
@@ -529,7 +530,8 @@ PACK_CAPACITY = 256  # words per training sequence
 @query(
     "q_text_pack",
     oracle=f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+           WHERE doc_id IS NOT NULL),
 idx AS (SELECT unnest(generate_series(0, 63)) AS chunk_idx),
 chunks AS (
   SELECT doc_id, chunk_idx,
@@ -553,8 +555,13 @@ def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming first-fit approximation; packs can overflow by at most
     one chunk, never underfill mid-stream). A global ordered cumsum is a
     single-partition window — at 100 TB, pack within shards (add the shard
-    key to the PARTITION BY) and the pack ids stay deterministic per shard."""
-    d = t(spark, sf_dir, "documents")
+    key to the PARTITION BY) and the pack ids stay deterministic per shard.
+
+    Identity-less docs quarantined (edge_dupkeys): the global cumsum
+    orders by doc_id, and rows without one have no deterministic
+    position (Spark sorts NULL first, DuckDB last — and two NULL-id
+    docs tie with each other)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     words = F.split("text", " ")
     n_chunks = F.ceil(F.size(words) / F.lit(CHUNK_STRIDE)).cast("int")
     chunks = (
@@ -1175,7 +1182,8 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_text_entropy",
     oracle="""
-WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+           WHERE doc_id IS NOT NULL),
 cnt AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word),
 tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id)
 SELECT c.doc_id, t.n AS n_tokens,
@@ -1196,7 +1204,10 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     addition isn't associative; at 100 TB partial-agg order is
     scheduler-dependent). Shuffles on (doc_id, word) then doc_id — both
     key-hashed, no global ordering anywhere except the presentation sort."""
-    d = t(spark, sf_dir, "documents")
+    # identity-less docs quarantined (a doc-grain report keyed by doc_id
+    # cannot key rows without one — edge_dupkeys identity-NULL rows; the
+    # oracle's cnt JOIN tot on doc_id would drop them one-sidedly)
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     cnt = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
     win = Window.partitionBy("doc_id")

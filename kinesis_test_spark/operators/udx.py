@@ -29,13 +29,18 @@ from kinesis_test_spark.sources import t, views
 @pandas_udf(StringType())
 def _s3_key_udf(ts: pd.Series) -> pd.Series:
     """y=YYYY/m=M/d=D/h=H — month/day/hour NOT zero-padded, exactly the
-    reference's layout (consumer.py:226-232)."""
-    return (
-        "y=" + ts.dt.year.astype(str)
-        + "/m=" + ts.dt.month.astype(str)
-        + "/d=" + ts.dt.day.astype(str)
-        + "/h=" + ts.dt.hour.astype(str)
+    reference's layout (consumer.py:226-232). A NULL ts yields a NULL
+    key — and the datetime parts go through nullable Int64: with a NaT
+    anywhere in the batch, plain .astype(str) would FLOAT the whole
+    year/month column and stamp 'y=2024.0' on every OTHER row too (the
+    pandas NULL-dtype-drift class, edge corpus)."""
+    out = (
+        "y=" + ts.dt.year.astype("Int64").astype("string")
+        + "/m=" + ts.dt.month.astype("Int64").astype("string")
+        + "/d=" + ts.dt.day.astype("Int64").astype("string")
+        + "/h=" + ts.dt.hour.astype("Int64").astype("string")
     )
+    return out.astype(object).where(ts.notna(), None)
 
 
 @query(
@@ -46,14 +51,20 @@ SELECT event_id,
        || '/d=' || CAST(day(ts) AS VARCHAR) || '/h=' || CAST(hour(ts) AS VARCHAR) AS key_udf,
        'y=' || CAST(year(ts) AS VARCHAR) || '/m=' || CAST(month(ts) AS VARCHAR)
        || '/d=' || CAST(day(ts) AS VARCHAR) || '/h=' || CAST(hour(ts) AS VARCHAR) AS key_builtin,
-       TRUE AS keys_agree
+       CASE WHEN ts IS NOT NULL THEN TRUE END AS keys_agree
 FROM events
 """,
 )
 def q_udf_s3key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    builtin = F.format_string(
-        "y=%d/m=%d/d=%d/h=%d", F.year("ts"), F.month("ts"), F.dayofmonth("ts"), F.hour("ts")
+    # gated: format_string renders a NULL argument as the text 'null'
+    # instead of propagating NULL — a NULL ts must yield a NULL key
+    builtin = F.when(
+        F.col("ts").isNotNull(),
+        F.format_string(
+            "y=%d/m=%d/d=%d/h=%d",
+            F.year("ts"), F.month("ts"), F.dayofmonth("ts"), F.hour("ts"),
+        ),
     )
     return ev.select(
         "event_id",
@@ -176,7 +187,7 @@ WITH flagged AS (
          CASE WHEN lag(ts) OVER w IS NULL
                 OR (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', lag(ts) OVER w)) // 1000) > 1800000
               THEN 1 ELSE 0 END AS is_start
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
 )
 SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM flagged GROUP BY user_id
@@ -205,11 +216,22 @@ def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
             self.events = 0
 
         def eval(self, row):
-            ms = int(row["ts"].timestamp() * 1000)
+            # NULL-ts totality (edge corpus): mirror the oracle's
+            # three-valued walk exactly — a row is a session start iff
+            # there is no previous ROW, the previous row's ts was NULL
+            # (lag(ts) IS NULL), or the ms gap is KNOWN to exceed GAP
+            # (a NULL on either side makes the comparison unknown → no
+            # start). int(None.timestamp()) crashing here was the bug.
+            ts = row["ts"]
+            ms = None if ts is None or ts != ts else int(ts.timestamp() * 1000)
             self.user = row["user_id"]
-            self.seen = True
-            if self.prev_ms is None or ms - self.prev_ms > self.GAP_MS:
+            if (
+                not self.seen
+                or self.prev_ms is None
+                or (ms is not None and ms - self.prev_ms > self.GAP_MS)
+            ):
                 self.sessions += 1
+            self.seen = True
             self.prev_ms = ms
             self.events += 1
 
@@ -257,11 +279,13 @@ def _clicks_before(clicks: "pd.DataFrame", purchases: "pd.DataFrame") -> "pd.Dat
     "q_cogroup_clickcount",
     oracle="""
 SELECT p.event_id AS p_id, p.user_id,
-       CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_before
-FROM events p
+       CAST(COUNT(c.ts) AS BIGINT) AS n_clicks_before
+FROM (SELECT DISTINCT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase' AND event_id IS NOT NULL
+        AND ts IS NOT NULL) p
 LEFT JOIN events c
-  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
-WHERE p.event_type = 'purchase'
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts IS NOT NULL AND c.ts < p.ts
 GROUP BY p.event_id, p.user_id
 """,
 )
@@ -276,9 +300,22 @@ def q_cogroup_clickcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_test_spark.sources import t as load_t
 
     ev = load_t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts"
+    # 'clicks BEFORE a purchase' is a TIME question: NULL-ts rows are
+    # quarantined on both sides (pandas searchsorted on NaT and SQL's
+    # NULL comparison disagree; edge corpus)
+    clicks = (
+        ev.filter((F.col("event_type") == "click") & F.col("ts").isNotNull())
+        .select("user_id", "ts")
+    )
+    # identity grain: the output is keyed by p_id, so redelivered purchase
+    # copies collapse and identity-less purchases are quarantined — clicks
+    # stay raw (they are counted DATA, not keys; a NULL-id click still
+    # counts as click activity). tests/test_edge_dupkeys.py.
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .filter(F.col("event_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts")
+        .dropDuplicates(["event_id"])
     )
     return (
         clicks.groupBy("user_id")

@@ -57,7 +57,7 @@ SELECT event_id, user_id, ts,
        (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', lag(ts) OVER w)) // 1000) AS gap_ms,
        lead(event_id) OVER w AS next_event_id
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
 """,
 )
 def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,10 +80,10 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, user_id, ts,
        CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) OVER
-            (PARTITION BY user_id ORDER BY ts, event_id
+            (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
        COUNT(*) OVER
-            (PARTITION BY user_id ORDER BY ts, event_id
+            (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_last3
 FROM events
 """,
@@ -289,7 +289,7 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id, event_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
-       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST),
                 '%Y-%m-%d %H:%M:%S.%f') AS valid_to
 FROM events
 """,
@@ -317,7 +317,7 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH seq AS (
   SELECT user_id, event_type,
          lag(event_type) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id) AS prev_type
+                               ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_type
   FROM events)
 SELECT prev_type, event_type AS next_type, COUNT(*) AS n
 FROM seq WHERE prev_type IS NOT NULL
@@ -408,7 +408,7 @@ def q_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, user_id,
        ROUND(quantile_cont(fv, 0.5) OVER (
-         PARTITION BY user_id ORDER BY ts, event_id
+         PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_med
 FROM (SELECT event_id, user_id, ts,
              CASE WHEN abs(value) < 1.0e12
@@ -446,7 +446,7 @@ WITH seg AS (
   SELECT user_id, value,
          (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) AS t0,
          lead((epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000)) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id) AS t1
+                                  ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS t1
   FROM events),
 held AS (
   SELECT user_id, value, t1 - t0 AS dur_ms FROM seg WHERE t1 IS NOT NULL)

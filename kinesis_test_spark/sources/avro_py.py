@@ -34,15 +34,18 @@ import struct
 MAGIC = b"Obj\x01"
 SYNC = bytes(range(16))  # fixed marker: deterministic files, byte-stable tests
 
-# The event wire schema the staging rigs encode. Every non-key field is a
-# nullable union: a NULL user_id/event_type is schema-legal in the source
-# table, and a staging writer that calls .encode on None is the class of
-# rig crash probe_nulls class 5 exists to prevent.
+# The event wire schema the staging rigs encode. EVERY field is a
+# nullable union — including the id: the parquet source admits a NULL
+# event_id (edge_dupkeys identity-NULL rows), and a staging writer that
+# calls int()/encode on None is the class of rig crash probe_nulls
+# class 5 / the dupkeys probe exist to prevent. The wire must carry what
+# the table can hold; identity SEMANTICS (what a dedup gate does with a
+# NULL id) are the consumer's contract, not the codec's.
 EVENT_SCHEMA = {
     "type": "record",
     "name": "event",
     "fields": [
-        {"name": "event_id", "type": "long"},
+        {"name": "event_id", "type": ["null", "long"]},
         {"name": "user_id", "type": ["null", "long"]},
         {"name": "event_type", "type": ["null", "string"]},
         {"name": "value", "type": ["null", "double"]},

@@ -677,9 +677,11 @@ def q_table_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = scratch_dir("table_compact")
     # pmod, not %: a negative event_id would fail every == i slice test
-    # and drop silently (edge_negatives corpus, same class as mod_slice)
+    # and drop silently (edge_negatives corpus, same class as mod_slice);
+    # coalesce to slice 0: a NULL event_id fails every == i test the same
+    # way (edge_dupkeys identity-NULL rows — slices must PARTITION)
     src = _events_typed(spark, sf_dir).withColumn(
-        "slice", F.expr("pmod(event_id, 8)").cast("int")
+        "slice", F.expr("coalesce(pmod(event_id, 8), 0)").cast("int")
     )
 
     def land(df, name):

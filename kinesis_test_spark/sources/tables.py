@@ -113,22 +113,33 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per document IDENTITY (oracle mirror: SELECT DISTINCT ...
-    FROM documents). At-least-once delivery redelivers byte-identical
-    rows (reference analog: consumer.py:292-303 dedups by sequence
-    number), and a doc-grain operator — shingling, tokenizing, a codec
-    formula keyed on doc_id — must process each identity ONCE, not once
-    per redelivery (tests/test_edge_dupkeys.py: duplicated rows doubled
-    shingle multisets, token streams, and formula sums asymmetrically).
-    dropDuplicates over the full row is canonical because redelivered
-    copies are byte-identical; mutated same-id rows are out of contract
-    (identity is the id — arrival order decides, which no batch oracle
-    can state)."""
-    return t(spark, sf_dir, "documents").dropDuplicates(["doc_id"])
+    FROM documents WHERE doc_id IS NOT NULL). At-least-once delivery
+    redelivers byte-identical rows (reference analog: consumer.py:292-303
+    dedups by sequence number), and a doc-grain operator — shingling,
+    tokenizing, a codec formula keyed on doc_id — must process each
+    identity ONCE, not once per redelivery (tests/test_edge_dupkeys.py:
+    duplicated rows doubled shingle multisets, token streams, and
+    formula sums asymmetrically). dropDuplicates over the full row is
+    canonical because redelivered copies are byte-identical; mutated
+    same-id rows are out of contract (identity is the id — arrival
+    order decides, which no batch oracle can state). Identity-LESS rows
+    (NULL doc_id — schema-legal) are quarantined explicitly: Spark's
+    dropDuplicates would collapse two DIFFERENT unknown-identity docs
+    into one arbitrary row where SQL DISTINCT keeps both — a doc-grain
+    operator cannot key rows that have no key."""
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .dropDuplicates(["doc_id"])
+    )
 
 
 # Oracle-side mirror of ``unique_docs`` — interpolate as the FROM source
 # in any doc-grain oracle.
-SQL_UNIQUE_DOCS = "(SELECT DISTINCT doc_id, text, lang, source, n_chars FROM documents)"
+SQL_UNIQUE_DOCS = (
+    "(SELECT DISTINCT doc_id, text, lang, source, n_chars FROM documents"
+    " WHERE doc_id IS NOT NULL)"
+)
 
 
 def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

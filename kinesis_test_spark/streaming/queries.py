@@ -63,7 +63,7 @@ def s_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
        event_type, COUNT(*) AS n
-FROM events GROUP BY 1, 2, 3
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
 """,
 )
 def s_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,7 +93,7 @@ SELECT ws AS window_start, ws + INTERVAL '1 hour' AS window_end, COUNT(*) AS n
 FROM (
   SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
                  time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
-  FROM events)
+  FROM events WHERE ts IS NOT NULL)
 GROUP BY ws
 """,
 )
@@ -124,10 +124,11 @@ WITH flagged AS (
          CASE WHEN lag(ts) OVER w IS NULL
                 OR (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', lag(ts) OVER w)) // 1000) >= 1800000
               THEN 1 ELSE 0 END AS is_start
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
 ), numbered AS (
   SELECT user_id, ts,
-         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
   FROM flagged)
 SELECT user_id,
@@ -164,13 +165,21 @@ def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DISTINCT: the engine dedups by event_id, so a redelivered
     # byte-identical FIXTURE row must collapse on the oracle side too
     # (tests/test_edge_dupkeys.py)
-    oracle="SELECT DISTINCT event_id, user_id, event_type, ts, value FROM events",
+    oracle="SELECT DISTINCT event_id, user_id, event_type, ts, value FROM events"
+    " WHERE event_id IS NOT NULL",
 )
 def s_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record-level streaming dedup (upgrades the reference's
     batch-granularity gate, consumer.py:292-303): the source replays the
     whole table twice (two staged files); dropDuplicates on the record key
-    must reconstruct exactly one copy."""
+    must reconstruct exactly one copy.
+
+    Identity-less records (NULL event_id) are QUARANTINED explicitly on
+    both engines: with redelivery in the source their presence count is
+    unreconstructible (the replay doubles them and no key says which are
+    the same record), and Spark's dropDuplicates would otherwise collapse
+    every unknown identity into one arbitrary row. Production routes
+    them to a dead-letter sink; the reference crashes (consumer.py:123)."""
     d = scratch_dir("s_dedup")
     stage = d / "src"
     stage_events(spark, sf_dir, stage, "a")
@@ -178,6 +187,7 @@ def s_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = _mem_name("dedup")
     deduped = (
         read_staged_stream(spark, sf_dir, stage)
+        .filter(F.col("event_id").isNotNull())  # identity quarantine (docstring)
         .dropDuplicates(["event_id"])
         .select("event_id", "user_id", "event_type", "ts", "value")
     )
@@ -318,7 +328,13 @@ def s_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-    stage_events(spark, sf_dir, stage, "first", where=f"event_id < {mid}")
+    # first half carries the NULL-id rows: a bare < mid / >= mid pair
+    # fails BOTH for NULL and silently loses the row (the mod_slice
+    # class-3 bug on a range split — tests/test_edge_dupkeys.py)
+    stage_events(
+        spark, sf_dir, stage, "first",
+        where=f"event_id < {mid} OR event_id IS NULL",
+    )
     run_once()  # query terminates — the 'kill'
     stage_events(spark, sf_dir, stage, "second", where=f"event_id >= {mid}")
     run_once()  # fresh query, same checkpoint — the 'resume'
@@ -523,7 +539,13 @@ def s_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-    stage_events(spark, sf_dir, stage, "first", where=f"event_id < {mid}")
+    # first half carries the NULL-id rows: a bare < mid / >= mid pair
+    # fails BOTH for NULL and silently loses the row (the mod_slice
+    # class-3 bug on a range split — tests/test_edge_dupkeys.py)
+    stage_events(
+        spark, sf_dir, stage, "first",
+        where=f"event_id < {mid} OR event_id IS NULL",
+    )
     run_once()
     stage_events(spark, sf_dir, stage, "second", where=f"event_id >= {mid}")
     run_once()
@@ -741,7 +763,8 @@ def s_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
        CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
        event_type, COUNT(*) AS n
-FROM (SELECT DISTINCT * FROM events) GROUP BY 1, 2, 3, 4, 5
+FROM (SELECT DISTINCT * FROM events WHERE event_id IS NOT NULL)
+GROUP BY 1, 2, 3, 4, 5
 """,
 )
 def s_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,6 +802,7 @@ def s_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema)
         .json(str(src))
         .withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .filter(F.col("event_id").isNotNull())  # identity quarantine (s_dedup)
         .dropDuplicates(["event_id"])  # record-level (vs consumer.py:292-303)
     )
     partitioned_json_sink(stream, out, cp)
@@ -836,7 +860,7 @@ def s_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s_dedup_watermarked",
     oracle="SELECT DISTINCT event_id, user_id, event_type, value FROM events"
-    f" WHERE {POST_EPOCH_SQL.format(col='ts')}",
+    f" WHERE {POST_EPOCH_SQL.format(col='ts')} AND event_id IS NOT NULL",
 )
 def s_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark — the PRODUCTION form of streaming
@@ -853,6 +877,7 @@ def s_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = _mem_name("dedup_wm")
     deduped = (
         post_epoch(read_staged_stream(spark, sf_dir, stage))
+        .filter(F.col("event_id").isNotNull())  # identity quarantine (s_dedup)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", "value")
@@ -975,7 +1000,7 @@ def s_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        COUNT(DISTINCT user_id) AS n_users
-FROM events GROUP BY 1
+FROM events WHERE ts IS NOT NULL GROUP BY 1
 """,
 )
 def s_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1235,18 +1260,18 @@ WITH g AS (
   SELECT user_id, ts, event_id,
          CASE WHEN event_type IN ('click', 'view') THEN 1800 ELSE 3600 END
            AS gap_s
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 flagged AS (
   SELECT user_id, ts, event_id, gap_s,
          CASE WHEN MAX(ts + to_seconds(gap_s)) OVER prior IS NULL
                 OR ts >= MAX(ts + to_seconds(gap_s)) OVER prior
               THEN 1 ELSE 0 END AS is_start
   FROM g
-  WINDOW prior AS (PARTITION BY user_id ORDER BY ts, event_id
+  WINDOW prior AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
 numbered AS (
   SELECT user_id, ts, gap_s,
-         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
   FROM flagged)
 SELECT user_id,
@@ -1447,10 +1472,10 @@ WITH flagged AS (
                 OR (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', lag(ts) OVER w)) // 1000) > {TTL_MS}
               THEN 1 ELSE 0 END AS is_start
   FROM events WHERE {POST_EPOCH_SQL.format(col='ts')}
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
 ), numbered AS (
   SELECT user_id, ts,
-         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
   FROM flagged),
 sess AS (

@@ -47,7 +47,10 @@ SF_SRC = "/root/testdata/sf0.001"
 def plant_dupkeys(src: str, dest: Path) -> None:
     """Restage ``src`` into ``dest`` with byte-identical duplicate rows:
     the first two events rows, the first documents row, and the first
-    embeddings row are each appended again, exactly as read."""
+    embeddings row are each appended again, exactly as read. Two
+    DIFFERENT documents with NULL doc_id are planted too — identity-less
+    rows are the NULL corner of the identity contract (a doc-grain
+    dedup keyed on doc_id cannot distinguish them)."""
     dest.mkdir(parents=True, exist_ok=True)
     for f in Path(src).glob("*.parquet"):
         shutil.copy(f, dest / f.name)
@@ -57,6 +60,39 @@ def plant_dupkeys(src: str, dest: Path) -> None:
         pq.write_table(
             pa.concat_tables([t, t.slice(0, n_dup)]), dest / f"{table}.parquet"
         )
+
+    docs = pq.read_table(dest / "documents.parquet")
+    null_id = pa.table(
+        {
+            "doc_id": pa.array([None, None], type=pa.int64()),
+            "text": [
+                "an identity less document about alpha beta gamma delta",
+                "a second identity less document about epsilon zeta eta",
+            ],
+            "lang": ["en", "en"],
+            "source": ["edge-dup", "edge-dup"],
+            "n_chars": [54, 54],
+        },
+        schema=docs.schema,
+    )
+    pq.write_table(pa.concat_tables([docs, null_id]), dest / "documents.parquet")
+
+    # two DIFFERENT events with NULL event_id: identity-less records
+    # through the identity-dedup gates (s_dedup / s_reference_pipeline)
+    ev = pq.read_table(dest / "events.parquet")
+    eh = ev.slice(0, 2).to_pydict()
+    null_ev = pa.table(
+        {
+            "event_id": pa.array([None, None], type=pa.int64()),
+            "ts": eh["ts"],
+            "user_id": eh["user_id"],
+            "event_type": ["click", "purchase"],
+            "value": [7.25, 8.5],
+            "props": eh["props"],
+        },
+        schema=ev.schema,
+    )
+    pq.write_table(pa.concat_tables([ev, null_ev]), dest / "events.parquet")
 
 
 @pytest.fixture(scope="module")
@@ -99,6 +135,37 @@ DUP_EDGE_KEYS = [
     # rank/bit-sum keyed per (event_id, dx, dy): the duplicate doubled
     # the oracle's per-group bit SUM — DISTINCT on both sides
     "q_zorder_key",
+    # --- identity-NULL sub-class (27/263 when the NULL-id rows were
+    # planted; no corpus had ever nulled the PRIMARY id columns) ---
+    # window tie-breaks on a nullable event_id: Spark asc sorts NULLS
+    # FIRST, DuckDB defaults NULLS LAST — oracles now state NULLS FIRST
+    "q_window_lag",
+    "q_window_frame",
+    "q_window_rolling_median",
+    "q_event_transitions",
+    "q_scd2_intervals",
+    "q_time_weighted_avg",
+    "q_join_asof_forward",
+    "q_sessionize",
+    # identity-grain keyed outputs quarantine identity-less rows
+    # (cogroup purchases, entropy/pack docs) or gate the wire on the id
+    # (nested parse/flatten, fn_json's to_json-omits-null reencode)
+    "q_cogroup_clickcount",
+    "q_text_entropy",
+    "q_text_pack",
+    "q_nested_parse",
+    "q_nested_flatten",
+    "q_fn_json",
+    # staging rigs must CARRY NULL ids: range splits (first half takes
+    # NULLs), compaction slices (coalesce to slice 0), salt keys
+    # (coalesce to salt 0), avro wire (id is a nullable union)
+    "s_checkpoint",
+    "s_matview",
+    "q_table_compact",
+    "q_join_skew_salted",
+    "q_source_avro_py",
+    "q_source_avro_resilient",
+    "s_avro_ingest",
 ]
 
 
