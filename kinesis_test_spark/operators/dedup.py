@@ -93,11 +93,8 @@ def _build_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiset (the oracle's DISTINCT (doc_id, s) is per-set already).
     # repartition FIRST: the dedup aggregate then reuses the doc_id hash
     # partitioning instead of adding a second exchange.
-    d = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id").isNotNull())
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .dropDuplicates(["doc_id"])
+    d = unique_docs(
+        spark, sf_dir, partitions=spark.sparkContext.defaultParallelism
     )
     # split() is hoisted into a real column: referencing it from inside a
     # higher-order-function lambda would re-tokenize the full text per

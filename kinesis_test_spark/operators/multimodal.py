@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_test_spark.registry import query
-from kinesis_test_spark.sources import t
+from kinesis_test_spark.sources import t, unique_docs
 
 
 @query(
@@ -471,7 +471,7 @@ def q_mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kinesis_test_spark.operators.png_py import decode_png, encode_png
 
-    d = t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id").isNotNull()).repartition(8, "doc_id").dropDuplicates(["doc_id"])
+    d = unique_docs(spark, sf_dir, cols=["doc_id"], partitions=8)
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -543,7 +543,7 @@ def q_mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kinesis_test_spark.operators.wav_py import decode_wav, encode_wav
 
-    d = t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id").isNotNull()).repartition(8, "doc_id").dropDuplicates(["doc_id"])
+    d = unique_docs(spark, sf_dir, cols=["doc_id"], partitions=8)
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -608,7 +608,7 @@ def q_mm_framepack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kinesis_test_spark.operators.png_py import decode_png, encode_png
 
-    d = t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id").isNotNull()).repartition(8, "doc_id").dropDuplicates(["doc_id"])
+    d = unique_docs(spark, sf_dir, cols=["doc_id"], partitions=8)
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

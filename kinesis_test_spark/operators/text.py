@@ -25,7 +25,7 @@ from kinesis_test_spark.functions.porthash import (
     sql_hex16,
 )
 from kinesis_test_spark.registry import query
-from kinesis_test_spark.sources import t
+from kinesis_test_spark.sources import t, unique_docs
 
 # language "profiles": stopword lists the score counts occurrences of.
 LANG_PROFILES = {
@@ -485,11 +485,8 @@ def q_text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one row per doc IDENTITY (sources.unique_docs contract): a
     # redelivered copy must neither double the vocab's term counts nor
     # emit its token row twice (tests/test_edge_dupkeys.py)
-    d = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id").isNotNull())
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .dropDuplicates(["doc_id"])
+    d = unique_docs(
+        spark, sf_dir, partitions=spark.sparkContext.defaultParallelism
     )
     vocab_rows = (
         d.select(F.explode(F.split("text", " ")).alias("word"))

@@ -1166,7 +1166,7 @@ WITH ps AS (
          CAST(SUM(CAST((CASE WHEN abs(l_quantity) < 1.0e15 THEN l_quantity END) AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty,
          CAST(SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
                              AND l_shipdate <  TIMESTAMP '1997-01-01'
-                            THEN (CASE WHEN abs(l_quantity) < 1.0e12 THEN l_quantity END) ELSE 0.0 END
+                            THEN (CASE WHEN abs(l_quantity) < 1.0e15 THEN l_quantity END) ELSE 0.0 END
                        AS DECIMAL(18,2))) AS DOUBLE) AS qty_1996
   FROM lineitem
   GROUP BY l_partkey, l_suppkey
@@ -1205,7 +1205,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("ps_availqty"),
         F.sum(
-            F.when(in_96, finite("l_quantity")).otherwise(F.lit(0.0)).cast(
+            F.when(in_96, finite("l_quantity", 16)).otherwise(F.lit(0.0)).cast(
                 "decimal(18,2)"
             )
         )

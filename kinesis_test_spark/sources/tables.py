@@ -111,7 +111,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def unique_docs(
+    spark: SparkSession,
+    sf_dir: str,
+    cols: list[str] | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
     """One row per document IDENTITY (oracle mirror: SELECT DISTINCT ...
     FROM documents WHERE doc_id IS NOT NULL). At-least-once delivery
     redelivers byte-identical rows (reference analog: consumer.py:292-303
@@ -119,19 +124,31 @@ def unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizing, a codec formula keyed on doc_id — must process each
     identity ONCE, not once per redelivery (tests/test_edge_dupkeys.py:
     duplicated rows doubled shingle multisets, token streams, and
-    formula sums asymmetrically). dropDuplicates over the full row is
-    canonical because redelivered copies are byte-identical; mutated
-    same-id rows are out of contract (identity is the id — arrival
-    order decides, which no batch oracle can state). Identity-LESS rows
+    formula sums asymmetrically). The Spark side dedups on doc_id alone
+    (one row per identity) while the SQL mirror is a full-tuple
+    DISTINCT; the pair is equivalent ONLY under the contract that
+    same-id redeliveries are byte-identical — mutated same-id rows are
+    out of contract (identity is the id — arrival order decides, which
+    no batch oracle can state). NOTE: a new documents column must be
+    added to SQL_UNIQUE_DOCS's column list or the mirror silently drops
+    it while the Spark side carries it. Identity-LESS rows
     (NULL doc_id — schema-legal) are quarantined explicitly: Spark's
     dropDuplicates would collapse two DIFFERENT unknown-identity docs
     into one arbitrary row where SQL DISTINCT keeps both — a doc-grain
-    operator cannot key rows that have no key."""
-    return (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id").isNotNull())
-        .dropDuplicates(["doc_id"])
-    )
+    operator cannot key rows that have no key.
+
+    ``cols`` prunes the projection before the dedup (pushdown into the
+    scan); ``partitions`` repartitions on doc_id FIRST so the dedup
+    aggregate and any downstream doc_id-keyed stage reuse one exchange
+    (the CPU-heavy codec/shingle pipelines pass this — single-row-group
+    test fixtures give one scan task otherwise)."""
+    df = t(spark, sf_dir, "documents")
+    if cols is not None:
+        df = df.select(*cols)
+    df = df.filter(F.col("doc_id").isNotNull())
+    if partitions is not None:
+        df = df.repartition(partitions, "doc_id")
+    return df.dropDuplicates(["doc_id"])
 
 
 # Oracle-side mirror of ``unique_docs`` — interpolate as the FROM source

@@ -7,37 +7,11 @@ plant_ts_extremes (the standing in-suite pin over the keys that ever
 diverged); this tool sweeps ALL registered keys against the same corpus —
 run it when adding operators that bucket, diff, or epoch-convert a
 timestamp column."""
-import os, sys, shutil
-from pathlib import Path
+import sys
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tests")
+sys.path.insert(0, "/root/repo/tools")
+from _probe import sweep  # noqa: E402  (also puts /root/repo + tests on path)
 from test_edge_ts_extremes import plant_ts_extremes  # noqa: E402
 
-from kinesis_test_spark.oracle import check_query  # noqa: E402
-from kinesis_test_spark.session import get_spark  # noqa: E402
-from kinesis_test_spark import registry  # noqa: E402
-
-registry.load_all()
-
-SRC = "/root/testdata/sf0.001"
-# pid-scoped: a concurrent probe must not rmtree this run's corpus
-d = Path(f"/tmp/ts_sf_{os.getpid()}")
-shutil.rmtree(d, ignore_errors=True)
-plant_ts_extremes(SRC, d)
-
-spark = get_spark()
-fails = {}
-keys = sorted(registry.QUERIES)
-for i, name in enumerate(keys):
-    try:
-        problems = check_query(spark, str(d), name)
-        status = "OK" if not problems else "; ".join(problems)[:220]
-    except Exception as exn:
-        status = f"ERROR {type(exn).__name__}: {str(exn)[:220]}"
-    if status != "OK":
-        fails[name] = status
-        print(f"FAIL {name}: {status}", flush=True)
-    if (i + 1) % 50 == 0:
-        print(f"... {i+1}/{len(keys)}", flush=True)
-print("TSPROBE-DONE", len(keys), "keys,", len(fails), "failures")
+if __name__ == "__main__":
+    sweep(plant_ts_extremes, "ts")
