@@ -521,7 +521,31 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.round(F.stddev_samp("fv"), 6).alias("sd_value"),
         F.round(F.var_samp("fv"), 6).alias("var_value"),
-        F.round(F.corr("fv", F.col("user_id").cast("double")), 6).alias("corr_vu"),
+        # corr expanded to covar/(sd*sd) through try_divide: Spark 4 ANSI
+        # F.corr RAISES DIVIDE_BY_ZERO on a zero-variance group (a NEW
+        # event_type with a constant value column — zero-variance edge
+        # corpus) where DuckDB corr returns NULL; Spark's stable moments
+        # give exactly-0 stddev there, so try_divide lands NULL too.
+        # Each sd is over the PAIRWISE-complete population (corr and
+        # covar_samp drop a pair when EITHER side is NULL; a bare
+        # stddev_samp("fv") would keep rows whose user_id is NULL and
+        # drift the denominator — non-finite corpus caught the mirror
+        # case, fv NULLed by the quarantine while user_id survives)
+        F.round(
+            F.try_divide(
+                F.covar_samp("fv", F.col("user_id").cast("double")),
+                F.stddev_samp(
+                    F.when(F.col("user_id").isNotNull(), F.col("fv"))
+                )
+                * F.stddev_samp(
+                    F.when(
+                        F.col("fv").isNotNull(),
+                        F.col("user_id").cast("double"),
+                    )
+                ),
+            ),
+            6,
+        ).alias("corr_vu"),
         F.round(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY fv)"), 6).alias("p50"),
         F.round(F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY fv)"), 6).alias("p90"),
     )

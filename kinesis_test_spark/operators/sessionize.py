@@ -75,7 +75,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', lag(ts) OVER w)) // 1000) >= 1800000
+                OR (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', lag(ts) OVER w)) // 1000) > 1800000
               THEN 1 ELSE 0 END AS is_start
   FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
@@ -181,7 +181,7 @@ WITH g AS (
 flagged AS (
   SELECT user_id, ts, event_id, gap_s,
          CASE WHEN MAX(ts + to_seconds(gap_s)) OVER prior IS NULL
-                OR ts >= MAX(ts + to_seconds(gap_s)) OVER prior
+                OR ts > MAX(ts + to_seconds(gap_s)) OVER prior
               THEN 1 ELSE 0 END AS is_start
   FROM g
   WINDOW prior AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
@@ -203,10 +203,12 @@ def q_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     event (engaged interactions — click/view — time out in 30 min, heavy
     events get 60), via session_window's dynamic-gap form. The oracle
     derives the exact same sessions from first principles: an event opens
-    a new session iff its ts reaches the running MAX of all prior
-    (ts + gap) ends — a cumulative-max window, not a lag test (a
-    long-gap event can bridge PAST its successor, which lag-based logic
-    misses). Session end = max event end, matching Spark's merge
+    a new session iff its ts EXCEEDS the running MAX of all prior
+    (ts + gap) ends — strict: an event landing exactly ON a session end
+    still merges (probed against session_window; the zero-variance
+    corpus plants exact-touch spacings) — a cumulative-max window, not
+    a lag test (a long-gap event can bridge PAST its successor, which
+    lag-based logic misses). Session end = max event end, matching Spark's merge
     semantics. One shuffle on user_id; per-key window state is a single
     running max."""
     ev = t(spark, sf_dir, "events")

@@ -141,8 +141,16 @@ SELECT event_id, event_type,
        -- noise (pandas and SQL disagree in the last ULP at e18 magnitude,
        -- beyond ROUND's reach), so out-of-domain rows score NULL; NaN/±Inf
        -- z still propagates from fv=NULL -> NULL identically
-       ROUND((fv - AVG(fv) OVER (PARTITION BY event_type))
-             / stddev_samp(fv) OVER (PARTITION BY event_type), 4) AS value_z
+       -- zero-SPREAD groups (max == min) score NULL by contract, stated
+       -- via min/max — NOT via stddev == 0: DuckDB's stable stddev gives
+       -- exactly 0.0 on a constant group while pandas' two-pass std gives
+       -- ~1e-15 cancellation noise, turning z into O(1) NOISE instead of
+       -- a divide-by-zero anyone would notice (zero-variance edge corpus)
+       CASE WHEN MAX(fv) OVER (PARTITION BY event_type)
+               > MIN(fv) OVER (PARTITION BY event_type)
+            THEN ROUND((fv - AVG(fv) OVER (PARTITION BY event_type))
+                       / stddev_samp(fv) OVER (PARTITION BY event_type), 4)
+       END AS value_z
 FROM (SELECT event_id, event_type, value,
              CASE WHEN abs(value) < 1.0e12
                   THEN value END AS fv
@@ -166,11 +174,16 @@ def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         fvs = v.where(np.abs(v) < 1e12)
         mu = fvs.mean()
         sd = fvs.std(ddof=1)
+        # zero-SPREAD contract (zero-variance edge corpus): a constant
+        # group's z is NULL, detected by exact max == min — pandas'
+        # two-pass std on a constant group is ~1e-15 cancellation noise
+        # (not 0), which would score every row as O(1) noise instead
+        z = (fvs - mu) / sd if fvs.max() != fvs.min() else fvs * np.nan
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "event_type": pdf["event_type"],
-                "value_z": ((fvs - mu) / sd).round(4),
+                "value_z": z.round(4),
             }
         )
 

@@ -122,7 +122,7 @@ def s_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', lag(ts) OVER w)) // 1000) >= 1800000
+                OR (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', lag(ts) OVER w)) // 1000) > 1800000
               THEN 1 ELSE 0 END AS is_start
   FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
@@ -1264,7 +1264,7 @@ WITH g AS (
 flagged AS (
   SELECT user_id, ts, event_id, gap_s,
          CASE WHEN MAX(ts + to_seconds(gap_s)) OVER prior IS NULL
-                OR ts >= MAX(ts + to_seconds(gap_s)) OVER prior
+                OR ts > MAX(ts + to_seconds(gap_s)) OVER prior
               THEN 1 ELSE 0 END AS is_start
   FROM g
   WINDOW prior AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST

@@ -410,15 +410,25 @@ def test_zorder_layout_tightens_both_dims(spark, sf_dir):
     assert z_dy <= t_dy * 1.1 + 1, (z_dy, t_dy)
 
 
-def test_shingle_identity_dedup_reuses_partitioning(spark, sf_dir):
+def test_shingle_identity_dedup_reuses_partitioning(spark, sf_dir, tmp_path):
     """The doc-identity dedup (tests/test_edge_dupkeys.py contract) must
     not add a shuffle: _build_shingles repartitions by doc_id FIRST, so
     the dropDuplicates aggregate reuses that exchange. One Exchange total
     — at corpus scale a second full-shuffle of the documents table would
-    double the most expensive stage of every shingle consumer."""
+    double the most expensive stage of every shingle consumer.
+
+    Pinned against a RESTAGED copy of the fixture, not sf_dir: when the
+    suite's parity module runs first it session-caches the shingles
+    relation at sf_dir, and Spark's CacheManager substitutes any plan
+    EQUAL to a cached one with its InMemoryRelation — the fresh build's
+    explain would then show an InMemoryTableScan and zero Exchanges
+    (the pin would measure the cache, not the build)."""
+    import shutil
+
     from kinesis_test_spark.operators.dedup import _build_shingles
 
-    plan = plans.formatted(_build_shingles(spark, sf_dir))
+    shutil.copy(f"{sf_dir}/documents.parquet", tmp_path / "documents.parquet")
+    plan = plans.formatted(_build_shingles(spark, str(tmp_path)))
     # formatted() prints each node twice (tree line + detail section) —
     # count tree nodes only
     assert plan.count("+- Exchange") == 1, plan
