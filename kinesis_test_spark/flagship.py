@@ -23,7 +23,7 @@ WITH deduped AS (
   SELECT * FROM (
     SELECT user_id, event_type, ts, value,
            row_number() OVER (PARTITION BY event_id
-                              ORDER BY ts, user_id, event_type, value) AS rn
+                              ORDER BY ts NULLS FIRST, user_id NULLS FIRST, event_type NULLS FIRST, value NULLS FIRST) AS rn
     FROM events)
   WHERE rn = 1
 )

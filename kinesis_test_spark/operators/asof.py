@@ -34,7 +34,7 @@ FROM (
   SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
          e.event_id AS last_event_id, e.ts AS last_event_ts,
          row_number() OVER (PARTITION BY o.o_orderkey
-                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+                            ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST) AS rn
   FROM orders o
   LEFT JOIN events e ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
 ) WHERE rn = 1
@@ -71,7 +71,7 @@ FROM (
   SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
          e.event_id AS last_event_id, e.ts AS last_event_ts,
          row_number() OVER (PARTITION BY o.o_orderkey
-                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+                            ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST) AS rn
   FROM orders o
   LEFT JOIN events e ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
 ) WHERE rn = 1

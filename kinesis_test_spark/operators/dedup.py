@@ -1374,7 +1374,7 @@ scored AS (
 ranked AS (
   SELECT doc_id, cluster_id, score,
          row_number() OVER (PARTITION BY cluster_id
-                            ORDER BY score DESC, doc_id) AS rn
+                            ORDER BY score DESC NULLS LAST, doc_id NULLS FIRST) AS rn
   FROM scored)
 SELECT doc_id, cluster_id, score,
        rn = 1 AS is_kept

@@ -312,7 +312,7 @@ WITH files AS (
   FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d'))
 SELECT event_type, dt, est_bytes,
        CAST(FLOOR(COALESCE(SUM(est_bytes) OVER (
-              PARTITION BY event_type ORDER BY dt
+              PARTITION BY event_type ORDER BY dt NULLS FIRST
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             / {COMPACT_TARGET_BYTES}) AS BIGINT) AS compaction_bin
 FROM files

@@ -587,7 +587,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sort_limit",
     oracle="""
 SELECT o_orderkey, o_totalprice FROM orders
-ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST LIMIT 100
 """,
 )
 def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -819,7 +819,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id, event_id AS last_event_id, ts AS last_ts, event_type AS last_type
 FROM (
   SELECT user_id, event_id, ts, event_type,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
   FROM events) WHERE rn = 1
 """,
 )
@@ -971,7 +971,7 @@ SELECT user_id, event_type AS modal_type, n AS modal_n
 FROM (
   SELECT user_id, event_type, COUNT(*) AS n,
          row_number() OVER (PARTITION BY user_id
-                            ORDER BY COUNT(*) DESC, event_type) AS rn
+                            ORDER BY COUNT(*) DESC, event_type NULLS FIRST) AS rn
   FROM events GROUP BY user_id, event_type)
 WHERE rn = 1
 """,
@@ -1342,9 +1342,9 @@ WITH base AS (
   FROM events WHERE event_type = 'purchase' GROUP BY user_id),
 scored AS (
   SELECT user_id,
-         CAST(ntile(4) OVER (ORDER BY last_seen DESC, user_id) AS BIGINT) AS r,
-         CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f,
-         CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m
+         CAST(ntile(4) OVER (ORDER BY last_seen DESC NULLS LAST, user_id NULLS FIRST) AS BIGINT) AS r,
+         CAST(ntile(4) OVER (ORDER BY freq DESC, user_id NULLS FIRST) AS BIGINT) AS f,
+         CAST(ntile(4) OVER (ORDER BY monetary DESC NULLS LAST, user_id NULLS FIRST) AS BIGINT) AS m
   FROM base)
 SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_users
 FROM scored GROUP BY r, f, m
@@ -1533,7 +1533,7 @@ weekly AS (
   FROM revenue GROUP BY 1, 2)
 SELECT cohort_week, week_offset, revenue,
        CAST(SUM(CAST(revenue AS DECIMAL(18,2))) OVER (
-         PARTITION BY cohort_week ORDER BY week_offset
+         PARTITION BY cohort_week ORDER BY week_offset NULLS FIRST
          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumulative_ltv
 FROM weekly ORDER BY cohort_week, week_offset
 """,

@@ -201,7 +201,7 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH counts AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id),
 ranked AS (
-  SELECT n, row_number() OVER (ORDER BY n, user_id) AS r,
+  SELECT n, row_number() OVER (ORDER BY n, user_id NULLS FIRST) AS r,
          COUNT(*) OVER () AS k, CAST(SUM(n) OVER () AS BIGINT) AS total
   FROM counts)
 SELECT CAST(k AS BIGINT) AS n_keys, total AS n_rows,

@@ -168,7 +168,7 @@ def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH tot AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS target FROM lineitem),
 cum AS (
-  SELECT k, CAST(SUM(n) OVER (ORDER BY k) AS BIGINT) AS cnt
+  SELECT k, CAST(SUM(n) OVER (ORDER BY k NULLS FIRST) AS BIGINT) AS cnt
   FROM (SELECT CAST(TRUNC(CASE WHEN abs(l_quantity) < 1.0e12
                            THEN l_quantity END) AS INT) AS k, COUNT(*) AS n
         FROM lineitem GROUP BY 1)),

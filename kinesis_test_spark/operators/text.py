@@ -247,7 +247,7 @@ WITH scored AS (
   SELECT * FROM scored WHERE n_words >= 20 AND stop_ratio <= 0.4
 ), deduped AS (
   SELECT doc_id, text, lang, n_words FROM (
-    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM kept)
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id NULLS FIRST) AS rn FROM kept)
   WHERE rn = 1
 )
 SELECT lang,
@@ -537,7 +537,7 @@ chunks AS (
   FROM w, idx WHERE chunk_idx * {CHUNK_STRIDE} < len(words)),
 ordered AS (
   SELECT doc_id, chunk_idx, n_words,
-         SUM(n_words) OVER (ORDER BY doc_id, chunk_idx
+         SUM(n_words) OVER (ORDER BY doc_id NULLS FIRST, chunk_idx
                             ROWS UNBOUNDED PRECEDING) AS cum
   FROM chunks)
 SELECT CAST((cum - n_words) // {PACK_CAPACITY} AS BIGINT) AS pack_id,

@@ -33,7 +33,7 @@ SELECT c_custkey, c_mktsegment, c_acctbal,
        rank() OVER w AS rnk,
        dense_rank() OVER w AS drnk
 FROM customer
-WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC NULLS LAST, c_custkey NULLS FIRST)
 """,
 )
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,7 +112,7 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT * FROM (
   SELECT o_orderpriority, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_orderpriority
-                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                            ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST) AS rn
   FROM orders) WHERE rn <= 3
 """,
 )
@@ -140,11 +140,11 @@ SELECT c_custkey, c_acctbal,
        ROUND(percent_rank() OVER w, 6) AS pct_rank,
        ROUND(cume_dist() OVER w, 6) AS cdist,
        first_value(c_custkey) OVER w AS richest_in_segment,
-       last_value(c_custkey) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+       last_value(c_custkey) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC NULLS LAST, c_custkey NULLS FIRST
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          AS poorest_in_segment
 FROM customer
-WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC NULLS LAST, c_custkey NULLS FIRST)
 """,
 )
 def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,7 +208,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH hourly AS (
   SELECT user_id, date_trunc('hour', ts) AS hb, value,
          row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
-                            ORDER BY ts DESC, event_id DESC) AS rn
+                            ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
   FROM events),
 obs AS (SELECT user_id, hb, value FROM hourly WHERE rn = 1),
 bounds AS (SELECT user_id, MIN(hb) AS lo, MAX(hb) AS hi FROM obs GROUP BY user_id),
@@ -268,7 +268,7 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_mktsegment, c_acctbal,
        ntile(4) OVER (PARTITION BY c_mktsegment
-                      ORDER BY c_acctbal, c_custkey) AS quartile
+                      ORDER BY c_acctbal NULLS FIRST, c_custkey NULLS FIRST) AS quartile
 FROM customer
 """,
 )
@@ -346,7 +346,7 @@ WITH weekly AS (
   SELECT event_type, date_trunc('week', ts) AS wk, COUNT(*) AS n
   FROM events GROUP BY 1, 2)
 SELECT event_type, strftime(wk, '%Y-%m-%d') AS week_start, n,
-       n - lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS wow_delta
+       n - lag(n) OVER (PARTITION BY event_type ORDER BY wk NULLS FIRST) AS wow_delta
 FROM weekly
 """,
 )
@@ -375,7 +375,7 @@ WITH daily AS (
   SELECT o_orderstatus, date_trunc('day', o_orderdate) AS d, COUNT(*) AS n
   FROM orders GROUP BY 1, 2)
 SELECT o_orderstatus, strftime(d, '%Y-%m-%d') AS day, n,
-       CAST(SUM(n) OVER (PARTITION BY o_orderstatus ORDER BY d
+       CAST(SUM(n) OVER (PARTITION BY o_orderstatus ORDER BY d NULLS FIRST
                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_total
 FROM daily
 """,

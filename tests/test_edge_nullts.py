@@ -103,6 +103,17 @@ NULLTS_EDGE_KEYS = [
     "q_udf_s3key",
     # Python totality: the table-arg UDTF's three-valued session walk
     "q_udtf_table_arg",
+    # DuckDB 1.0 window ORDER BY over a NULL-bearing key WITHOUT an
+    # explicit NULLS clause places the NULL row NONDETERMINISTICALLY
+    # (observed first, mid-partition, and last across identical runs —
+    # the parallel window sort), so an unspecced oracle can PASS a sweep
+    # by luck: q_wow_change's NULL-week lag flagged on the third sweep
+    # only. Every window/top-k ordering term that can be NULL now
+    # states Spark's default explicitly (ASC NULLS FIRST / DESC NULLS
+    # LAST) — 21 sites batch-audited via the OVER(...ORDER BY...) scan.
+    "q_wow_change",
+    "q_agg_argmax",
+    "q_cumulative",
 ]
 
 
