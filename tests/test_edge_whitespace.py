@@ -80,9 +80,24 @@ def plant_whitespace(src: str, dest: Path) -> None:
     pq.write_table(pa.concat_tables([docs, ws_docs]), dest / "documents.parquet")
 
 
-# Keys the whitespace probe ever flagged (populated from
-# tools/probe_whitespace.py sweeps).
-WS_EDGE_KEYS: list[str] = []
+# The round-8 probe swept 0/263 on the FIRST pass — the only corpus
+# ever to close with zero findings (the empty/1/2/3-word doc pins of
+# earlier rounds already forced empty-token totality through the split
+# family). These pins keep the corpus exercised in-suite over the
+# heaviest empty-token consumers so a future text operator that regresses
+# the contract fails here, not in production.
+WS_EDGE_KEYS: list[str] = [
+    "q_text_wordcount",
+    "q_text_stats",
+    "q_text_tokenize_ids",
+    "q_text_bigrams",
+    "q_text_entropy",
+    "q_text_quality",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash",
+    "q_text_langid",
+    "q_text_fingerprint",
+]
 
 
 @pytest.fixture(scope="module")
