@@ -36,7 +36,7 @@ SELECT 'y=' || CAST(year(ts) AS VARCHAR) || '/m=' || CAST(month(ts) AS VARCHAR)
        CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM deduped
 GROUP BY hour_key, event_type
-ORDER BY n_events DESC, hour_key, event_type
+ORDER BY n_events DESC, hour_key NULLS FIRST, event_type NULLS FIRST
 LIMIT 500
 """,
 )
@@ -51,8 +51,16 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("r").alias("r"))
         .select("event_id", "r.*")
     )
-    hour_key = F.format_string(
-        "y=%d/m=%d/d=%d/h=%d", F.year("ts"), F.month("ts"), F.dayofmonth("ts"), F.hour("ts")
+    # NULL-gated: format_string renders a NULL ts as the literal text
+    # 'y=null/...' where the oracle's || concatenation nulls the whole
+    # key (CLAUDE.md rule; at sf0.001 the divergence hides past the
+    # LIMIT, on a small/new-tenant corpus it lands inside it)
+    hour_key = F.when(
+        F.col("ts").isNotNull(),
+        F.format_string(
+            "y=%d/m=%d/d=%d/h=%d",
+            F.year("ts"), F.month("ts"), F.dayofmonth("ts"), F.hour("ts"),
+        ),
     )
     return (
         deduped.groupBy(hour_key.alias("hour_key"), "event_type")

@@ -819,7 +819,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id, event_id AS last_event_id, ts AS last_ts, event_type AS last_type
 FROM (
   SELECT user_id, event_id, ts, event_type,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST, event_type DESC NULLS LAST) AS rn
   FROM events) WHERE rn = 1
 """,
 )

@@ -168,7 +168,11 @@ def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH tot AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS target FROM lineitem),
 cum AS (
-  SELECT k, CAST(SUM(n) OVER (ORDER BY k NULLS FIRST) AS BIGINT) AS cnt
+  -- NULLS LAST is the CONTRACT here, not Spark's window default: the
+  -- engine side is a procedural loop whose `l_quantity <= k AND abs(..)
+  -- < 1e12` count never admits out-of-domain rows, so the NULL-k group
+  -- must never enter any cumulative count (sorted past every real k)
+  SELECT k, CAST(SUM(n) OVER (ORDER BY k NULLS LAST) AS BIGINT) AS cnt
   FROM (SELECT CAST(TRUNC(CASE WHEN abs(l_quantity) < 1.0e12
                            THEN l_quantity END) AS INT) AS k, COUNT(*) AS n
         FROM lineitem GROUP BY 1)),
@@ -204,7 +208,8 @@ def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
           SET target = (SELECT COUNT(*) DIV 2 FROM lineitem);
           WHILE cnt < target DO
             SET k = k + 1;
-            SET cnt = (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= k);
+            SET cnt = (SELECT COUNT(*) FROM lineitem
+                       WHERE abs(l_quantity) < 1.0e12 AND l_quantity <= k);
           END WHILE;
           SELECT k AS median_qty_ceil, cnt AS n_at_or_below, target;
         END

@@ -247,7 +247,7 @@ WITH scored AS (
   SELECT * FROM scored WHERE n_words >= 20 AND stop_ratio <= 0.4
 ), deduped AS (
   SELECT doc_id, text, lang, n_words FROM (
-    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id NULLS FIRST) AS rn FROM kept)
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, n_words NULLS FIRST) AS rn FROM kept)
   WHERE rn = 1
 )
 SELECT lang,

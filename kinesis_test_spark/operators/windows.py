@@ -208,7 +208,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH hourly AS (
   SELECT user_id, date_trunc('hour', ts) AS hb, value,
          row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
-                            ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+                            ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST, value DESC NULLS LAST) AS rn
   FROM events),
 obs AS (SELECT user_id, hb, value FROM hourly WHERE rn = 1),
 bounds AS (SELECT user_id, MIN(hb) AS lo, MAX(hb) AS hi FROM obs GROUP BY user_id),

@@ -937,7 +937,7 @@ SELECT user_id, event_id AS last_event_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts, value AS last_value
 FROM (
   SELECT user_id, event_id, ts, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST, value DESC NULLS LAST) AS rn
   FROM events) WHERE rn = 1
 """,
 )

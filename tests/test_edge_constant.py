@@ -106,10 +106,19 @@ def plant_constant(src: str, dest: Path) -> None:
         rows["event_type"].append("heartbeat")
         rows["value"].append(9.9)
         rows["props"].append('{"k": 4}')
+    # encoding-adaptive like the sibling corpora: the fixture's ts has
+    # shipped as TIMESTAMP(MICROS, NTZ), TIMESTAMP(NANOS) and
+    # nanos-as-int64 across regenerations (CLAUDE.md gotcha) — plant in
+    # whatever the scanned schema carries
+    ts_type = ev.schema.field("ts").type
+    if pa.types.is_integer(ts_type):
+        ts_arr = pa.array([v * 1000 for v in rows["ts"]], type=ts_type)
+    else:
+        ts_arr = pa.array(rows["ts"], type=pa.timestamp("us")).cast(ts_type)
     const_ev = pa.table(
         {
             "event_id": pa.array(rows["event_id"], type=pa.int64()),
-            "ts": pa.array(rows["ts"], type=pa.timestamp("us")),
+            "ts": ts_arr,
             "user_id": pa.array(rows["user_id"], type=pa.int64()),
             "event_type": rows["event_type"],
             "value": pa.array(rows["value"], type=pa.float64()),
