@@ -92,7 +92,50 @@ def plant_dupkeys(src: str, dest: Path) -> None:
         },
         schema=ev.schema,
     )
-    pq.write_table(pa.concat_tables([ev, null_ev]), dest / "events.parquet")
+    # FULL-TIE pair: same user, same ts, BOTH event_id NULL, different
+    # payload — ties exhaust (ts, event_id) so only the COMPLETE struct
+    # tie-break (event_type in q_agg_argmax, value in s_upsert /
+    # q_resample_ffill) decides deterministically; an oracle ordering by
+    # fewer terms than the engine's struct is DuckDB-arbitrary here
+    tied_ev = pa.table(
+        {
+            "event_id": pa.array([None, None], type=pa.int64()),
+            "ts": pa.array(
+                [ev["ts"][0].as_py()] * 2, type=ev.schema.field("ts").type
+            ),
+            "user_id": pa.array([77, 77], type=pa.int64()),
+            "event_type": ["view", "click"],
+            "value": [5.0, 6.0],
+            "props": ['{"k": 9}', '{"k": 10}'],
+        },
+        schema=ev.schema,
+    )
+    pq.write_table(
+        pa.concat_tables([ev, null_ev, tied_ev]), dest / "events.parquet"
+    )
+
+    # FULL-TIE docs: both doc_id NULL, byte-identical >=20-word text,
+    # different lang — q_pipeline_llm's per-text dedup must break the
+    # (NULL doc_id) tie on lang (the engine's min(struct) second field)
+    docs2 = pq.read_table(dest / "documents.parquet")
+    tie_text = (
+        "the shared template body repeats across both language variants "
+        "with exactly the same twenty two ordinary words to pass the "
+        "minimum length quality filter cleanly"
+    )
+    tied_docs = pa.table(
+        {
+            "doc_id": pa.array([None, None], type=pa.int64()),
+            "text": [tie_text, tie_text],
+            "lang": ["en", "es"],
+            "source": ["edge-tie", "edge-tie"],
+            "n_chars": pa.array([len(tie_text)] * 2, type=pa.int64()),
+        },
+        schema=docs2.schema,
+    )
+    pq.write_table(
+        pa.concat_tables([docs2, tied_docs]), dest / "documents.parquet"
+    )
 
 
 @pytest.fixture(scope="module")
@@ -166,6 +209,15 @@ DUP_EDGE_KEYS = [
     "q_source_avro_py",
     "q_source_avro_resilient",
     "s_avro_ingest",
+    # full-tie pins (round-8 session-7 review): the corpus plants rows
+    # tied on EVERY leading tie-break term — same (user, ts) with both
+    # event_id NULL, identical-text docs with both doc_id NULL — so the
+    # argmax-family oracles' COMPLETE struct orderings (event_type /
+    # value / lang) are what keeps these deterministic, not luck
+    "q_agg_argmax",
+    "s_upsert",
+    "q_resample_ffill",
+    "q_pipeline_llm",
 ]
 
 
