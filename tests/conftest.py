@@ -6,6 +6,20 @@ import pytest
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
+# Two-tier suite (VERDICT r8 #3): `-m fast` is the iteration gate — the
+# driver-shaped correctness surface (oracle parity, pinned plan shapes,
+# reference golden cases). Everything else (edge corpora, streaming,
+# codecs, properties) carries the `slow` marker; the FULL suite remains
+# the pre-commit / end-of-round bar.
+_FAST_MODULES = {"test_parity", "test_plans", "test_reference_golden"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        marker = "fast" if mod in _FAST_MODULES else "slow"
+        item.add_marker(getattr(pytest.mark, marker))
+
 
 @pytest.fixture(scope="session")
 def spark():
