@@ -109,6 +109,8 @@ _PRIORITY = [
     # Round-7 keys (first driver check wanted promptly; kept to a handful so
     # the window drains the pre-regen ledger, VERDICT r6 #1).
     "s_state_ttl", "q_table_evolve",
+    # Round-9: the ONE new registration (VERDICT r8 #4; drain budget ≤2).
+    "q_dedup_substring",
 ]
 
 

@@ -1597,3 +1597,144 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("contained_doc", "container_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (segment-overlap) dedup — Lee et al. shape
+# ---------------------------------------------------------------------------
+
+# Sliding-window width in tokens. Lee et al. ("Deduplicating Training Data
+# Makes Language Models Better") use 50-token windows at corpus scale; the
+# fixture's word-soup docs are 10-99 tokens, so the dial sits at 15 — the
+# algorithm is width-independent.
+SUBSTR_W = 15
+
+_SUBSTR_UNIQ = (
+    "(SELECT DISTINCT doc_id, text FROM documents WHERE doc_id IS NOT NULL)"
+)
+
+
+@query(
+    "q_dedup_substring",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM {_SUBSTR_UNIQ}
+  WHERE len(string_split(text, ' ')) >= {SUBSTR_W}),
+wins AS (
+  SELECT doc_id, i,
+         md5(array_to_string(w[i:(i + {SUBSTR_W} - 1)], ' ')) AS h
+  FROM docs, UNNEST(generate_series(1, len(w) - {SUBSTR_W} + 1)) AS u(i)),
+hdf AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY h),
+m AS (SELECT s.doc_id, s.i, (d.nd >= 2) AS dup
+      FROM wins s JOIN hdf d ON s.h = d.h),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total_windows,
+               CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                 AS dup_windows
+        FROM m GROUP BY doc_id),
+isl AS (SELECT doc_id, i,
+               i - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY i ASC NULLS FIRST) AS g
+        FROM m WHERE dup),
+runs AS (SELECT doc_id, g, COUNT(*) AS run_len FROM isl GROUP BY doc_id, g),
+spans AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans,
+                 CAST(MAX(run_len + {SUBSTR_W} - 1) AS BIGINT)
+                   AS max_span_tokens
+          FROM runs GROUP BY doc_id)
+SELECT t.doc_id, t.total_windows, t.dup_windows,
+       COALESCE(s.dup_spans, 0) AS dup_spans,
+       COALESCE(s.max_span_tokens, 0) AS max_span_tokens,
+       ROUND(CAST(t.dup_windows AS DOUBLE) / t.total_windows, 6) AS dup_ratio
+FROM tot t LEFT JOIN spans s ON t.doc_id = s.doc_id
+ORDER BY t.doc_id
+""",
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup at segment grain (Lee et al. "Deduplicating
+    Training Data Makes Language Models Better"): hash every SLIDING
+    {SUBSTR_W}-token window (stride 1 — unlike q_dedup_paragraph's
+    disjoint segments, this catches overlaps at ANY alignment), mark a
+    window duplicated when its text occurs in >=2 distinct documents,
+    and merge consecutive duplicated positions into MAXIMAL SPANS
+    (gaps-and-islands on position - row_number), reporting per document
+    the duplicated-window coverage plus the span count and the longest
+    exact overlap in tokens — the per-doc signal a production pipeline
+    thresholds to cut boilerplate and verbatim copies the MinHash family
+    (doc-grain, near-dup) cannot localize.
+
+    No suffix array is needed for a bounded window: the full suffix-array
+    pass of the paper degenerates, for fixed width W, to the window-hash
+    multiset this computes in two hash shuffles. Scale shape (SCALE.md):
+    the explode is O(tokens) rows but each carries only (doc_id, pos,
+    md5) — 48 bytes, never the window text, so the first Exchange moves
+    ~5x the token-ID volume regardless of W; the frequency index groups
+    by the hash (uniform keys, no skew), the join back is co-partitioned
+    on h by AQE, and every later grain (dup positions, runs, docs)
+    shrinks monotonically. Docs shorter than W tokens have no window and
+    are out of the report by contract (symmetric both engines — the
+    production dial W=50 assumes pre-filtered short docs).
+
+    Reference analog: consumer.py:292-303 suppresses whole redelivered
+    batches by sequence number; this is the content-grain generalization
+    (identity dedup via sources.unique_docs, then content-span dedup)."""
+    from pyspark.sql import Window
+
+    d = (
+        unique_docs(spark, sf_dir, cols=["doc_id", "text"])
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= SUBSTR_W)
+    )
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {SUBSTR_W} + 1), i ->"
+                f" struct(i AS i,"
+                f" md5(array_join(slice(w, i, {SUBSTR_W}), ' ')) AS h))"
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.i").alias("i"), F.col("x.h").alias("h"))
+    hdf = wins.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    m = wins.join(hdf, "h").select(
+        "doc_id", "i", (F.col("nd") >= 2).alias("dup")
+    )
+    # Single linear pipeline (no branch consuming `m` twice — a branch
+    # re-derives the explode+md5 from the scan on every arm): islands via
+    # i - cumulative-dup-count (equal, on dup rows, to i - row_number
+    # among dup rows), NULL island for non-dup rows so ONE (doc_id, g)
+    # aggregate carries both the span grouping (g NOT NULL) and the
+    # non-dup remainder (the g-NULL group), and the per-doc rollup reads
+    # totals, dup coverage, span count, and max span off that one grain.
+    wn = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("i").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_dup = F.sum(F.when(F.col("dup"), 1).otherwise(0)).over(wn)
+    marked = m.withColumn("g", F.when(F.col("dup"), F.col("i") - cum_dup))
+    runs = marked.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    in_span = F.col("g").isNotNull()
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("total_windows"),
+            F.sum(F.when(in_span, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_windows"),
+            F.sum(F.when(in_span, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_spans"),
+            F.coalesce(
+                F.max(F.when(in_span, F.col("cnt") + SUBSTR_W - 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("max_span_tokens"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(
+                F.col("dup_windows").cast("double") / F.col("total_windows"), 6
+            ),
+        )
+        .orderBy("doc_id")
+    )

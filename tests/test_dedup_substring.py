@@ -1,0 +1,121 @@
+"""q_dedup_substring pins — planted exact-overlap spans (VERDICT r8 #4).
+
+The fixture's word-soup corpus contains real cross-doc window repeats
+(45/481 docs at sf0.01), but nothing with a KNOWN span geometry, so these
+tests restage sf0.001 with documents sharing exactly-placed token runs and
+pin the span arithmetic: a 40-token shared run under W=15 yields 26
+consecutive duplicated windows that merge into ONE maximal span of 40
+tokens; two disjoint runs yield dup_spans=2; a doc with no shared window
+reports zeros; a doc shorter than W is out of the report by contract.
+Parity (the driver's gate) is re-run on the planted corpus.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kinesis_test_spark.operators.dedup import SUBSTR_W
+from kinesis_test_spark.oracle import check_query
+
+SF_SRC = "/root/testdata/sf0.001"
+
+# Planted tokens use a prefix absent from the fixture's vocabulary so no
+# planted window collides with a fixture window.
+def _toks(tag: str, n: int) -> list[str]:
+    return [f"plantedtok_{tag}_{i}" for i in range(n)]
+
+
+RUN40 = _toks("run40", 40)    # shared A<->B, one contiguous 40-token run
+RUN20 = _toks("run20", 20)    # shared D<->E, first run
+RUN18 = _toks("run18", 18)    # shared D<->E, second run
+
+DOC_A = 90000101  # 10 unique + RUN40 + 10 unique
+DOC_B = 90000102  # 20 unique + RUN40 + 5 unique
+DOC_C = 90000103  # 30 unique tokens, overlap-free
+DOC_D = 90000104  # 5 unique + RUN20 + 4 unique + RUN18 + 3 unique
+DOC_E = 90000105  # 8 unique + RUN20 + 6 unique + RUN18
+DOC_SHORT = 90000106  # SUBSTR_W - 1 tokens — below the window width
+
+TEXTS = {
+    DOC_A: " ".join(_toks("a_pre", 10) + RUN40 + _toks("a_suf", 10)),
+    DOC_B: " ".join(_toks("b_pre", 20) + RUN40 + _toks("b_suf", 5)),
+    DOC_C: " ".join(_toks("c_only", 30)),
+    DOC_D: " ".join(
+        _toks("d1", 5) + RUN20 + _toks("d2", 4) + RUN18 + _toks("d3", 3)
+    ),
+    DOC_E: " ".join(_toks("e1", 8) + RUN20 + _toks("e2", 6) + RUN18),
+    DOC_SHORT: " ".join(_toks("tiny", SUBSTR_W - 1)),
+}
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("substr_sf")
+    for f in Path(SF_SRC).glob("*.parquet"):
+        shutil.copy(f, d / f.name)
+    docs = pq.read_table(d / "documents.parquet")
+    extra = pa.table(
+        {
+            "doc_id": list(TEXTS),
+            "text": [TEXTS[k] for k in TEXTS],
+            "lang": ["en"] * len(TEXTS),
+            "source": ["planted"] * len(TEXTS),
+            "n_chars": [len(TEXTS[k]) for k in TEXTS],
+        },
+        schema=docs.schema,
+    )
+    pq.write_table(pa.concat_tables([docs, extra]), d / "documents.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def result(spark, planted_dir):
+    from kinesis_test_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["q_dedup_substring"](spark, planted_dir)
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_single_run_merges_into_one_maximal_span(result):
+    # 40 shared tokens, W=15 -> 26 consecutive dup windows -> span of 40.
+    for doc in (DOC_A, DOC_B):
+        row = result[doc]
+        assert row["dup_windows"] == 40 - SUBSTR_W + 1
+        assert row["dup_spans"] == 1
+        assert row["max_span_tokens"] == 40
+
+
+def test_total_windows_arithmetic(result):
+    # doc A has 10 + 40 + 10 = 60 tokens -> 60 - W + 1 windows.
+    assert result[DOC_A]["total_windows"] == 60 - SUBSTR_W + 1
+
+
+def test_disjoint_runs_stay_separate_spans(result):
+    for doc in (DOC_D, DOC_E):
+        row = result[doc]
+        assert row["dup_spans"] == 2
+        assert row["max_span_tokens"] == 20
+        # 20-run gives 6 dup windows, 18-run gives 4.
+        assert row["dup_windows"] == (20 - SUBSTR_W + 1) + (18 - SUBSTR_W + 1)
+
+
+def test_overlap_free_doc_reports_zeros(result):
+    row = result[DOC_C]
+    assert row["dup_windows"] == 0
+    assert row["dup_spans"] == 0
+    assert row["max_span_tokens"] == 0
+    assert row["dup_ratio"] == 0.0
+
+
+def test_short_doc_is_out_of_report(result):
+    assert DOC_SHORT not in result
+
+
+def test_parity_on_planted_corpus(spark, planted_dir):
+    assert check_query(spark, planted_dir, "q_dedup_substring") == []

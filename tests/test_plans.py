@@ -432,3 +432,15 @@ def test_shingle_identity_dedup_reuses_partitioning(spark, sf_dir, tmp_path):
     # formatted() prints each node twice (tree line + detail section) —
     # count tree nodes only
     assert plan.count("+- Exchange") == 1, plan
+
+
+def test_dedup_substring_linear_no_cartesian(spark, sf_dir):
+    """Exact-substring dedup: window-hash inverted index + one linear
+    island/rollup tail — hash shuffles only, no pair explosion, and the
+    marked-window relation is consumed ONCE (a branched tail re-derived
+    the explode+md5 from the scan on every arm: 8 parquet scans; the
+    linear form holds at 4 — both sides of the frequency-index join)."""
+    plan = plans.formatted(q("q_dedup_substring", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") <= 4
