@@ -22,9 +22,21 @@ the parquet reader.
 from __future__ import annotations
 
 import json
+import os
+import uuid
 from pathlib import Path
 
 LOG_DIR = "_log"
+
+# Bound on CAS retries under writer contention. Each loss means another
+# writer LANDED a commit, so N writers racing need at most N-1 retries
+# each; the bound exists only to turn a filesystem that lies about
+# link(2) exclusivity into a loud error instead of a livelock.
+COMMIT_MAX_RETRIES = 64
+
+
+class CommitConflict(RuntimeError):
+    """Raised when a commit cannot claim a version after retries."""
 
 
 def commit(
@@ -33,7 +45,7 @@ def commit(
     removes: list[str],
     schema: list[list[str]] | None = None,
 ) -> int:
-    """Append the next commit; returns the new version number.
+    """Append the next commit; returns the version number it LANDED at.
 
     An add is a file name, or a dict ``{"file": name, "stats": {col:
     [min, max]}}`` — per-file column stats travel IN the metadata (the
@@ -45,21 +57,41 @@ def commit(
     the reader projects every file through the committed schema, so data
     files written before an added column serve NULL for it, and a
     time-travel read of an older version sees the older schema. A commit
-    without ``schema`` leaves the schema unchanged."""
+    without ``schema`` leaves the schema unchanged.
+
+    Concurrency — optimistic, compare-and-swap (the Delta/Iceberg commit
+    protocol): the writer reads the current tip, stages the entry under a
+    WRITER-UNIQUE dot-tmp name (two racers must never share a staging
+    file), and claims the version with ``os.link`` — atomic
+    fail-if-exists on POSIX, unlike ``rename``, which silently REPLACES
+    an existing file (the pre-round-9 protocol: two racing writers both
+    computed the same version and the loser's commit vanished). The
+    loser re-reads the tip and retries against the next version, so
+    versions linearize, every writer's actions land exactly once, and no
+    torn state is ever visible: a crash before the link leaves only an
+    invisible dot-tmp; the link itself is all-or-nothing."""
     log = Path(table_dir) / LOG_DIR
     log.mkdir(parents=True, exist_ok=True)
-    version = len(list(log.glob("*.json")))
     actions = [
         {"op": "add", **(a if isinstance(a, dict) else {"file": a})} for a in adds
     ] + [{"op": "remove", "file": f} for f in removes]
-    entry: dict = {"version": version, "actions": actions}
-    if schema is not None:
-        entry["schema"] = schema
-    payload = json.dumps(entry, indent=1)
-    tmp = log / f".{version:05d}.json.tmp"
-    tmp.write_text(payload)
-    tmp.rename(log / f"{version:05d}.json")  # atomic publish
-    return version
+    for _ in range(COMMIT_MAX_RETRIES):
+        version = len(list(log.glob("*.json")))
+        entry: dict = {"version": version, "actions": actions}
+        if schema is not None:
+            entry["schema"] = schema
+        tmp = log / f".{version:05d}.{os.getpid()}.{uuid.uuid4().hex}.json.tmp"
+        tmp.write_text(json.dumps(entry, indent=1))
+        try:
+            os.link(tmp, log / f"{version:05d}.json")  # atomic CAS publish
+            return version
+        except FileExistsError:
+            continue  # lost the race — another writer landed this version
+        finally:
+            tmp.unlink(missing_ok=True)
+    raise CommitConflict(
+        f"could not claim a commit version after {COMMIT_MAX_RETRIES} attempts"
+    )
 
 
 def live_entries(table_dir: Path, version: int | None = None) -> list[dict]:

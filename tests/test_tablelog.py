@@ -42,7 +42,8 @@ def test_time_travel_reads_log_prefix(tmp_path):
 
 def test_commit_publish_is_atomic_rename(tmp_path):
     """No partially-visible commit: the log dir only ever contains fully
-    written .json files (tmp files are dot-prefixed and renamed)."""
+    written .json files (staging is dot-prefixed, published via
+    atomic link-and-unlink)."""
     commit(tmp_path, adds=["a.parquet"], removes=[])
     entries = list((tmp_path / "_log").iterdir())
     assert [e.name for e in entries] == ["00000.json"]
@@ -264,3 +265,114 @@ def test_gdpr_delete_is_noop_when_target_outside_domain(spark, tmp_path):
 
     problems = check_query(spark, str(d), "q_table_gdpr")
     assert not problems, "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# Concurrent writers — optimistic CAS commit protocol (VERDICT r8 #5).
+# The pre-round-9 protocol published with rename(), which REPLACES an
+# existing target on POSIX: two writers reading the same tip both landed
+# "their" version and the loser's commit silently vanished. The CAS
+# protocol claims a version with os.link (atomic fail-if-exists); the
+# loser re-reads the tip and retries, so versions linearize and every
+# writer's actions land exactly once.
+# ---------------------------------------------------------------------------
+
+
+def test_cas_loser_retries_and_lands_at_next_version(tmp_path, monkeypatch):
+    """Deterministic injected race: a concurrent winner lands version 0
+    between this writer's tip-read and its link. The loser must NOT
+    clobber the winner, must re-serialize its entry against the new tip
+    (the recorded "version" field moves too), and lands at version 1."""
+    import os as _os
+    from pathlib import Path as _Path
+
+    import kinesis_test_spark.sources.tablelog as TL
+
+    real_link = _os.link
+    state = {"raced": False}
+
+    def racy_link(src, dst):
+        if not state["raced"]:
+            state["raced"] = True
+            _Path(dst).write_text(
+                json.dumps(
+                    {
+                        "version": 0,
+                        "actions": [{"op": "add", "file": "winner.parquet"}],
+                    }
+                )
+            )
+        return real_link(src, dst)
+
+    monkeypatch.setattr(TL.os, "link", racy_link)
+    v = commit(tmp_path, adds=["loser.parquet"], removes=[])
+    assert state["raced"]
+    assert v == 1
+    # winner untouched, loser re-serialized at its landed version
+    log = tmp_path / "_log"
+    assert json.loads((log / "00000.json").read_text())["actions"] == [
+        {"op": "add", "file": "winner.parquet"}
+    ]
+    assert json.loads((log / "00001.json").read_text())["version"] == 1
+    assert sorted(f.rsplit("/", 1)[-1] for f in live_files(tmp_path)) == [
+        "loser.parquet",
+        "winner.parquet",
+    ]
+
+
+def _hammer(args):
+    """One writer process: land n commits, return the versions claimed."""
+    table_dir, writer, n = args
+    from pathlib import Path
+
+    from kinesis_test_spark.sources.tablelog import commit as _commit
+
+    return [
+        _commit(Path(table_dir), adds=[f"w{writer}_c{i}.parquet"], removes=[])
+        for i in range(n)
+    ]
+
+
+def test_three_way_writer_race_linearizes(tmp_path):
+    """3 writer PROCESSES x 15 commits against one table: all 45 commits
+    land, versions are 0..44 contiguous with no gaps or double-claims,
+    each writer's versions strictly increase, and the live set holds
+    every writer's every file — no lost rows."""
+    import multiprocessing as mp
+
+    with mp.get_context("spawn").Pool(3) as pool:
+        results = pool.map(_hammer, [(str(tmp_path), w, 15) for w in range(3)])
+    all_versions = sorted(v for versions in results for v in versions)
+    assert all_versions == list(range(45))
+    for versions in results:
+        assert versions == sorted(versions)
+    live = sorted(f.rsplit("/", 1)[-1] for f in live_files(tmp_path))
+    assert live == sorted(
+        f"w{w}_c{i}.parquet" for w in range(3) for i in range(15)
+    )
+    # on-disk log is exactly the 45 numbered commits — no stray tmps
+    names = sorted(p.name for p in (tmp_path / "_log").iterdir())
+    assert names == [f"{v:05d}.json" for v in range(45)]
+    # each entry's recorded version matches its file name (re-serialized
+    # on every retry, never stale)
+    for name in names:
+        entry = json.loads((tmp_path / "_log" / name).read_text())
+        assert entry["version"] == int(name.split(".")[0])
+
+
+def test_torn_writer_tmp_is_invisible_and_nonblocking(tmp_path):
+    """A writer that dies before its link leaves only a dot-tmp: readers
+    must not see it and the next writer must claim the version the dead
+    writer was aiming at."""
+    commit(tmp_path, adds=["a.parquet"], removes=[])
+    log = tmp_path / "_log"
+    (log / ".00001.9999.deadbeef.json.tmp").write_text(
+        json.dumps({"version": 1, "actions": [{"op": "add", "file": "torn.parquet"}]})
+    )
+    assert [f.rsplit("/", 1)[-1] for f in live_files(tmp_path)] == ["a.parquet"]
+    v = commit(tmp_path, adds=["b.parquet"], removes=[])
+    assert v == 1
+    assert sorted(f.rsplit("/", 1)[-1] for f in live_files(tmp_path)) == [
+        "a.parquet",
+        "b.parquet",
+    ]
