@@ -407,9 +407,13 @@ def q_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_rolling_median",
     oracle="""
 SELECT event_id, user_id,
+       -- + 0.0 normalizes IEEE negative zero (edge_negzero): DuckDB's
+       -- quantile_cont returns the -0.0 ELEMENT where Spark's percentile
+       -- interpolation arithmetic ((1-g)*a + g*b) emits +0.0; the
+       -- identity is exact for every other value and keeps NULL NULL
        ROUND(quantile_cont(fv, 0.5) OVER (
          PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
-         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_med
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) + 0.0 AS roll_med
 FROM (SELECT event_id, user_id, ts,
              CASE WHEN abs(value) < 1.0e12
                   THEN value END AS fv
@@ -435,7 +439,10 @@ def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.expr("percentile(fv, 0.5)").over(w), 6).alias("roll_med"),
+        # + 0.0: computed-zero sign normalization (see oracle comment)
+        (F.round(F.expr("percentile(fv, 0.5)").over(w), 6) + F.lit(0.0)).alias(
+            "roll_med"
+        ),
     )
 
 

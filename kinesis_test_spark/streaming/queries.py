@@ -1442,8 +1442,20 @@ def ttl_session_stream(stream: DataFrame, ignore_after_ms: int | None = None) ->
                 lease, n = lease + 1, 0
             if n == 0:
                 first_ms = t
+                last_ms = t
+            else:
+                # Late-but-within-watermark arrivals (tests/test_edge_late):
+                # a later BATCH can carry a row older than the open
+                # session's tail (rows are sorted within a batch, not
+                # across batches). The merge must be order-robust — an
+                # unconditional `last_ms = t` REGRESSED the tail, which
+                # re-armed the event-time timeout early (premature expiry)
+                # and emitted a truncated session; the head symmetrically
+                # clamps to the true minimum. Ordered input is unaffected
+                # (t >= last_ms makes max/min the identity).
+                first_ms = min(first_ms, t)
+                last_ms = max(last_ms, t)
             n += 1
-            last_ms = t
         state.update((lease, n, first_ms, last_ms))
         # +1 so an event landing exactly at last + TTL still joins the lease
         state.setTimeoutTimestamp(last_ms + TTL_MS + 1)
