@@ -151,14 +151,18 @@ SELECT l_orderkey, l_linenumber,
        abs(l_discount - 0.05) AS disc_dev,
        CAST(ceil(fqty) AS BIGINT) AS qty_ceil,
        CAST(floor(fqty) AS BIGINT) AS qty_floor,
-       -- ln's domain stated explicitly (edge_negzero): DuckDB RAISES on
-       -- ln(0) — and a planted -0.0 passes every "negative" guard since
-       -- -0.0 > 0 is FALSE but so is -0.0 < 0 — where Spark's log yields
-       -- NULL for the whole x <= 0 half-line. sqrt(-0.0) is -0.0 in IEEE
-       -- on both engines; + 0.0 normalizes the computed-zero sign.
+       -- math domains stated explicitly (edge_negzero): DuckDB RAISES on
+       -- ln(0) and on sqrt(negative) — and a planted -0.0 passes every
+       -- sign-based guard since -0.0 > 0 and -0.0 < 0 are both FALSE —
+       -- where Spark's log NULLs the whole x <= 0 half-line and sqrt
+       -- yields NaN. Guards: ln over x > 0, sqrt over x >= 0 (admits
+       -- -0.0: Spark sqrt(-0.0) = -0.0 but DuckDB returns +0.0, so the
+       -- + 0.0 computed-zero normalization reconciles them; NaN >= 0 is
+       -- TRUE on both engines — NaN stays raw through sqrt as before).
        ROUND(CASE WHEN l_extendedprice > 0 THEN ln(l_extendedprice) END, 6)
          AS log_price,
-       ROUND(sqrt(l_quantity), 6) + 0.0 AS qty_sqrt,
+       ROUND(CASE WHEN l_quantity >= 0 THEN sqrt(l_quantity) END, 6) + 0.0
+         AS qty_sqrt,
        l_orderkey % 7 AS key_mod,
        greatest(l_discount, l_tax) AS max_rate,
        least(l_discount, l_tax) AS min_rate,
@@ -188,11 +192,14 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.ceil(finite("l_quantity")).alias("qty_ceil"),
         F.floor(finite("l_quantity")).alias("qty_floor"),
-        # explicit ln domain + computed-zero sign normalization (see oracle)
+        # explicit ln/sqrt domains + computed-zero normalization (see oracle)
         F.round(
             F.when(F.col("l_extendedprice") > 0, F.log("l_extendedprice")), 6
         ).alias("log_price"),
-        (F.round(F.sqrt("l_quantity"), 6) + F.lit(0.0)).alias("qty_sqrt"),
+        (
+            F.round(F.when(F.col("l_quantity") >= 0, F.sqrt("l_quantity")), 6)
+            + F.lit(0.0)
+        ).alias("qty_sqrt"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
         F.greatest("l_discount", "l_tax").alias("max_rate"),
         F.least("l_discount", "l_tax").alias("min_rate"),

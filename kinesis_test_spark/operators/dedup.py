@@ -39,7 +39,7 @@ from kinesis_test_spark.functions.porthash import (
 from kinesis_test_spark.iterate import truncate_lineage
 from kinesis_test_spark.operators.similarity import vec_valid
 from kinesis_test_spark.registry import query
-from kinesis_test_spark.sources import t, unique_docs
+from kinesis_test_spark.sources import SQL_UNIQUE_DOCS, t, unique_docs
 
 N_SEEDS = 8
 N_BANDS = 4  # rows-per-band = 2
@@ -1609,9 +1609,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # algorithm is width-independent.
 SUBSTR_W = 15
 
-_SUBSTR_UNIQ = (
-    "(SELECT DISTINCT doc_id, text FROM documents WHERE doc_id IS NOT NULL)"
-)
+# the ONE oracle mirror of sources.unique_docs (its docstring's
+# column-list maintenance rule only works with a single mirror)
+_SUBSTR_UNIQ = SQL_UNIQUE_DOCS
 
 
 @query(

@@ -23,15 +23,19 @@ from __future__ import annotations
 
 import json
 import os
+import random
+import time
 import uuid
 from pathlib import Path
 
 LOG_DIR = "_log"
 
-# Bound on CAS retries under writer contention. Each loss means another
-# writer LANDED a commit, so N writers racing need at most N-1 retries
-# each; the bound exists only to turn a filesystem that lies about
-# link(2) exclusivity into a loud error instead of a livelock.
+# Bound on CAS retries under writer contention. Each loss means SOME
+# commit landed (any writer — a tight committer loop can win many rounds
+# in a row, so the bound is NOT writers-1); jittered backoff below makes
+# repeated losses progressively unlikely, and the bound turns a
+# filesystem that lies about link(2) exclusivity — or pathological
+# starvation — into a loud CommitConflict instead of a livelock.
 COMMIT_MAX_RETRIES = 64
 
 
@@ -44,6 +48,7 @@ def commit(
     adds: list,
     removes: list[str],
     schema: list[list[str]] | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Append the next commit; returns the version number it LANDED at.
 
@@ -69,29 +74,56 @@ def commit(
     loser re-reads the tip and retries against the next version, so
     versions linearize, every writer's actions land exactly once, and no
     torn state is ever visible: a crash before the link leaves only an
-    invisible dot-tmp; the link itself is all-or-nothing."""
+    invisible dot-tmp; the link itself is all-or-nothing.
+
+    ``meta``: free-form writer metadata recorded IN the entry (e.g. a
+    streaming sink's ``{"batch_id": n}``). Under concurrent writers a
+    commit's VERSION is decided by the race, so idempotence must never
+    be inferred from version numbers — replay detection reads the log
+    for the metadata (``batch_committed``), not the file name."""
     log = Path(table_dir) / LOG_DIR
     log.mkdir(parents=True, exist_ok=True)
     actions = [
         {"op": "add", **(a if isinstance(a, dict) else {"file": a})} for a in adds
     ] + [{"op": "remove", "file": f} for f in removes]
-    for _ in range(COMMIT_MAX_RETRIES):
+    for attempt in range(COMMIT_MAX_RETRIES):
         version = len(list(log.glob("*.json")))
         entry: dict = {"version": version, "actions": actions}
         if schema is not None:
             entry["schema"] = schema
+        if meta is not None:
+            entry["meta"] = meta
         tmp = log / f".{version:05d}.{os.getpid()}.{uuid.uuid4().hex}.json.tmp"
         tmp.write_text(json.dumps(entry, indent=1))
         try:
             os.link(tmp, log / f"{version:05d}.json")  # atomic CAS publish
             return version
         except FileExistsError:
-            continue  # lost the race — another writer landed this version
+            # Lost the race — another commit (any writer, including a
+            # faster loop of one neighbor) landed this version. Jittered
+            # backoff breaks the lockstep where one writer loses every
+            # round to a tight committer loop; without it the retry bound
+            # is a liveness ceiling, not just a fail-fast on a broken fs.
+            time.sleep(random.uniform(0, min(0.05, 0.002 * (attempt + 1))))
+            continue
         finally:
             tmp.unlink(missing_ok=True)
     raise CommitConflict(
         f"could not claim a commit version after {COMMIT_MAX_RETRIES} attempts"
     )
+
+
+def batch_committed(table_dir: Path, batch_id: int) -> bool:
+    """True iff some commit in the log records ``meta.batch_id ==
+    batch_id`` — the replay-detection primitive for exactly-once
+    streaming sinks. O(log) driver-side metadata scan, same cost class
+    as ``live_entries``."""
+    log = Path(table_dir) / LOG_DIR
+    for path in sorted(log.glob("*.json")):
+        entry = json.loads(path.read_text())
+        if entry.get("meta", {}).get("batch_id") == batch_id:
+            return True
+    return False
 
 
 def live_entries(table_dir: Path, version: int | None = None) -> list[dict]:

@@ -1132,13 +1132,19 @@ def s_table_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sink INTO the commit-log table format (sources/
     tablelog.py): each micro-batch lands one data file then publishes one
     commit — so concurrent readers only ever see whole batches, and a
-    retried batch is IDEMPOTENT (the commit is named by batch id; a replay
-    sees it already published and lands nothing twice — the exactly-once
-    contract foreachBatch asks the sink to provide). Four rate-limited
-    batches; the final snapshot read must equal the batch truth."""
+    retried batch is IDEMPOTENT (the batch id is recorded in the commit's
+    METADATA and replay detection reads the log for it — never inferred
+    from the version file name, which under the CAS protocol belongs to
+    whichever writer won that version — the exactly-once contract
+    foreachBatch asks the sink to provide). Four rate-limited batches;
+    the final snapshot read must equal the batch truth."""
     import shutil
 
-    from kinesis_test_spark.sources.tablelog import LOG_DIR, commit, live_files
+    from kinesis_test_spark.sources.tablelog import (
+        batch_committed,
+        commit,
+        live_files,
+    )
 
     d = scratch_dir("s_table_stream")
     stage, cp, table = d / "src", d / "cp", d / "table"
@@ -1147,9 +1153,7 @@ def s_table_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage_events(spark, sf_dir, stage, f"slice_{i}", where=mod_slice(4, i))
 
     def land(batch_df, batch_id):
-        log = table / LOG_DIR
-        marker = log / f"{batch_id:05d}.json"
-        if marker.exists():  # replayed batch: already committed, skip
+        if batch_committed(table, batch_id):  # replayed batch: skip
             return
         name = f"batch_{batch_id}.parquet"
         tmp = table / f"_tmp_{batch_id}"
@@ -1159,7 +1163,7 @@ def s_table_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = next(tmp.glob("part-*.parquet"))
         part.rename(table / name)
         shutil.rmtree(tmp)
-        commit(table, adds=[name], removes=[])
+        commit(table, adds=[name], removes=[], meta={"batch_id": batch_id})
 
     q = (
         read_staged_stream(spark, sf_dir, stage, maxFilesPerTrigger="1")

@@ -39,6 +39,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+from edge_rig import append_events
 from kinesis_test_spark.oracle import check_query
 
 SF_SRC = "/root/testdata/sf0.001"
@@ -58,7 +59,6 @@ def plant_constant(src: str, dest: Path) -> None:
     for f in Path(src).glob("*.parquet"):
         shutil.copy(f, dest / f.name)
 
-    ev = pq.read_table(dest / "events.parquet")
     base_us = 1704067200 * 10**6  # 2024-01-01 00:00:00 UTC
     types = ["click", "view", "purchase", "signup", "error"]
     rows = {
@@ -106,27 +106,8 @@ def plant_constant(src: str, dest: Path) -> None:
         rows["event_type"].append("heartbeat")
         rows["value"].append(9.9)
         rows["props"].append('{"k": 4}')
-    # encoding-adaptive like the sibling corpora: the fixture's ts has
-    # shipped as TIMESTAMP(MICROS, NTZ), TIMESTAMP(NANOS) and
-    # nanos-as-int64 across regenerations (CLAUDE.md gotcha) — plant in
-    # whatever the scanned schema carries
-    ts_type = ev.schema.field("ts").type
-    if pa.types.is_integer(ts_type):
-        ts_arr = pa.array([v * 1000 for v in rows["ts"]], type=ts_type)
-    else:
-        ts_arr = pa.array(rows["ts"], type=pa.timestamp("us")).cast(ts_type)
-    const_ev = pa.table(
-        {
-            "event_id": pa.array(rows["event_id"], type=pa.int64()),
-            "ts": ts_arr,
-            "user_id": pa.array(rows["user_id"], type=pa.int64()),
-            "event_type": rows["event_type"],
-            "value": pa.array(rows["value"], type=pa.float64()),
-            "props": rows["props"],
-        },
-        schema=ev.schema,
-    )
-    pq.write_table(pa.concat_tables([ev, const_ev]), dest / "events.parquet")
+    # encoding-adaptive staging: ONE copy in tests/edge_rig.append_events
+    append_events(dest, rows)
 
     emb = pq.read_table(dest / "embeddings.parquet")
     dim = len(emb["embedding"][0])

@@ -30,12 +30,11 @@ import uuid
 from datetime import datetime, timedelta
 from pathlib import Path
 
-import pyarrow as pa
-import pyarrow.parquet as pq
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from edge_rig import append_events
 from kinesis_test_spark.streaming.pipeline import (
     events_schema,
     read_staged_stream,
@@ -58,7 +57,6 @@ def plant_late(src: str, dest: Path) -> None:
     for f in Path(src).glob("*.parquet"):
         shutil.copy(f, dest / f.name)
 
-    ev = pq.read_table(dest / "events.parquet")
     types = ["click", "view", "purchase", "signup", "error"]
     rows = {k: [] for k in ("event_id", "ts", "user_id", "event_type", "value", "props")}
 
@@ -82,23 +80,7 @@ def plant_late(src: str, dest: Path) -> None:
         add(5100 + i, _JAN1_US + (14 * 24 + i) * 3_600_000_000, 7 + (i % 3),
             types[(i + 1) % 5], 0.25 * i)
 
-    ts_type = ev.schema.field("ts").type
-    if pa.types.is_integer(ts_type):
-        ts_arr = pa.array([v * 1000 for v in rows["ts"]], type=ts_type)
-    else:
-        ts_arr = pa.array(rows["ts"], type=pa.timestamp("us")).cast(ts_type)
-    extra = pa.table(
-        {
-            "event_id": pa.array(rows["event_id"], type=pa.int64()),
-            "ts": ts_arr,
-            "user_id": pa.array(rows["user_id"], type=pa.int64()),
-            "event_type": rows["event_type"],
-            "value": pa.array(rows["value"], type=pa.float64()),
-            "props": rows["props"],
-        },
-        schema=ev.schema,
-    )
-    pq.write_table(pa.concat_tables([ev, extra]), dest / "events.parquet")
+    append_events(dest, rows)
 
 
 # --- corpus pins (representative multi-batch rigs; the full surface is

@@ -34,6 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+from edge_rig import append_events
 from kinesis_test_spark.oracle import check_query
 
 SF_SRC = "/root/testdata/sf0.001"
@@ -46,7 +47,6 @@ def plant_negzero(src: str, dest: Path) -> None:
     for f in Path(src).glob("*.parquet"):
         shutil.copy(f, dest / f.name)
 
-    ev = pq.read_table(dest / "events.parquet")
     types = ["click", "view", "purchase", "signup", "error"]
     rows = {k: [] for k in ("event_id", "ts", "user_id", "event_type", "value", "props")}
 
@@ -69,25 +69,12 @@ def plant_negzero(src: str, dest: Path) -> None:
         add(6100 + i, _JAN1_US + (5 * 24 + i) * 3_600_000_000, 61,
             types[(i + 1) % 5], v)
 
-    ts_type = ev.schema.field("ts").type
-    if pa.types.is_integer(ts_type):
-        ts_arr = pa.array([v * 1000 for v in rows["ts"]], type=ts_type)
-    else:
-        ts_arr = pa.array(rows["ts"], type=pa.timestamp("us")).cast(ts_type)
-    extra = pa.table(
-        {
-            "event_id": pa.array(rows["event_id"], type=pa.int64()),
-            "ts": ts_arr,
-            "user_id": pa.array(rows["user_id"], type=pa.int64()),
-            "event_type": rows["event_type"],
-            "value": pa.array(rows["value"], type=pa.float64()),
-            "props": rows["props"],
-        },
-        schema=ev.schema,
-    )
-    pq.write_table(pa.concat_tables([ev, extra]), dest / "events.parquet")
+    append_events(dest, rows)
 
-    # lineitem: -0.0 in the monetary doubles of a few rows
+    # lineitem: -0.0 in the monetary doubles of a few rows, plus genuinely
+    # NEGATIVE quantity/price (rows 6-7) — the sqrt/ln domain edge where
+    # DuckDB RAISES (OutOfRange) and Spark yields NaN/NULL; both guards
+    # must state the domain on BOTH sides (q_fn_math)
     li = pq.read_table(dest / "lineitem.parquet")
     n = li.num_rows
     cols = {}
@@ -97,6 +84,9 @@ def plant_negzero(src: str, dest: Path) -> None:
             vals = arr.to_pylist()
             for j in range(0, min(6, n)):
                 vals[j] = -0.0
+            if n > 7:
+                vals[6] = -4.0 if field.name == "l_quantity" else vals[6]
+                vals[7] = -100.0 if field.name == "l_extendedprice" else vals[7]
             cols[field.name] = pa.array(vals, type=field.type)
         else:
             cols[field.name] = arr

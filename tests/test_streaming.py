@@ -151,7 +151,11 @@ def test_tablelog_sink_crash_mid_batch_exactly_once(spark, sf_dir):
 
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
-    from kinesis_test_spark.sources.tablelog import LOG_DIR, commit, live_files
+    from kinesis_test_spark.sources.tablelog import (
+        batch_committed,
+        commit,
+        live_files,
+    )
     from kinesis_test_spark.streaming.pipeline import (
         mod_slice,
         read_staged_stream,
@@ -166,9 +170,10 @@ def test_tablelog_sink_crash_mid_batch_exactly_once(spark, sf_dir):
         stage_events(spark, sf_dir, stage, f"slice_{i}", where=mod_slice(4, i))
 
     def land(batch_df, batch_id, crash_on=None):
-        log = table / LOG_DIR
-        if (log / f"{batch_id:05d}.json").exists():
-            return  # replayed batch: already committed, skip
+        # replay detection via commit METADATA, never the version file
+        # name (a concurrent writer may own that version under CAS)
+        if batch_committed(table, batch_id):
+            return
         name = f"batch_{batch_id}.parquet"
         tmp = table / f"_tmp_{batch_id}"
         batch_df.select("event_id", "user_id", "event_type", "value").coalesce(
@@ -178,7 +183,7 @@ def test_tablelog_sink_crash_mid_batch_exactly_once(spark, sf_dir):
         shutil.rmtree(tmp)
         if batch_id == crash_on:
             raise RuntimeError("injected crash: data file landed, commit not published")
-        commit(table, adds=[name], removes=[])
+        commit(table, adds=[name], removes=[], meta={"batch_id": batch_id})
 
     def run(sink):
         q = (

@@ -376,3 +376,21 @@ def test_torn_writer_tmp_is_invisible_and_nonblocking(tmp_path):
         "a.parquet",
         "b.parquet",
     ]
+
+
+def test_batch_idempotence_survives_interleaved_foreign_commits(tmp_path):
+    """Exactly-once replay detection must key on commit METADATA, not the
+    version file name: under the CAS protocol a foreign writer
+    (compaction, a second sink) can own the version number a batch id
+    would map to — filename inference would then skip a never-landed
+    batch (data loss) or re-land a committed one."""
+    from kinesis_test_spark.sources.tablelog import batch_committed
+
+    commit(tmp_path, adds=["batch_0.parquet"], removes=[], meta={"batch_id": 0})
+    commit(tmp_path, adds=["foreign.parquet"], removes=[])  # takes version 1
+    # batch 1 has NOT landed even though 00001.json exists
+    assert not batch_committed(tmp_path, 1)
+    commit(tmp_path, adds=["batch_1.parquet"], removes=[], meta={"batch_id": 1})
+    assert batch_committed(tmp_path, 1)
+    assert batch_committed(tmp_path, 0)
+    assert not batch_committed(tmp_path, 2)
