@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "q_dedup_paragraph", # segment-hash index + regroup (round 6)
     "q_text_entropy",    # (doc,word) agg + windowed reduction (round 6)
     "q_mm_png_roundtrip",  # real-codec mapInPandas throughput (round 6)
+    "q_dedup_substring", # sliding window-hash exact-overlap spans (round 9)
     "s_ingest",          # streaming drain throughput
     "s_sink_partitioned",# partitioned JSON sink end-to-end
 ]

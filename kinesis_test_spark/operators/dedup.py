@@ -1680,7 +1680,11 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = (
-        unique_docs(spark, sf_dir, cols=["doc_id", "text"])
+        # partitions=32: the explode+md5 is the CPU-heavy hot map and the
+        # single-row-group test fixture would hand it ONE scan task
+        # (CLAUDE.md gotcha); at scale the repartition is the same
+        # doc_id exchange the identity dedup needs anyway
+        unique_docs(spark, sf_dir, cols=["doc_id", "text"], partitions=32)
         .select("doc_id", F.split("text", " ").alias("w"))
         .where(F.size("w") >= SUBSTR_W)
     )
@@ -1694,10 +1698,14 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("x"),
     ).select("doc_id", F.col("x.i").alias("i"), F.col("x.h").alias("h"))
-    hdf = wins.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
-    m = wins.join(hdf, "h").select(
-        "doc_id", "i", (F.col("nd") >= 2).alias("dup")
+    # "appears in >=2 distinct docs" == min(doc_id) != max(doc_id) for the
+    # NON-NULL ids unique_docs guarantees — one plain aggregate instead of
+    # countDistinct's expand + double aggregation (oracle keeps the
+    # semantic COUNT(DISTINCT) form; both compute the same predicate)
+    hdf = wins.groupBy("h").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("dup")
     )
+    m = wins.join(hdf, "h").select("doc_id", "i", "dup")
     # Single linear pipeline (no branch consuming `m` twice — a branch
     # re-derives the explode+md5 from the scan on every arm): islands via
     # i - cumulative-dup-count (equal, on dup rows, to i - row_number
