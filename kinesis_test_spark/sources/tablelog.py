@@ -113,15 +113,26 @@ def commit(
     )
 
 
-def batch_committed(table_dir: Path, batch_id: int) -> bool:
-    """True iff some commit in the log records ``meta.batch_id ==
-    batch_id`` — the replay-detection primitive for exactly-once
-    streaming sinks. O(log) driver-side metadata scan, same cost class
-    as ``live_entries``."""
+def batch_committed(table_dir: Path, batch_id: int, sink: str) -> bool:
+    """True iff some commit in the log records this ``(sink, batch_id)``
+    — the replay-detection primitive for exactly-once streaming sinks.
+
+    ``sink`` namespaces the batch counter: batch ids are PER QUERY (two
+    sinks writing one table both start at 0, and a wiped checkpoint
+    restarts the count), so a bare batch_id collides across writers and
+    would skip a never-landed batch. Use a stable per-query identity —
+    the checkpoint path is the natural one (same query ⇒ same
+    checkpoint; a NEW checkpoint is a new logical query and must be a
+    new sink identity).
+
+    Scanned newest-first with early exit — a replay is almost always the
+    most recent commit; the miss case still reads the whole log (the
+    same driver-side metadata replay the real table formats do)."""
     log = Path(table_dir) / LOG_DIR
-    for path in sorted(log.glob("*.json")):
+    for path in sorted(log.glob("*.json"), reverse=True):
         entry = json.loads(path.read_text())
-        if entry.get("meta", {}).get("batch_id") == batch_id:
+        meta = entry.get("meta", {})
+        if meta.get("batch_id") == batch_id and meta.get("sink") == sink:
             return True
     return False
 

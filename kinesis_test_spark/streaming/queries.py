@@ -1152,18 +1152,30 @@ def s_table_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(4):
         stage_events(spark, sf_dir, stage, f"slice_{i}", where=mod_slice(4, i))
 
+    # sink identity = checkpoint path: batch ids are per QUERY, so replay
+    # detection must never match another sink's (or a wiped-checkpoint
+    # successor's) counter — see tablelog.batch_committed
+    sink_id = str(cp)
+
     def land(batch_df, batch_id):
-        if batch_committed(table, batch_id):  # replayed batch: skip
+        if batch_committed(table, batch_id, sink=sink_id):  # replay: skip
             return
         name = f"batch_{batch_id}.parquet"
         tmp = table / f"_tmp_{batch_id}"
+        # mode("overwrite") also clears a half-written tmp a crash left
+        # behind — errorifexists would turn recovery into a crash loop
         batch_df.select("event_id", "user_id", "event_type", "value").coalesce(
             1
         ).write.mode("overwrite").parquet(str(tmp))
         part = next(tmp.glob("part-*.parquet"))
-        part.rename(table / name)
+        part.replace(table / name)
         shutil.rmtree(tmp)
-        commit(table, adds=[name], removes=[], meta={"batch_id": batch_id})
+        commit(
+            table,
+            adds=[name],
+            removes=[],
+            meta={"batch_id": batch_id, "sink": sink_id},
+        )
 
     q = (
         read_staged_stream(spark, sf_dir, stage, maxFilesPerTrigger="1")

@@ -28,7 +28,11 @@ def append_events(dest: Path, rows: dict) -> None:
     ev = pq.read_table(dest / "events.parquet")
     ts_type = ev.schema.field("ts").type
     if pa.types.is_integer(ts_type):
-        ts_arr = pa.array([v * 1000 for v in rows["ts"]], type=ts_type)
+        # None-safe: the NULL-ts corpus class stages through here too
+        ts_arr = pa.array(
+            [v * 1000 if v is not None else None for v in rows["ts"]],
+            type=ts_type,
+        )
     else:
         ts_arr = pa.array(rows["ts"], type=pa.timestamp("us")).cast(ts_type)
     extra = pa.table(

@@ -34,7 +34,7 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from edge_rig import append_events
+from edge_rig import EVENT_COLS, append_events
 from kinesis_test_spark.streaming.pipeline import (
     events_schema,
     read_staged_stream,
@@ -58,7 +58,7 @@ def plant_late(src: str, dest: Path) -> None:
         shutil.copy(f, dest / f.name)
 
     types = ["click", "view", "purchase", "signup", "error"]
-    rows = {k: [] for k in ("event_id", "ts", "user_id", "event_type", "value", "props")}
+    rows = {k: [] for k in EVENT_COLS}
 
     def add(eid, ts_us, uid, etype, value, props='{"k": 1}'):
         rows["event_id"].append(eid)

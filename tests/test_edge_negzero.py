@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from edge_rig import append_events
+from edge_rig import EVENT_COLS, append_events
 from kinesis_test_spark.oracle import check_query
 
 SF_SRC = "/root/testdata/sf0.001"
@@ -48,7 +48,7 @@ def plant_negzero(src: str, dest: Path) -> None:
         shutil.copy(f, dest / f.name)
 
     types = ["click", "view", "purchase", "signup", "error"]
-    rows = {k: [] for k in ("event_id", "ts", "user_id", "event_type", "value", "props")}
+    rows = {k: [] for k in EVENT_COLS}
 
     def add(eid, ts_us, uid, etype, value):
         rows["event_id"].append(eid)

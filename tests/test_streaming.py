@@ -169,10 +169,12 @@ def test_tablelog_sink_crash_mid_batch_exactly_once(spark, sf_dir):
     for i in range(4):
         stage_events(spark, sf_dir, stage, f"slice_{i}", where=mod_slice(4, i))
 
+    sink_id = str(cp)  # per-query identity namespaces the batch counter
+
     def land(batch_df, batch_id, crash_on=None):
         # replay detection via commit METADATA, never the version file
         # name (a concurrent writer may own that version under CAS)
-        if batch_committed(table, batch_id):
+        if batch_committed(table, batch_id, sink=sink_id):
             return
         name = f"batch_{batch_id}.parquet"
         tmp = table / f"_tmp_{batch_id}"
@@ -183,7 +185,12 @@ def test_tablelog_sink_crash_mid_batch_exactly_once(spark, sf_dir):
         shutil.rmtree(tmp)
         if batch_id == crash_on:
             raise RuntimeError("injected crash: data file landed, commit not published")
-        commit(table, adds=[name], removes=[], meta={"batch_id": batch_id})
+        commit(
+            table,
+            adds=[name],
+            removes=[],
+            meta={"batch_id": batch_id, "sink": sink_id},
+        )
 
     def run(sink):
         q = (

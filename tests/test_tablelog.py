@@ -386,11 +386,33 @@ def test_batch_idempotence_survives_interleaved_foreign_commits(tmp_path):
     batch (data loss) or re-land a committed one."""
     from kinesis_test_spark.sources.tablelog import batch_committed
 
-    commit(tmp_path, adds=["batch_0.parquet"], removes=[], meta={"batch_id": 0})
+    A = "cp://sink-a"
+    commit(tmp_path, adds=["batch_0.parquet"], removes=[],
+           meta={"batch_id": 0, "sink": A})
     commit(tmp_path, adds=["foreign.parquet"], removes=[])  # takes version 1
     # batch 1 has NOT landed even though 00001.json exists
-    assert not batch_committed(tmp_path, 1)
-    commit(tmp_path, adds=["batch_1.parquet"], removes=[], meta={"batch_id": 1})
-    assert batch_committed(tmp_path, 1)
-    assert batch_committed(tmp_path, 0)
-    assert not batch_committed(tmp_path, 2)
+    assert not batch_committed(tmp_path, 1, sink=A)
+    commit(tmp_path, adds=["batch_1.parquet"], removes=[],
+           meta={"batch_id": 1, "sink": A})
+    assert batch_committed(tmp_path, 1, sink=A)
+    assert batch_committed(tmp_path, 0, sink=A)
+    assert not batch_committed(tmp_path, 2, sink=A)
+
+
+def test_batch_idempotence_is_per_sink(tmp_path):
+    """Batch ids are per QUERY: a second sink writing the same table (or
+    a wiped-checkpoint successor) restarts its counter at 0 — its batch 0
+    must NOT be mistaken for the first sink's batch 0 (that skip would be
+    silent data loss), while its own replays still detect."""
+    from kinesis_test_spark.sources.tablelog import batch_committed
+
+    A, B = "cp://sink-a", "cp://sink-b"
+    commit(tmp_path, adds=["a0.parquet"], removes=[],
+           meta={"batch_id": 0, "sink": A})
+    assert not batch_committed(tmp_path, 0, sink=B)  # B's batch 0 unlanded
+    commit(tmp_path, adds=["b0.parquet"], removes=[],
+           meta={"batch_id": 0, "sink": B})
+    assert batch_committed(tmp_path, 0, sink=B)
+    assert batch_committed(tmp_path, 0, sink=A)
+    live = sorted(f.rsplit("/", 1)[-1] for f in live_files(tmp_path))
+    assert live == ["a0.parquet", "b0.parquet"]
