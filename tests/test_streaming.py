@@ -739,3 +739,95 @@ def test_events_stream_reads_directory_layout(spark, sf_dir):
     n_stream = spark.table("dir_layout_n").collect()[0].n
     n_batch = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert n_stream == n_batch, (n_stream, n_batch)
+
+
+def test_two_streaming_sinks_one_table_concurrently(spark, sf_dir):
+    """END-TO-END dual-writer: two streaming queries (own sources, own
+    checkpoints, own batch counters) land into ONE tablelog table at the
+    same time — the scenario the round-9 CAS commit protocol and
+    per-sink batch metadata exist for. Asserts: every source row lands
+    exactly once (union equality), the log linearizes (contiguous
+    versions, each entry's recorded version matches its file name), and
+    neither sink's replay detection tripped on the other's batch ids
+    (both write a batch 0)."""
+    import json as _json
+    import shutil
+    import time
+
+    from kinesis_test_spark.sources.tablelog import (
+        LOG_DIR,
+        batch_committed,
+        commit,
+        live_files,
+    )
+    from kinesis_test_spark.streaming.pipeline import (
+        mod_slice,
+        read_staged_stream,
+        scratch_dir,
+        stage_events,
+    )
+
+    d = scratch_dir("tablelog_dual")
+    table = d / "table"
+    table.mkdir(parents=True)
+
+    def mk_sink(tag: str, n_slices: int, half: int):
+        stage, cp = d / f"src_{tag}", d / f"cp_{tag}"
+        # each sink streams ITS user-half of events, staged as 2 files
+        # split by event-id parity (NULL ids ride slice 0 via coalesce)
+        for i in range(2):
+            stage_events(
+                spark, sf_dir, stage, f"s{i}",
+                where=f"({mod_slice(2, half)})"
+                f" AND pmod(coalesce(event_id, 0), 2) = {i}",
+            )
+        sink_id = str(cp)
+
+        def land(batch_df, batch_id):
+            if batch_committed(table, batch_id, sink=sink_id):
+                return
+            name = f"{tag}_b{batch_id}.parquet"
+            tmp = table / f"_tmp_{tag}_{batch_id}"
+            batch_df.select("event_id", "user_id").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(tmp))
+            next(tmp.glob("part-*.parquet")).replace(table / name)
+            shutil.rmtree(tmp)
+            commit(table, adds=[name], removes=[],
+                   meta={"batch_id": batch_id, "sink": sink_id})
+
+        q = (
+            read_staged_stream(spark, sf_dir, stage, maxFilesPerTrigger="1")
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", str(cp))
+            .trigger(availableNow=True)
+            .start()
+        )
+        return q
+
+    qa = mk_sink("a", 2, 0)
+    qb = mk_sink("b", 2, 1)
+    qa.awaitTermination()
+    qb.awaitTermination()
+    for q in (qa, qb):
+        q.stop()
+        deadline = time.time() + 60
+        while q.isActive and time.time() < deadline:
+            time.sleep(0.2)
+
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    back = spark.read.parquet(*live_files(table))
+    assert back.count() == n_src, "dual-writer lost or duplicated rows"
+    # log linearized: contiguous versions, truthful version fields
+    names = sorted(p.name for p in (table / LOG_DIR).iterdir())
+    assert names == [f"{v:05d}.json" for v in range(len(names))]
+    for name in names:
+        entry = _json.loads((table / LOG_DIR / name).read_text())
+        assert entry["version"] == int(name.split(".")[0])
+    # both sinks landed a batch 0 without tripping the other's detection
+    metas = [
+        _json.loads((table / LOG_DIR / n).read_text()).get("meta", {})
+        for n in names
+    ]
+    zeroes = {m["sink"] for m in metas if m.get("batch_id") == 0}
+    assert len(zeroes) == 2
