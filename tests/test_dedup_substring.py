@@ -119,3 +119,48 @@ def test_short_doc_is_out_of_report(result):
 
 def test_parity_on_planted_corpus(spark, planted_dir):
     assert check_query(spark, planted_dir, "q_dedup_substring") == []
+
+
+def test_giant_doc_skew(spark, tmp_path_factory):
+    """One 5000-token document among 55-token neighbors — the skewed-doc
+    shape a web corpus always contains (a doc explodes into O(len)
+    windows, so one giant doc is one hot partition slice). The operator
+    must stay correct (parity vs the oracle) and the giant doc's
+    self-repeats must NOT mark it duplicated: duplication is CROSS-doc
+    (min!=max doc_id), and this doc repeats a 30-token block internally
+    but shares nothing with any other doc."""
+    d = tmp_path_factory.mktemp("substr_giant")
+    for f in Path(SF_SRC).glob("*.parquet"):
+        shutil.copy(f, d / f.name)
+    block = _toks("giantblock", 30)
+    # 5000 tokens: unique filler interleaved with the same 30-token block
+    # repeated 20 times (within-doc repeats, zero cross-doc overlap)
+    toks: list[str] = []
+    for rep in range(20):
+        toks += _toks(f"giantfill{rep}", 220) + block
+    text = " ".join(toks)
+    docs = pq.read_table(d / "documents.parquet")
+    extra = pa.table(
+        {
+            "doc_id": [90000201],
+            "text": [text],
+            "lang": ["en"],
+            "source": ["planted"],
+            "n_chars": [len(text)],
+        },
+        schema=docs.schema,
+    )
+    pq.write_table(pa.concat_tables([docs, extra]), d / "documents.parquet")
+
+    from kinesis_test_spark import registry
+
+    registry.load_all()
+    row = [
+        r
+        for r in registry.QUERIES["q_dedup_substring"](spark, str(d)).collect()
+        if r["doc_id"] == 90000201
+    ]
+    assert len(row) == 1
+    assert row[0]["total_windows"] == len(toks) - SUBSTR_W + 1
+    assert row[0]["dup_windows"] == 0  # within-doc repeats are not dups
+    assert check_query(spark, str(d), "q_dedup_substring") == []

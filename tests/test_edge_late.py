@@ -390,3 +390,53 @@ def test_ttl_session_out_of_order_within_watermark_merges(spark, sf_dir, micro):
     assert (s["lease"], s["n_events"], s["closed_by"]) == (1, 3, "timeout")
     assert s["first_ms"] == T0_US // 1000
     assert s["last_ms"] == (T0_US + 8 * MIN) // 1000  # tail NOT regressed
+
+
+def test_session_window_late_row_contract(spark, sf_dir, micro):
+    """session_window + watermark under late arrival (probed before
+    pinning):
+
+      * a FINALIZED session is immutable — a late row landing inside its
+        time range (behind the watermark) is dropped, never amends or
+        re-emits the session;
+      * late-but-above-watermark rows are admitted: one starts a new
+        session, and a later one that lands in the GAP between two OPEN
+        sessions BRIDGES them — three rows staged across two batches
+        merge into ONE session spanning all of them (the cross-batch
+        session-merge case);
+      * sessions finalize only when the watermark passes their end."""
+    d, stage, stage_batch = micro
+    H, MIN = HOUR_US, MIN_US
+
+    def build(stream):
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy("user_id", F.session_window("ts", "10 minutes"))
+            .agg(F.count("*").alias("n"))
+            .select("user_id", F.col("session_window.start").alias("ss"), "n")
+        )
+
+    stage_batch("b1", [(1, T0_US, 1, "click"),
+                       (2, T0_US + 5 * MIN, 1, "click"),
+                       (90, T0_US + 1 * H, 9, "click")])
+    out = _drain_phased(
+        spark, sf_dir, stage, build, d / "cp", f"late_sw_{uuid.uuid4().hex[:6]}",
+        phases=[
+            # wm = 00:50: id 3 is late INSIDE the closed [00:00] session
+            # (dropped); ids 4/5 are above wm — two open sessions 14 min
+            # apart ([00:52], [01:06])
+            lambda: stage_batch("b2", [(3, T0_US + 7 * MIN, 1, "click"),
+                                       (4, T0_US + 52 * MIN, 1, "click"),
+                                       (5, T0_US + 66 * MIN, 1, "click")]),
+            # wm = 00:56: id 6 at 01:00 is out-of-order but admitted, and
+            # lands in the gap between the two open sessions -> BRIDGE
+            lambda: stage_batch("b3", [(6, T0_US + 60 * MIN, 1, "click")]),
+            # finalize everything still open
+            lambda: stage_batch("b4", [(91, T0_US + 5 * H, 9, "click")]),
+        ],
+    )
+    u1 = sorted((str(r.ss), r.n) for r in out.collect() if r.user_id == 1)
+    assert u1 == [
+        ("2024-06-01 00:00:00", 2),   # closed session NOT amended by id 3
+        ("2024-06-01 00:52:00", 3),   # ids 4+5+6 merged into one session
+    ]
