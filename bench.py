@@ -102,8 +102,10 @@ def burn_probe() -> float:
 
 def previous_bench(
     here: str, sf: float | None = None
-) -> tuple[str | None, dict[str, float]]:
-    """Latest BENCH_r*.json per-query timings (empty if none parseable).
+) -> tuple[str | None, dict[str, float], float | None]:
+    """Latest BENCH_r*.json per-query timings plus that run's burn-probe
+    floor (min of before/after — its least-contended moment); empty if
+    none parseable.
 
     When ``sf`` is given, only a baseline recorded at the same scale factor
     qualifies — timings across scales aren't comparable."""
@@ -120,8 +122,19 @@ def previous_bench(
         if sf is not None and prev_sf != sf:
             continue
         if isinstance(queries, dict) and queries:
-            return os.path.basename(path), {k: float(v) for k, v in queries.items()}
-    return None, {}
+            host = data["parsed"].get("host") or {}
+            probes = [
+                host.get("burn_probe_sec_before"),
+                host.get("burn_probe_sec_after"),
+            ]
+            probes = [float(p) for p in probes if isinstance(p, (int, float)) and p > 0]
+            prev_burn = min(probes) if probes else None
+            return (
+                os.path.basename(path),
+                {k: float(v) for k, v in queries.items()},
+                prev_burn,
+            )
+    return None, {}, None
 
 
 def flag_regressions(
@@ -229,13 +242,25 @@ def main() -> None:
     )
     # restaged timings aren't comparable to the single-file history — only
     # gate same-staging runs against each other
-    baseline, prev = (
-        (None, {})
+    baseline, prev, prev_burn = (
+        (None, {}, None)
         if restaged
         else previous_bench(os.path.dirname(os.path.abspath(__file__)), sf)
     )
     probe_after = burn_probe()
     load_after = os.getloadavg()
+    # Host-aware gate (r9 verdict): a contended driver host inflates every
+    # entry uniformly (BENCH_r09 median 1.21× with loadavg 9.27 minted a
+    # phantom 2.03× q_join_asof flag). The burn probe is the same fixed
+    # single-core workload every round, so the ratio of this run's probe
+    # floor to the baseline run's probe floor IS the host inflation factor
+    # — scale the regression threshold by it (never below 1.0, so a
+    # quieter-than-baseline host still gates at the plain ratio).
+    cur_burn = min(probe_before, probe_after)
+    host_factor = (
+        max(1.0, round(cur_burn / prev_burn, 3)) if prev_burn else 1.0
+    )
+    effective_ratio = round(REGRESSION_RATIO * host_factor, 3)
     print(
         json.dumps(
             {
@@ -248,7 +273,11 @@ def main() -> None:
                 "regressions": {
                     "baseline": baseline,
                     "threshold_ratio": REGRESSION_RATIO,
-                    "flagged": flag_regressions(timings, prev),
+                    "host_factor": host_factor,
+                    "threshold_ratio_effective": effective_ratio,
+                    "flagged": flag_regressions(
+                        timings, prev, ratio=effective_ratio
+                    ),
                 },
                 # Host-contention evidence (BASELINE.md noise rules): the
                 # burn probe is a fixed single-core workload — compare

@@ -22,8 +22,16 @@ from kinesis_test_spark.sources import t
 WITH deduped AS (
   SELECT * FROM (
     SELECT user_id, event_type, ts, value,
+           -- placement-independent ASC NULLS FIRST: the boolean prefix makes
+           -- every NULL-vs-non-NULL decision an ordinary comparison and the
+           -- COALESCE keeps the comparator NULL-free (DuckDB 1.0's parallel
+           -- window sort misplaces NULL keys even with an explicit NULLS
+           -- clause — r9 verdict)
            row_number() OVER (PARTITION BY event_id
-                              ORDER BY ts NULLS FIRST, user_id NULLS FIRST, event_type NULLS FIRST, value NULLS FIRST) AS rn
+                              ORDER BY (ts IS NOT NULL) ASC, COALESCE(ts, TIMESTAMP '1970-01-01') ASC,
+                                       (user_id IS NOT NULL) ASC, COALESCE(user_id, 0) ASC,
+                                       (event_type IS NOT NULL) ASC, COALESCE(event_type, '') ASC,
+                                       (value IS NOT NULL) ASC, COALESCE(value, 0.0) ASC) AS rn
     FROM events)
   WHERE rn = 1
 )
@@ -36,7 +44,8 @@ SELECT 'y=' || CAST(year(ts) AS VARCHAR) || '/m=' || CAST(month(ts) AS VARCHAR)
        CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM deduped
 GROUP BY hour_key, event_type
-ORDER BY n_events DESC, hour_key NULLS FIRST, event_type NULLS FIRST
+ORDER BY n_events DESC, (hour_key IS NOT NULL) ASC, COALESCE(hour_key, '') ASC,
+         (event_type IS NOT NULL) ASC, COALESCE(event_type, '') ASC
 LIMIT 500
 """,
 )

@@ -33,8 +33,15 @@ SELECT o_orderkey, o_custkey, o_orderdate, last_event_id, last_event_ts
 FROM (
   SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
          e.event_id AS last_event_id, e.ts AS last_event_ts,
+         -- e.ts is non-NULL for every matched row (the join predicate
+         -- excludes NULL ts; a no-match partition is a single NULL-padded
+         -- row), but e.event_id can be NULL on a matched row — encode its
+         -- DESC NULLS LAST placement-independently (DuckDB 1.0's parallel
+         -- window sort misplaces NULL keys even with an explicit NULLS
+         -- clause; r9 verdict)
          row_number() OVER (PARTITION BY o.o_orderkey
-                            ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST) AS rn
+                            ORDER BY e.ts DESC NULLS LAST,
+                                     (e.event_id IS NOT NULL) DESC, COALESCE(e.event_id, 0) DESC) AS rn
   FROM orders o
   LEFT JOIN events e ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
 ) WHERE rn = 1
@@ -70,8 +77,10 @@ SELECT o_orderkey, o_custkey, o_orderdate, last_event_id, last_event_ts
 FROM (
   SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
          e.event_id AS last_event_id, e.ts AS last_event_ts,
+         -- same placement-independent event_id encoding as q_join_asof
          row_number() OVER (PARTITION BY o.o_orderkey
-                            ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST) AS rn
+                            ORDER BY e.ts DESC NULLS LAST,
+                                     (e.event_id IS NOT NULL) DESC, COALESCE(e.event_id, 0) DESC) AS rn
   FROM orders o
   LEFT JOIN events e ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
 ) WHERE rn = 1
@@ -208,8 +217,10 @@ SELECT o_orderkey, o_custkey, o_orderdate, next_event_id, next_event_ts
 FROM (
   SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
          e.event_id AS next_event_id, e.ts AS next_event_ts,
+         -- same placement-independent event_id encoding as q_join_asof
          row_number() OVER (PARTITION BY o.o_orderkey
-                            ORDER BY e.ts ASC, e.event_id ASC NULLS FIRST) AS rn
+                            ORDER BY e.ts ASC,
+                                     (e.event_id IS NOT NULL) ASC, COALESCE(e.event_id, 0) ASC) AS rn
   FROM orders o
   LEFT JOIN events e ON e.user_id = o.o_custkey AND e.ts > o.o_orderdate
 ) WHERE rn = 1

@@ -1373,8 +1373,12 @@ scored AS (
     ON d.doc_id = c.doc_id),
 ranked AS (
   SELECT doc_id, cluster_id, score,
+         -- placement-independent NULLS encoding (DuckDB 1.0 misplaces NULL
+         -- window-sort keys even with an explicit NULLS clause — r9 verdict;
+         -- score is NULL for a NULL-text doc)
          row_number() OVER (PARTITION BY cluster_id
-                            ORDER BY score DESC NULLS LAST, doc_id NULLS FIRST) AS rn
+                            ORDER BY (score IS NOT NULL) DESC, COALESCE(score, 0.0) DESC,
+                                     doc_id ASC) AS rn
   FROM scored)
 SELECT doc_id, cluster_id, score,
        rn = 1 AS is_kept
@@ -1652,7 +1656,7 @@ ORDER BY t.doc_id
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup at segment grain (Lee et al. "Deduplicating
     Training Data Makes Language Models Better"): hash every SLIDING
-    {SUBSTR_W}-token window (stride 1 — unlike q_dedup_paragraph's
+    W-token window (W = SUBSTR_W = 15; stride 1 — unlike q_dedup_paragraph's
     disjoint segments, this catches overlaps at ANY alignment), mark a
     window duplicated when its text occurs in >=2 distinct documents,
     and merge consecutive duplicated positions into MAXIMAL SPANS

@@ -311,8 +311,12 @@ WITH files AS (
          CAST(SUM(CAST(len(props) + 64 AS BIGINT)) AS BIGINT) AS est_bytes
   FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d'))
 SELECT event_type, dt, est_bytes,
+       -- (dt IS NULL) quarantines dateless bytes from the prefix-sum chain
+       -- (the NULL-day bucket is one row per type and bins alone at 0) —
+       -- placement-independent of DuckDB's NULL window-sort nondeterminism
+       -- (see q_wow_change)
        CAST(FLOOR(COALESCE(SUM(est_bytes) OVER (
-              PARTITION BY event_type ORDER BY dt NULLS FIRST
+              PARTITION BY event_type, (dt IS NULL) ORDER BY dt
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             / {COMPACT_TARGET_BYTES}) AS BIGINT) AS compaction_bin
 FROM files
@@ -338,7 +342,7 @@ def q_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.length("props") + 64).cast("bigint")).cast("bigint").alias("est_bytes")
     )
     w = (
-        Window.partitionBy("event_type")
+        Window.partitionBy("event_type", F.col("dt").isNull())
         .orderBy("dt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -819,7 +819,13 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id, event_id AS last_event_id, ts AS last_ts, event_type AS last_type
 FROM (
   SELECT user_id, event_id, ts, event_type,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST, event_type DESC NULLS LAST) AS rn
+         -- placement-independent DESC NULLS LAST: boolean prefix + NULL-free
+         -- COALESCE (DuckDB 1.0's parallel window sort misplaces NULL keys
+         -- even with an explicit NULLS clause — r9 verdict; see q_window_lag)
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY (ts IS NOT NULL) DESC, COALESCE(ts, TIMESTAMP '1970-01-01') DESC,
+                                     (event_id IS NOT NULL) DESC, COALESCE(event_id, 0) DESC,
+                                     (event_type IS NOT NULL) DESC, COALESCE(event_type, '') DESC) AS rn
   FROM events) WHERE rn = 1
 """,
 )
@@ -970,8 +976,10 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id, event_type AS modal_type, n AS modal_n
 FROM (
   SELECT user_id, event_type, COUNT(*) AS n,
+         -- placement-independent NULLS FIRST tie-break (see q_agg_argmax)
          row_number() OVER (PARTITION BY user_id
-                            ORDER BY COUNT(*) DESC, event_type NULLS FIRST) AS rn
+                            ORDER BY COUNT(*) DESC,
+                                     (event_type IS NOT NULL) ASC, COALESCE(event_type, '') ASC) AS rn
   FROM events GROUP BY user_id, event_type)
 WHERE rn = 1
 """,
@@ -1172,8 +1180,10 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_gap_histogram",
     oracle="""
 WITH gaps AS (
+  -- placement-independent NULLS FIRST encoding (see q_agg_argmax)
   SELECT ((epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', lag(ts) OVER (PARTITION BY user_id
-                                                ORDER BY ts NULLS FIRST, event_id NULLS FIRST))) // 1000)) // 1000 AS gap_s
+                                                ORDER BY (ts IS NOT NULL) ASC, COALESCE(ts, TIMESTAMP '1970-01-01') ASC,
+                                                         (event_id IS NOT NULL) ASC, COALESCE(event_id, 0) ASC))) // 1000)) // 1000 AS gap_s
   FROM events)
 SELECT CASE WHEN gap_s < 60 THEN '<1m'
             WHEN gap_s < 3600 THEN '1m-1h'
@@ -1342,9 +1352,15 @@ WITH base AS (
   FROM events WHERE event_type = 'purchase' GROUP BY user_id),
 scored AS (
   SELECT user_id,
-         CAST(ntile(4) OVER (ORDER BY last_seen DESC NULLS LAST, user_id NULLS FIRST) AS BIGINT) AS r,
-         CAST(ntile(4) OVER (ORDER BY freq DESC, user_id NULLS FIRST) AS BIGINT) AS f,
-         CAST(ntile(4) OVER (ORDER BY monetary DESC NULLS LAST, user_id NULLS FIRST) AS BIGINT) AS m
+         -- placement-independent NULLS encodings (see q_agg_argmax):
+         -- last_seen/monetary can be NULL for an all-NULL-ts / quarantined-
+         -- value user
+         CAST(ntile(4) OVER (ORDER BY (last_seen IS NOT NULL) DESC, COALESCE(last_seen, TIMESTAMP '1970-01-01') DESC,
+                                      (user_id IS NOT NULL) ASC, COALESCE(user_id, 0) ASC) AS BIGINT) AS r,
+         CAST(ntile(4) OVER (ORDER BY freq DESC,
+                                      (user_id IS NOT NULL) ASC, COALESCE(user_id, 0) ASC) AS BIGINT) AS f,
+         CAST(ntile(4) OVER (ORDER BY (monetary IS NOT NULL) DESC, COALESCE(monetary, 0.0) DESC,
+                                      (user_id IS NOT NULL) ASC, COALESCE(user_id, 0) ASC) AS BIGINT) AS m
   FROM base)
 SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_users
 FROM scored GROUP BY r, f, m
@@ -1452,7 +1468,10 @@ attributed AS (
          last_value(click_id IGNORE NULLS) OVER w AS attributed_click_id,
          last_value(click_ts IGNORE NULLS) OVER w AS attr_ts
   FROM tagged
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+  -- placement-independent NULLS FIRST encoding (see q_agg_argmax)
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY (ts IS NOT NULL) ASC, COALESCE(ts, TIMESTAMP '1970-01-01') ASC,
+                        (event_id IS NOT NULL) ASC, COALESCE(event_id, 0) ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
 SELECT event_id, user_id, value, attributed_click_id,
        CAST((epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', attr_ts)) // 1000) AS BIGINT) AS lag_ms

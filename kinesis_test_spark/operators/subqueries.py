@@ -168,14 +168,18 @@ def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH tot AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS target FROM lineitem),
 cum AS (
-  -- NULLS LAST is the CONTRACT here, not Spark's window default: the
-  -- engine side is a procedural loop whose `l_quantity <= k AND abs(..)
-  -- < 1e12` count never admits out-of-domain rows, so the NULL-k group
-  -- must never enter any cumulative count (sorted past every real k)
-  SELECT k, CAST(SUM(n) OVER (ORDER BY k NULLS LAST) AS BIGINT) AS cnt
+  -- The NULL-k (out-of-domain) group must never enter any cumulative
+  -- count: the engine side is a procedural loop whose `l_quantity <= k
+  -- AND abs(..) < 1e12` count never admits such rows. r8 stated this via
+  -- ORDER BY k NULLS LAST, but DuckDB 1.0's parallel window sort places
+  -- NULL keys nondeterministically even with an explicit NULLS clause
+  -- (r9 verdict) — so the group is EXCLUDED from the chained relation
+  -- outright, which is the same contract made placement-independent.
+  SELECT k, CAST(SUM(n) OVER (ORDER BY k) AS BIGINT) AS cnt
   FROM (SELECT CAST(TRUNC(CASE WHEN abs(l_quantity) < 1.0e12
                            THEN l_quantity END) AS INT) AS k, COUNT(*) AS n
-        FROM lineitem GROUP BY 1)),
+        FROM lineitem GROUP BY 1)
+  WHERE k IS NOT NULL),
 hit AS (SELECT MIN(k) AS k FROM cum, tot WHERE cnt >= tot.target)
 SELECT CAST(COALESCE(hit.k, 0) AS INT) AS median_qty_ceil,
        CAST(COALESCE((SELECT cnt FROM cum WHERE k = hit.k), 0) AS BIGINT)

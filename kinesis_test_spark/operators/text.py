@@ -247,7 +247,12 @@ WITH scored AS (
   SELECT * FROM scored WHERE n_words >= 20 AND stop_ratio <= 0.4
 ), deduped AS (
   SELECT doc_id, text, lang, n_words FROM (
-    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, n_words NULLS FIRST) AS rn FROM kept)
+    -- placement-independent NULLS FIRST encoding (DuckDB 1.0 misplaces NULL
+    -- window-sort keys even with an explicit NULLS clause — r9 verdict)
+    SELECT *, row_number() OVER (PARTITION BY text
+                                 ORDER BY (doc_id IS NOT NULL) ASC, COALESCE(doc_id, 0) ASC,
+                                          (lang IS NOT NULL) ASC, COALESCE(lang, '') ASC,
+                                          (n_words IS NOT NULL) ASC, COALESCE(n_words, 0) ASC) AS rn FROM kept)
   WHERE rn = 1
 )
 SELECT lang,

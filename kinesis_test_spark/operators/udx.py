@@ -200,7 +200,14 @@ WITH flagged AS (
          CASE WHEN lag(ts) OVER w IS NULL
                 OR (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', lag(ts) OVER w)) // 1000) > 1800000
               THEN 1 ELSE 0 END AS is_start
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
+  FROM events
+  -- placement-independent NULLS FIRST encoding (DuckDB 1.0 misplaces NULL
+  -- window-sort keys even with an explicit NULLS clause — r9 verdict): the
+  -- UDTF's three-valued walk depends on the NULL-ts block leading the
+  -- partition, so the oracle must pin that placement NULL-free
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY (ts IS NOT NULL) ASC, COALESCE(ts, TIMESTAMP '1970-01-01') ASC,
+                        (event_id IS NOT NULL) ASC, COALESCE(event_id, 0) ASC)
 )
 SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM flagged GROUP BY user_id

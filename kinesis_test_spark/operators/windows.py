@@ -57,7 +57,14 @@ SELECT event_id, user_id, ts,
        (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', lag(ts) OVER w)) // 1000) AS gap_ms,
        lead(event_id) OVER w AS next_event_id
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
+-- placement-independent ASC NULLS FIRST (boolean prefix + NULL-free
+-- COALESCE): DuckDB 1.0's parallel window sort misplaces NULL keys even
+-- with an explicit NULLS clause (r9 verdict), so no nullable key may
+-- reach the comparator. Semantics identical to
+-- `ts NULLS FIRST, event_id NULLS FIRST`.
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY (ts IS NOT NULL) ASC, COALESCE(ts, TIMESTAMP '1970-01-01') ASC,
+                      (event_id IS NOT NULL) ASC, COALESCE(event_id, 0) ASC)
 """,
 )
 def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,13 +86,19 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_frame",
     oracle="""
 SELECT event_id, user_id, ts,
-       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) OVER
-            (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+       -- placement-independent NULLS FIRST encoding (see q_window_lag)
+       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) OVER w
+            AS DOUBLE) AS running_value,
        COUNT(*) OVER
-            (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+            (PARTITION BY user_id
+             ORDER BY (ts IS NOT NULL) ASC, COALESCE(ts, TIMESTAMP '1970-01-01') ASC,
+                      (event_id IS NOT NULL) ASC, COALESCE(event_id, 0) ASC
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_last3
 FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY (ts IS NOT NULL) ASC, COALESCE(ts, TIMESTAMP '1970-01-01') ASC,
+                      (event_id IS NOT NULL) ASC, COALESCE(event_id, 0) ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
 )
 def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,9 +219,14 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_resample_ffill",
     oracle="""
 WITH hourly AS (
-  SELECT user_id, date_trunc('hour', ts) AS hb, value,
-         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
-                            ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST, value DESC NULLS LAST) AS rn
+  -- time_bucket, not date_trunc (validity-stats bug — see q_wow_change):
+  -- hb is a WINDOW PARTITION key carrying real NULLs on a timeless row
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hb, value,
+         -- placement-independent DESC NULLS LAST (see q_window_lag)
+         row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
+                            ORDER BY (ts IS NOT NULL) DESC, COALESCE(ts, TIMESTAMP '1970-01-01') DESC,
+                                     (event_id IS NOT NULL) DESC, COALESCE(event_id, 0) DESC,
+                                     (value IS NOT NULL) DESC, COALESCE(value, 0.0) DESC) AS rn
   FROM events),
 obs AS (SELECT user_id, hb, value FROM hourly WHERE rn = 1),
 bounds AS (SELECT user_id, MIN(hb) AS lo, MAX(hb) AS hi FROM obs GROUP BY user_id),
@@ -289,7 +307,10 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id, event_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
-       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST),
+       -- placement-independent NULLS FIRST encoding (see q_window_lag)
+       strftime(lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY (ts IS NOT NULL) ASC, COALESCE(ts, TIMESTAMP '1970-01-01') ASC,
+                                        (event_id IS NOT NULL) ASC, COALESCE(event_id, 0) ASC),
                 '%Y-%m-%d %H:%M:%S.%f') AS valid_to
 FROM events
 """,
@@ -316,8 +337,10 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH seq AS (
   SELECT user_id, event_type,
+         -- placement-independent NULLS FIRST encoding (see q_window_lag)
          lag(event_type) OVER (PARTITION BY user_id
-                               ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_type
+                               ORDER BY (ts IS NOT NULL) ASC, COALESCE(ts, TIMESTAMP '1970-01-01') ASC,
+                                        (event_id IS NOT NULL) ASC, COALESCE(event_id, 0) ASC) AS prev_type
   FROM events)
 SELECT prev_type, event_type AS next_type, COUNT(*) AS n
 FROM seq WHERE prev_type IS NOT NULL
@@ -343,10 +366,22 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_wow_change",
     oracle="""
 WITH weekly AS (
-  SELECT event_type, date_trunc('week', ts) AS wk, COUNT(*) AS n
+  -- time_bucket, NOT date_trunc: DuckDB 1.0.0's date_trunc LOSES the
+  -- validity flag in statistics propagation over a parquet scan, so the
+  -- optimizer unsoundly folds every NULL-sensitive expression above it
+  -- ((wk IS NULL) -> false, COALESCE(wk, x) -> wk, WHERE wk IS NOT NULL
+  -- dropped entirely) and the window sort then places the real NULLs
+  -- nondeterministically — the r9-verdict q_wow_change flake.
+  -- time_bucket propagates validity correctly and is Monday-aligned like
+  -- date_trunc('week').
+  SELECT event_type, time_bucket(INTERVAL '1 week', ts) AS wk, COUNT(*) AS n
   FROM events GROUP BY 1, 2)
 SELECT event_type, strftime(wk, '%Y-%m-%d') AS week_start, n,
-       n - lag(n) OVER (PARTITION BY event_type ORDER BY wk NULLS FIRST) AS wow_delta
+       -- the timeless (NULL-wk) bucket is QUARANTINED from the lag chain by
+       -- partitioning on (wk IS NULL): it is a single row per event_type, so
+       -- its lag is NULL by construction, and no real week ever chains off it
+       n - lag(n) OVER (PARTITION BY event_type, (wk IS NULL)
+                        ORDER BY wk) AS wow_delta
 FROM weekly
 """,
 )
@@ -354,12 +389,14 @@ def q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week change per event type: weekly counts then a lag
     window over the aggregated series — the trend/alerting query every
     metrics pipeline runs. The window's input is |types|×|weeks| rows
-    (post-aggregate), so the second pass is near-free at any scale."""
+    (post-aggregate), so the second pass is near-free at any scale.
+    The NULL-week bucket (timeless rows) is quarantined from the lag
+    chain on BOTH sides — see the oracle comment."""
     ev = t(spark, sf_dir, "events")
     weekly = ev.groupBy(
         "event_type", F.date_trunc("week", "ts").alias("wk")
     ).agg(F.count("*").alias("n"))
-    w = Window.partitionBy("event_type").orderBy("wk")
+    w = Window.partitionBy("event_type", F.col("wk").isNull()).orderBy("wk")
     return weekly.select(
         "event_type",
         F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
@@ -372,10 +409,14 @@ def q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cumulative",
     oracle="""
 WITH daily AS (
-  SELECT o_orderstatus, date_trunc('day', o_orderdate) AS d, COUNT(*) AS n
+  -- time_bucket, not date_trunc (validity-stats bug — see q_wow_change)
+  SELECT o_orderstatus, time_bucket(INTERVAL '1 day', o_orderdate) AS d, COUNT(*) AS n
   FROM orders GROUP BY 1, 2)
 SELECT o_orderstatus, strftime(d, '%Y-%m-%d') AS day, n,
-       CAST(SUM(n) OVER (PARTITION BY o_orderstatus ORDER BY d NULLS FIRST
+       -- (d IS NULL) quarantines the dateless bucket from the running chain
+       -- (single row per status; its total is its own n) — same
+       -- placement-independence contract as q_wow_change
+       CAST(SUM(n) OVER (PARTITION BY o_orderstatus, (d IS NULL) ORDER BY d
                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_total
 FROM daily
 """,
@@ -391,7 +432,7 @@ def q_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus", F.date_trunc("day", "o_orderdate").alias("d")
     ).agg(F.count("*").alias("n"))
     w = (
-        Window.partitionBy("o_orderstatus")
+        Window.partitionBy("o_orderstatus", F.col("d").isNull())
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -411,8 +452,11 @@ SELECT event_id, user_id,
        -- quantile_cont returns the -0.0 ELEMENT where Spark's percentile
        -- interpolation arithmetic ((1-g)*a + g*b) emits +0.0; the
        -- identity is exact for every other value and keeps NULL NULL
+       -- placement-independent NULLS FIRST encoding (see q_window_lag)
        ROUND(quantile_cont(fv, 0.5) OVER (
-         PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+         PARTITION BY user_id
+         ORDER BY (ts IS NOT NULL) ASC, COALESCE(ts, TIMESTAMP '1970-01-01') ASC,
+                  (event_id IS NOT NULL) ASC, COALESCE(event_id, 0) ASC
          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) + 0.0 AS roll_med
 FROM (SELECT event_id, user_id, ts,
              CASE WHEN abs(value) < 1.0e12
@@ -452,8 +496,10 @@ def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH seg AS (
   SELECT user_id, value,
          (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000) AS t0,
+         -- placement-independent NULLS FIRST encoding (see q_window_lag)
          lead((epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000)) OVER (PARTITION BY user_id
-                                  ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS t1
+                                  ORDER BY (ts IS NOT NULL) ASC, COALESCE(ts, TIMESTAMP '1970-01-01') ASC,
+                                           (event_id IS NOT NULL) ASC, COALESCE(event_id, 0) ASC) AS t1
   FROM events),
 held AS (
   SELECT user_id, value, t1 - t0 AS dur_ms FROM seg WHERE t1 IS NOT NULL)

@@ -113,6 +113,15 @@ def commit(
     )
 
 
+# Per-(table, sink) incremental scan state: (highest version parsed,
+# batch_ids seen for that sink). Commits are immutable and versions dense,
+# so a JSON file never needs parsing twice per process — the common MISS
+# case (a never-before-seen batch id) costs O(commits since last call)
+# instead of O(total commits) per micro-batch (O(n²) over a sink's
+# lifetime; r9 ADVICE).
+_BATCH_SCAN_CACHE: dict[tuple[str, str], tuple[int, set[int]]] = {}
+
+
 def batch_committed(table_dir: Path, batch_id: int, sink: str) -> bool:
     """True iff some commit in the log records this ``(sink, batch_id)``
     — the replay-detection primitive for exactly-once streaming sinks.
@@ -125,16 +134,30 @@ def batch_committed(table_dir: Path, batch_id: int, sink: str) -> bool:
     checkpoint; a NEW checkpoint is a new logical query and must be a
     new sink identity).
 
-    Scanned newest-first with early exit — a replay is almost always the
-    most recent commit; the miss case still reads the whole log (the
-    same driver-side metadata replay the real table formats do)."""
+    Incremental: each call parses only commits newer than the last call's
+    tip (commit files are immutable once linked, versions are dense), and
+    answers from the per-sink cache. A log whose version-≤-tip prefix no
+    longer has tip+1 files was recreated under the same path (test rigs)
+    — the cache entry resets and the log rescans from zero. Foreign
+    writers' commits interleave fine: they are parsed once and simply
+    don't match this sink."""
     log = Path(table_dir) / LOG_DIR
-    for path in sorted(log.glob("*.json"), reverse=True):
+    key = (os.path.abspath(str(table_dir)), sink)
+    last, seen = _BATCH_SCAN_CACHE.get(key, (-1, set()))
+    paths = sorted(log.glob("*.json"))
+    if sum(1 for p in paths if int(p.stem) <= last) != last + 1:
+        last, seen = -1, set()
+    for path in paths:
+        v = int(path.stem)
+        if v <= last:
+            continue
         entry = json.loads(path.read_text())
         meta = entry.get("meta", {})
-        if meta.get("batch_id") == batch_id and meta.get("sink") == sink:
-            return True
-    return False
+        if meta.get("sink") == sink and "batch_id" in meta:
+            seen.add(meta["batch_id"])
+        last = v
+    _BATCH_SCAN_CACHE[key] = (last, seen)
+    return batch_id in seen
 
 
 def live_entries(table_dir: Path, version: int | None = None) -> list[dict]:

@@ -937,7 +937,13 @@ SELECT user_id, event_id AS last_event_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts, value AS last_value
 FROM (
   SELECT user_id, event_id, ts, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST, value DESC NULLS LAST) AS rn
+         -- placement-independent DESC NULLS LAST (boolean prefix + NULL-free
+         -- COALESCE; DuckDB 1.0 misplaces NULL window-sort keys even with an
+         -- explicit NULLS clause — r9 verdict, see q_agg_argmax)
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY (ts IS NOT NULL) DESC, COALESCE(ts, TIMESTAMP '1970-01-01') DESC,
+                                     (event_id IS NOT NULL) DESC, COALESCE(event_id, 0) DESC,
+                                     (value IS NOT NULL) DESC, COALESCE(value, 0.0) DESC) AS rn
   FROM events) WHERE rn = 1
 """,
 )

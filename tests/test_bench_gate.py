@@ -45,13 +45,14 @@ def test_previous_bench_picks_latest_parseable(tmp_path):
         json.dumps({"parsed": {"queries": {"q_a": 2.0}}})
     )
     (tmp_path / "BENCH_r03.json").write_text("{not json")
-    name, prev = bench.previous_bench(str(tmp_path))
+    name, prev, prev_burn = bench.previous_bench(str(tmp_path))
     assert name == "BENCH_r02.json"
     assert prev == {"q_a": 2.0}
+    assert prev_burn is None  # no host block recorded
 
 
 def test_previous_bench_none_when_absent(tmp_path):
-    assert bench.previous_bench(str(tmp_path)) == (None, {})
+    assert bench.previous_bench(str(tmp_path)) == (None, {}, None)
 
 
 def test_previous_bench_requires_matching_sf(tmp_path):
@@ -61,7 +62,39 @@ def test_previous_bench_requires_matching_sf(tmp_path):
     (tmp_path / "BENCH_r02.json").write_text(
         json.dumps({"parsed": {"queries": {"q_a": 2.0}, "sf": 0.001}})
     )
-    name, prev = bench.previous_bench(str(tmp_path), sf=0.1)
+    name, prev, _ = bench.previous_bench(str(tmp_path), sf=0.1)
     assert name == "BENCH_r01.json"
     assert prev == {"q_a": 1.0}
-    assert bench.previous_bench(str(tmp_path), sf=0.5) == (None, {})
+    assert bench.previous_bench(str(tmp_path), sf=0.5) == (None, {}, None)
+
+
+def test_previous_bench_reads_burn_probe_floor(tmp_path):
+    # the burn-probe floor (min of before/after) is the baseline run's
+    # least-contended moment — the denominator of the host factor
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps(
+            {
+                "parsed": {
+                    "queries": {"q_a": 1.0},
+                    "host": {
+                        "burn_probe_sec_before": 0.52,
+                        "burn_probe_sec_after": 0.34,
+                    },
+                }
+            }
+        )
+    )
+    name, prev, prev_burn = bench.previous_bench(str(tmp_path))
+    assert name == "BENCH_r01.json"
+    assert prev_burn == 0.34
+
+
+def test_host_factor_scales_gate():
+    # a 2x-contended host (burn probe 2x the baseline's) must not mint a
+    # phantom flag on a uniformly-inflated entry; a genuine regression
+    # beyond the scaled threshold still flags
+    prev = {"q_uniform": 1.0, "q_real": 1.0}
+    cur = {"q_uniform": 2.0, "q_real": 4.0}  # uniform 2x inflation; real 4x
+    effective = 1.5 * 2.0  # REGRESSION_RATIO x host_factor
+    flagged = bench.flag_regressions(cur, prev, ratio=effective)
+    assert set(flagged) == {"q_real"}

@@ -168,11 +168,17 @@ def _drain_phased(spark, sf_dir, stage, build, cp, name, output_mode="append",
         .option("checkpointLocation", str(cp))
         .start()
     )
-    q.processAllAvailable()
-    for phase in phases:
-        phase()
+    # try/finally: a raising phase (or processAllAvailable) must not leak
+    # the query — a leaked stream keeps running against the shared session
+    # and is exactly the micro-batch-contention flake class the ledger
+    # documents (r9 ADVICE)
+    try:
         q.processAllAvailable()
-    q.stop()
+        for phase in phases:
+            phase()
+            q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.table(name)
 
 
@@ -306,13 +312,15 @@ def test_stream_join_late_contract(spark, sf_dir, micro):
         .option("checkpointLocation", str(d / "cp"))
         .start()
     )
-    q.processAllAvailable()
-    # purchase 101 arrives 2h late for click 1 (wm 01:50) -> no pair;
-    # purchase 102 on-time for click 2 -> pairs
-    stage_batch("b2", [(101, T0_US + 2 * MIN, 1, "purchase"),
-                       (102, T0_US + 2 * H + 2 * MIN, 1, "purchase")])
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+        # purchase 101 arrives 2h late for click 1 (wm 01:50) -> no pair;
+        # purchase 102 on-time for click 2 -> pairs
+        stage_batch("b2", [(101, T0_US + 2 * MIN, 1, "purchase"),
+                           (102, T0_US + 2 * H + 2 * MIN, 1, "purchase")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
     got = sorted((r.click_id, r.purchase_id) for r in spark.table(name).collect())
     assert got == [(2, 102)]
 

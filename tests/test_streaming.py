@@ -771,7 +771,7 @@ def test_two_streaming_sinks_one_table_concurrently(spark, sf_dir):
     table = d / "table"
     table.mkdir(parents=True)
 
-    def mk_sink(tag: str, n_slices: int, half: int):
+    def mk_sink(tag: str, half: int):
         stage, cp = d / f"src_{tag}", d / f"cp_{tag}"
         # each sink streams ITS user-half of events, staged as 2 files
         # split by event-id parity (NULL ids ride slice 0 via coalesce)
@@ -805,8 +805,8 @@ def test_two_streaming_sinks_one_table_concurrently(spark, sf_dir):
         )
         return q
 
-    qa = mk_sink("a", 2, 0)
-    qb = mk_sink("b", 2, 1)
+    qa = mk_sink("a", 0)
+    qb = mk_sink("b", 1)
     qa.awaitTermination()
     qb.awaitTermination()
     for q in (qa, qb):
