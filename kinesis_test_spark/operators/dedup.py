@@ -704,9 +704,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # roster at doc-IDENTITY grain (the oracle's recursive UNION dedups;
     # a redelivered row must not appear twice in the labeling)
-    labels = unique_docs(spark, sf_dir).select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    )
+    roster = unique_docs(spark, sf_dir).select("doc_id")
+    return min_label_components(edges, roster)
+
+
+def min_label_components(edges: DataFrame, roster: DataFrame) -> DataFrame:
+    """Connected components by iterative min-label propagation (HashToMin):
+    label ← min(own, neighbors') until a fixed point. ``edges`` is a
+    DIRECTED (u, v) relation (pass both directions for an undirected
+    graph); ``roster`` is the (doc_id) universe to label — isolated ids
+    keep their own label. Each round is one join + one groupBy; lineage is
+    truncated per round (truncate_lineage — reliable checkpoint() on a
+    cluster with a checkpoint dir, localCheckpoint here). Shared by
+    q_dedup_clusters (Jaccard edges) and q_dedup_substring_clusters
+    (shared-window star edges)."""
+    labels = roster.select("doc_id", F.col("doc_id").alias("cluster_id"))
     edges = truncate_lineage(edges)  # fixed edge set, reused every round
     for _ in range(16):  # bound >> component diameter; breaks at fixed point
         neighbor_min = (
@@ -1617,18 +1629,48 @@ SUBSTR_W = 15
 # column-list maintenance rule only works with a single mirror)
 _SUBSTR_UNIQ = SQL_UNIQUE_DOCS
 
-
-@query(
-    "q_dedup_substring",
-    oracle=f"""
-WITH docs AS (
+# Shared oracle prefix: the sliding window-hash relation (doc_id, i, h) —
+# q_dedup_substring localizes spans off it, q_dedup_substring_clusters
+# groups the docs sharing those windows.
+_SUBSTR_WINS_CTE = f"""docs AS (
   SELECT doc_id, string_split(text, ' ') AS w
   FROM {_SUBSTR_UNIQ}
   WHERE len(string_split(text, ' ')) >= {SUBSTR_W}),
 wins AS (
   SELECT doc_id, i,
          md5(array_to_string(w[i:(i + {SUBSTR_W} - 1)], ' ')) AS h
-  FROM docs, UNNEST(generate_series(1, len(w) - {SUBSTR_W} + 1)) AS u(i)),
+  FROM docs, UNNEST(generate_series(1, len(w) - {SUBSTR_W} + 1)) AS u(i))"""
+
+
+def _substring_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, i, h): md5 of every sliding SUBSTR_W-token window — the
+    shared relation of the substring-dedup family (Spark mirror of
+    _SUBSTR_WINS_CTE)."""
+    d = (
+        # partitions=32: the explode+md5 is the CPU-heavy hot map and the
+        # single-row-group test fixture would hand it ONE scan task
+        # (CLAUDE.md gotcha); at scale the repartition is the same
+        # doc_id exchange the identity dedup needs anyway
+        unique_docs(spark, sf_dir, cols=["doc_id", "text"], partitions=32)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= SUBSTR_W)
+    )
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {SUBSTR_W} + 1), i ->"
+                f" struct(i AS i,"
+                f" md5(array_join(slice(w, i, {SUBSTR_W}), ' ')) AS h))"
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.i").alias("i"), F.col("x.h").alias("h"))
+
+
+@query(
+    "q_dedup_substring",
+    oracle=f"""
+WITH {_SUBSTR_WINS_CTE},
 hdf AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY h),
 m AS (SELECT s.doc_id, s.i, (d.nd >= 2) AS dup
       FROM wins s JOIN hdf d ON s.h = d.h),
@@ -1683,25 +1725,7 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     (identity dedup via sources.unique_docs, then content-span dedup)."""
     from pyspark.sql import Window
 
-    d = (
-        # partitions=32: the explode+md5 is the CPU-heavy hot map and the
-        # single-row-group test fixture would hand it ONE scan task
-        # (CLAUDE.md gotcha); at scale the repartition is the same
-        # doc_id exchange the identity dedup needs anyway
-        unique_docs(spark, sf_dir, cols=["doc_id", "text"], partitions=32)
-        .select("doc_id", F.split("text", " ").alias("w"))
-        .where(F.size("w") >= SUBSTR_W)
-    )
-    wins = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(w) - {SUBSTR_W} + 1), i ->"
-                f" struct(i AS i,"
-                f" md5(array_join(slice(w, i, {SUBSTR_W}), ' ')) AS h))"
-            )
-        ).alias("x"),
-    ).select("doc_id", F.col("x.i").alias("i"), F.col("x.h").alias("h"))
+    wins = _substring_wins(spark, sf_dir)
     # "appears in >=2 distinct docs" == min(doc_id) != max(doc_id) for the
     # NON-NULL ids unique_docs guarantees — one plain aggregate instead of
     # countDistinct's expand + double aggregation (oracle keeps the
@@ -1747,6 +1771,89 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("dup_windows").cast("double") / F.col("total_windows"), 6
             ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_dedup_substring_clusters",
+    oracle=f"""
+WITH RECURSIVE {_SUBSTR_WINS_CTE},
+hd AS (SELECT DISTINCT doc_id, h FROM wins),
+agg AS (SELECT h, MIN(doc_id) AS hmin FROM hd
+        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+edges AS (
+  SELECT hd.doc_id AS u, agg.hmin AS v
+  FROM hd JOIN agg USING (h) WHERE hd.doc_id <> agg.hmin
+  UNION ALL
+  SELECT agg.hmin, hd.doc_id
+  FROM hd JOIN agg USING (h) WHERE hd.doc_id <> agg.hmin),
+roster AS (SELECT DISTINCT hd.doc_id FROM hd JOIN agg USING (h)),
+reach(u, v) AS (
+  SELECT doc_id, doc_id FROM roster
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+clusters AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+ev AS (SELECT hd.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_hashes
+       FROM hd JOIN agg USING (h) GROUP BY hd.doc_id)
+SELECT c.doc_id, c.cluster_id, ev.n_dup_hashes,
+       (c.doc_id = c.cluster_id) AS is_kept
+FROM clusters c JOIN ev USING (doc_id)
+ORDER BY c.doc_id
+""",
+)
+def q_dedup_substring_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL step over q_dedup_substring's evidence: group the docs
+    that share duplicated windows into connected components and pick one
+    representative per component — q_dedup_substring localizes WHERE the
+    overlap is, this decides WHICH doc keeps it (keep = the cluster's min
+    doc_id; a production pipeline would argmax quality instead, the
+    q_dedup_keep_best pattern).
+
+    Reuses the window-hash relation (one extra DISTINCT + aggregate over
+    it, no new text scan: the (doc, h) grain is localCheckpoint'd once and
+    every downstream relation — dup-hash index, edges, roster, evidence —
+    derives from the materialized copy). Edges are STAR-LINKED to each
+    duplicated hash's min doc (the minhash bucket_cap trick): a hash
+    shared by m docs contributes m-1 edges, never m², so a boilerplate
+    window shared by thousands of docs stays O(m) — then the shared
+    min-label component loop (min_label_components) converges in
+    O(log diameter) rounds. Output rows are exactly the docs with >=1
+    cross-doc duplicated window; singletons are out by contract (their
+    keep decision is trivial).
+
+    Reference analog: consumer.py:292-303 (sequence-number dedup) —
+    content-grain generalization, the cross-doc half of q_dedup_substring
+    (dedup.py)."""
+    hd = truncate_lineage(
+        _substring_wins(spark, sf_dir).select("doc_id", "h").distinct()
+    )
+    # min != max == ">=2 distinct docs" on the already-DISTINCT (doc, h)
+    # grain with unique_docs' non-NULL ids (same trick as q_dedup_substring)
+    agg = (
+        hd.groupBy("h")
+        .agg(F.min("doc_id").alias("hmin"), F.max("doc_id").alias("hmax"))
+        .filter(F.col("hmin") != F.col("hmax"))
+        .select("h", "hmin")
+    )
+    linked = hd.join(agg, "h").select("doc_id", "hmin")
+    star = linked.filter(F.col("doc_id") != F.col("hmin"))
+    edges = star.select(F.col("doc_id").alias("u"), F.col("hmin").alias("v")).unionByName(
+        star.select(F.col("hmin").alias("u"), F.col("doc_id").alias("v"))
+    )
+    roster = linked.select("doc_id").distinct()
+    ev = linked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_hashes")
+    )
+    clusters = min_label_components(edges, roster)
+    return (
+        clusters.join(ev, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_dup_hashes",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_kept"),
         )
         .orderBy("doc_id")
     )

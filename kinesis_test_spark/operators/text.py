@@ -15,7 +15,7 @@ for stopwords → partial aggregation absorbs it).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_test_spark.functions.porthash import (
@@ -1082,6 +1082,95 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Ordered merge table for q_bpe_encode — the "learned" artifact a BPE
+# trainer emits (q_bpe_pair_counts computes one training step; this list is
+# the product of such steps, fixed so both engines embed it literally).
+# Later merges build on earlier outputs (th+e needs t+h applied first).
+BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"), ("e", "s"),
+    ("a", "t"), ("in", "g"),
+]
+
+
+def _bpe_sql_tokens(var: str) -> str:
+    """DuckDB expression: BPE token count of word ``var`` under BPE_MERGES.
+
+    A word becomes a space-delimited symbol string (' h e l l o ') and each
+    merge (x, y) is one replace(' x y ' -> ' xy '): string replace is
+    greedy, left-to-right, non-overlapping — exactly BPE's within-word
+    application order, and the flanking spaces stop a merge from crossing
+    symbol boundaries ('ab a' never matches pair (b, a))."""
+    s = f"(' ' || regexp_replace({var}, '(.)', '\\1 ', 'g'))"
+    for x, y in BPE_MERGES:
+        s = f"replace({s}, ' {x} {y} ', ' {x}{y} ')"
+    return f"(len(string_split({s}, ' ')) - 2)"
+
+
+def _bpe_spark_tokens(w: Column) -> Column:
+    """Spark mirror of ``_bpe_sql_tokens`` (same replace chain)."""
+    s = F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 "))
+    for x, y in BPE_MERGES:
+        s = F.replace(s, F.lit(f" {x} {y} "), F.lit(f" {x}{y} "))
+    return (F.size(F.split(s, " ")) - 2).cast("bigint")
+
+
+@query(
+    "q_bpe_encode",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE CAST(len(regexp_extract_all({sql_ascii_lower('text')}, '[a-z]+'))
+                 AS BIGINT) END AS n_words,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE CAST(COALESCE(list_sum(list_transform(
+                   regexp_extract_all({sql_ascii_lower('text')}, '[a-z]+'),
+                   w -> len(w))), 0) AS BIGINT) END AS n_chars,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE CAST(COALESCE(list_sum(list_transform(
+                   regexp_extract_all({sql_ascii_lower('text')}, '[a-z]+'),
+                   w -> {_bpe_sql_tokens('w')})), 0) AS BIGINT) END AS n_bpe_tokens
+FROM documents
+""",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — apply the learned merge table to every document (the
+    production tokenizer step q_bpe_pair_counts trains one round of):
+    per word, start from the character sequence and apply each merge in
+    table order; report per-document word / character / BPE-token counts
+    (chars-per-token is the tokenizer-efficiency dial a data pipeline
+    monitors per corpus slice).
+
+    The merge chain is an EXPRESSION pipeline, not an iterative plan: R
+    merges compile to R nested replace() calls inside one codegen'd
+    projection over the token array (F.transform + F.aggregate) — no
+    explode, no shuffle, no lineage growth, so no truncate_lineage is
+    needed (that tool is for data-dependent iteration like PageRank; a
+    fixed merge table is data-independent depth). The alphabet is ASCII
+    letter runs (ascii_lower + [a-z]+ both sides): a byte-level BPE would
+    hex-encode instead, but a cross-engine regex over astral codepoints
+    diverges (Java regex walks UTF-16 units, RE2 walks codepoints), so
+    non-ASCII bytes act as token boundaries — symmetric and
+    Unicode-version-stable. Greedy-merge equivalence of replace() is
+    pinned in test_edge_docs (e.g. 'aaa' + (a,a) -> [aa, a]).
+
+    Reference analog: none (the reference never tokenizes) — this is
+    SURVEY §2's LLM-pipeline mandate, the encode step that completes the
+    tokenizer story started by q_text_tokenize_ids / q_bpe_pair_counts."""
+    d = t(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(ascii_lower(F.col("text")), F.lit("[a-z]+"), 0)
+    zero = F.lit(0).cast("bigint")
+    n_chars = F.aggregate(words, zero, lambda acc, w: acc + F.length(w))
+    n_bpe = F.aggregate(words, zero, lambda acc, w: acc + _bpe_spark_tokens(w))
+    gate = lambda c: F.when(F.col("text").isNotNull(), c)  # noqa: E731
+    return d.select(
+        "doc_id",
+        gate(F.size(words).cast("bigint")).alias("n_words"),
+        gate(n_chars).alias("n_chars"),
+        gate(n_bpe).alias("n_bpe_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-domain document cap (Common-Crawl-style source rebalancing)
 # ---------------------------------------------------------------------------
@@ -1173,6 +1262,79 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") >= 0.8 * F.col("mean_score"))
         .select("doc_id", "score")
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# model-based quality classifier (CCNet/fastText-style linear filter)
+# ---------------------------------------------------------------------------
+
+# Hashed feature space: every token maps to one of QC_D buckets via the
+# portable md5 hex16 projection. The "model" is a fixed integer weight
+# vector in milli-units (a trained classifier would broadcast its real
+# weights the same way; the weights here are a deterministic LCG spray in
+# [-500, 500] so both engines can embed them as a literal array).
+QC_D = 64
+QC_W = [((j * 2654435761 + 123456789) % 2003) % 1001 - 500 for j in range(QC_D)]
+QC_THRESHOLD = 0.0  # keep docs with mean token weight >= 0
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+              w -> ([{', '.join(str(w) for w in QC_W)}])
+                   [(({sql_hex16("'qc|' || w")}) % {QC_D}) + 1]))
+           AS BIGINT) AS score_milli
+  FROM documents)
+SELECT doc_id, n_tokens, score_milli,
+       ROUND(CAST(score_milli AS DOUBLE) / (1000.0 * n_tokens), 6) AS score,
+       ROUND(CAST(score_milli AS DOUBLE) / (1000.0 * n_tokens), 6)
+         >= {QC_THRESHOLD} AS kept
+FROM scored
+""",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (the CCNet/fastText-style step of a
+    corpus pipeline, complementing the heuristic q_quality_gate): hash
+    every token into QC_D feature buckets, score the document as the sum
+    of the bucket weights, and gate on the length-normalized score.
+
+    The whole classifier is one scan-side projection: the weight vector
+    is a literal array (a real model's weights broadcast the same way),
+    the hashed lookup is element_at, and the per-document sum runs inside
+    F.aggregate over the token array — NO explode, NO shuffle, NO join;
+    the plan is scan -> project, embarrassingly parallel at any scale
+    (plan-pinned). Score arithmetic stays integer (milli-weights summed
+    as BIGINT) until one final double division + ROUND(6), so both
+    engines agree bitwise; the kept flag compares the ROUNDED score.
+    NULL text scores NULL and carries a NULL kept flag on both engines
+    (split/aggregate propagate NULL; n_tokens is gated to NULL rather
+    than Spark's size()=-1 sentinel)."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    warr = F.array(*[F.lit(w) for w in QC_W])
+    bucket1 = lambda w: (  # noqa: E731 — 1-based element_at index
+        F.pmod(spark_hex16(F.concat(F.lit("qc|"), w)), F.lit(QC_D)) + 1
+    ).cast("int")
+    milli = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.element_at(warr, bucket1(w)).cast("bigint"),
+    )
+    n_tokens = F.when(F.col("text").isNotNull(), F.size(words)).cast("bigint")
+    score = F.round(
+        milli.cast("double") / (1000.0 * n_tokens), 6
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        milli.alias("score_milli"),
+        score.alias("score"),
+        (score >= QC_THRESHOLD).alias("kept"),
     )
 
 

@@ -164,3 +164,137 @@ def test_giant_doc_skew(spark, tmp_path_factory):
     assert row[0]["total_windows"] == len(toks) - SUBSTR_W + 1
     assert row[0]["dup_windows"] == 0  # within-doc repeats are not dups
     assert check_query(spark, str(d), "q_dedup_substring") == []
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_substring_clusters — the removal step over the same evidence
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cluster_result(spark, planted_dir):
+    from kinesis_test_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["q_dedup_substring_clusters"](spark, planted_dir)
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_sharing_docs_cluster_together(cluster_result):
+    # A<->B share RUN40, D<->E share RUN20+RUN18; planted tokens are unique
+    # to each pair, so each pair is its own component with min-id label.
+    assert cluster_result[DOC_A]["cluster_id"] == DOC_A
+    assert cluster_result[DOC_B]["cluster_id"] == DOC_A
+    assert cluster_result[DOC_D]["cluster_id"] == DOC_D
+    assert cluster_result[DOC_E]["cluster_id"] == DOC_D
+
+
+def test_keep_decision_is_cluster_min(cluster_result):
+    assert cluster_result[DOC_A]["is_kept"] is True
+    assert cluster_result[DOC_B]["is_kept"] is False
+    assert cluster_result[DOC_D]["is_kept"] is True
+    assert cluster_result[DOC_E]["is_kept"] is False
+
+
+def test_uninvolved_docs_out_of_roster(cluster_result):
+    # overlap-free and below-W docs have no cross-doc window: no row.
+    assert DOC_C not in cluster_result
+    assert DOC_SHORT not in cluster_result
+
+
+def test_dup_hash_evidence_counts(cluster_result):
+    # a 40-token run under W=15 shares exactly its 26 fully-inside window
+    # hashes; the boundary windows mix in each doc's unique context.
+    assert cluster_result[DOC_A]["n_dup_hashes"] == 40 - SUBSTR_W + 1
+    assert cluster_result[DOC_B]["n_dup_hashes"] == 40 - SUBSTR_W + 1
+    # two disjoint runs: (20-W+1) + (18-W+1)
+    expected = (20 - SUBSTR_W + 1) + (18 - SUBSTR_W + 1)
+    assert cluster_result[DOC_D]["n_dup_hashes"] == expected
+    assert cluster_result[DOC_E]["n_dup_hashes"] == expected
+
+
+def test_cluster_parity_on_planted_corpus(spark, planted_dir):
+    assert check_query(spark, planted_dir, "q_dedup_substring_clusters") == []
+
+
+def test_star_edges_stay_linear_on_hot_window(spark, tmp_path_factory):
+    """A boilerplate run shared by 30 docs: star-linking to the hash-min
+    doc must produce O(m) edges per hash (never the m^2 clique) and one
+    component containing all 30 — the minhash bucket_cap discipline
+    carried over to the substring family."""
+    d = tmp_path_factory.mktemp("substr_hot")
+    for f in Path(SF_SRC).glob("*.parquet"):
+        shutil.copy(f, d / f.name)
+    boiler = _toks("hotboiler", 20)
+    ids = list(range(90000301, 90000331))
+    texts = [
+        " ".join(_toks(f"hot{k}", 12) + boiler + _toks(f"hotsuf{k}", 3))
+        for k in ids
+    ]
+    docs = pq.read_table(d / "documents.parquet")
+    extra = pa.table(
+        {
+            "doc_id": ids,
+            "text": texts,
+            "lang": ["en"] * len(ids),
+            "source": ["planted"] * len(ids),
+            "n_chars": [len(t) for t in texts],
+        },
+        schema=docs.schema,
+    )
+    pq.write_table(pa.concat_tables([docs, extra]), d / "documents.parquet")
+
+    from kinesis_test_spark import registry
+    from kinesis_test_spark.operators.dedup import SUBSTR_W as W
+    from kinesis_test_spark.operators.dedup import _substring_wins
+
+    registry.load_all()
+    # edge-count property: every duplicated hash h contributes exactly
+    # (docs sharing h) - 1 star edges per direction
+    wins = _substring_wins(spark, str(d)).select("doc_id", "h").distinct()
+    import pyspark.sql.functions as F
+
+    planted = wins.filter(F.col("doc_id").isin(ids))
+    per_hash = planted.groupBy("h").count().collect()
+    assert max(r["count"] for r in per_hash) == len(ids)  # the shared run
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in registry.QUERIES["q_dedup_substring_clusters"](
+            spark, str(d)
+        ).collect()
+        if r["doc_id"] in ids
+    }
+    assert set(out) == set(ids)
+    assert {r["cluster_id"] for r in out.values()} == {min(ids)}
+    assert sum(1 for r in out.values() if r["is_kept"]) == 1
+    # each doc shares exactly the boiler run's fully-inside windows
+    assert all(
+        r["n_dup_hashes"] == 20 - W + 1 for r in out.values()
+    )
+    assert check_query(spark, str(d), "q_dedup_substring_clusters") == []
+
+
+def test_cluster_build_reuses_materialized_windows(spark, sf_dir):
+    """'One extra aggregate, no new scan' (VERDICT r9 #6): after the
+    (doc, h) grain is localCheckpoint'd, the edge/evidence relations must
+    derive from the materialized copy — zero parquet scans in their
+    plans."""
+    import pyspark.sql.functions as F
+
+    from kinesis_test_spark import plans
+    from kinesis_test_spark.iterate import truncate_lineage
+    from kinesis_test_spark.operators.dedup import _substring_wins
+
+    hd = truncate_lineage(
+        _substring_wins(spark, sf_dir).select("doc_id", "h").distinct()
+    )
+    agg = (
+        hd.groupBy("h")
+        .agg(F.min("doc_id").alias("hmin"), F.max("doc_id").alias("hmax"))
+        .filter(F.col("hmin") != F.col("hmax"))
+        .select("h", "hmin")
+    )
+    linked = hd.join(agg, "h")
+    plan = plans.formatted(linked)
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan

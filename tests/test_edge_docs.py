@@ -118,6 +118,11 @@ DOC_EDGE_KEYS = [
     "q_text_langid",
     "q_text_shard_export",
     "q_dedup_exact",
+    # round-10 keys: hashed-feature classifier and BPE encode (empty /
+    # 1-word docs exercise the empty-token hash bucket and the
+    # zero-merge/zero-token paths — VERDICT r9 #4/#5 edge-doc pins)
+    "q_quality_classifier",
+    "q_bpe_encode",
 ]
 
 # Keys over `embeddings` that compute a cosine: must survive the planted

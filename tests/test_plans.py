@@ -434,6 +434,18 @@ def test_shingle_identity_dedup_reuses_partitioning(spark, sf_dir, tmp_path):
     assert plan.count("+- Exchange") == 1, plan
 
 
+def test_quality_classifier_zero_shuffle(spark, sf_dir):
+    """The hashed-feature linear classifier is ONE scan-side projection:
+    weight lookup via a literal array + element_at, per-doc sum inside
+    F.aggregate over the token array. No explode, no join, no Exchange —
+    the gate is embarrassingly parallel at any scale (VERDICT r9 #4's
+    'no shuffle before the gate')."""
+    plan = plans.formatted(q("q_quality_classifier", spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    # formatted() prints each node twice (tree line + detail section)
+    assert plan.count("Scan parquet") == 2
+
+
 def test_dedup_substring_linear_no_cartesian(spark, sf_dir):
     """Exact-substring dedup: window-hash inverted index + one linear
     island/rollup tail — hash shuffles only, no pair explosion, and the
