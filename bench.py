@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "q_text_entropy",    # (doc,word) agg + windowed reduction (round 6)
     "q_mm_png_roundtrip",  # real-codec mapInPandas throughput (round 6)
     "q_dedup_substring", # sliding window-hash exact-overlap spans (round 9)
+    "q_quality_classifier",  # zero-shuffle hashed-feature model gate (round 10)
+    "q_bpe_encode",      # merge-table tokenizer mapper, codegen-bound (round 10)
     "s_ingest",          # streaming drain throughput
     "s_sink_partitioned",# partitioned JSON sink end-to-end
 ]
