@@ -1212,8 +1212,10 @@ SELECT s.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_segs,
        CAST(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_dup_segs,
-       ROUND(CAST(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 6) AS dup_ratio
+       -- raw IEEE quotient of exact counts — bit-identical cross-engine;
+       -- ROUND only adds decimal-halfway ties (round-10 finding)
+       CAST(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_ratio
 FROM segs s JOIN seg_df d ON s.h = d.h
 GROUP BY s.doc_id
 ORDER BY s.doc_id
@@ -1245,7 +1247,7 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_segs"),
             dup.cast("bigint").alias("n_dup_segs"),
-            F.round(dup.cast("double") / F.count(F.lit(1)), 6).alias("dup_ratio"),
+            (dup.cast("double") / F.count(F.lit(1))).alias("dup_ratio"),
         )
         .orderBy("doc_id")
     )
@@ -1492,10 +1494,11 @@ SELECT dd.dial,
        CAST(COALESCE(a.n_pred, 0) AS BIGINT) AS n_pred,
        tc.n_truth,
        CAST(COALESCE(a.n_hit, 0) AS BIGINT) AS n_hit,
-       ROUND(CAST(COALESCE(a.n_hit, 0) AS DOUBLE)
-             / NULLIF(COALESCE(a.n_pred, 0), 0), 6) AS precision,
-       ROUND(CAST(COALESCE(a.n_hit, 0) AS DOUBLE)
-             / NULLIF(tc.n_truth, 0), 6) AS recall
+       -- raw IEEE quotients of exact counts (no ROUND; round-10 finding)
+       CAST(COALESCE(a.n_hit, 0) AS DOUBLE)
+             / NULLIF(COALESCE(a.n_pred, 0), 0) AS precision,
+       CAST(COALESCE(a.n_hit, 0) AS DOUBLE)
+             / NULLIF(tc.n_truth, 0) AS recall
 FROM dialdim dd LEFT JOIN agg a ON a.dial = dd.dial, tc
 ORDER BY dd.dial
 """
@@ -1537,11 +1540,11 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_pred",
                 "n_truth",
                 "n_hit",
-                F.round(
-                    F.try_divide(F.col("n_hit").cast("double"), F.col("n_pred")), 6
+                F.try_divide(
+                    F.col("n_hit").cast("double"), F.col("n_pred")
                 ).alias("precision"),
-                F.round(
-                    F.try_divide(F.col("n_hit").cast("double"), F.col("n_truth")), 6
+                F.try_divide(
+                    F.col("n_hit").cast("double"), F.col("n_truth")
                 ).alias("recall"),
             )
         )
@@ -1563,8 +1566,9 @@ inter AS (
   FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id <> b.doc_id
   GROUP BY a.doc_id, b.doc_id)
 SELECT i.doc_a AS contained_doc, i.doc_b AS container_doc,
-       ROUND(CAST(i.n_inter AS DOUBLE) / sa.n, 6) AS containment,
-       ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6)
+       -- raw IEEE quotients of exact counts (no ROUND; round-10 finding)
+       CAST(i.n_inter AS DOUBLE) / sa.n AS containment,
+       CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)
          AS jaccard
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
@@ -1602,13 +1606,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("doc_a").alias("contained_doc"),
             F.col("doc_b").alias("container_doc"),
-            F.round(F.col("n_inter").cast("double") / F.col("na"), 6).alias(
-                "containment"
-            ),
-            F.round(
+            (F.col("n_inter").cast("double") / F.col("na")).alias("containment"),
+            (
                 F.col("n_inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("n_inter")),
-                6,
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
             ).alias("jaccard"),
         )
         .orderBy("contained_doc", "container_doc")
@@ -1690,7 +1691,8 @@ spans AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans,
 SELECT t.doc_id, t.total_windows, t.dup_windows,
        COALESCE(s.dup_spans, 0) AS dup_spans,
        COALESCE(s.max_span_tokens, 0) AS max_span_tokens,
-       ROUND(CAST(t.dup_windows AS DOUBLE) / t.total_windows, 6) AS dup_ratio
+       -- raw IEEE quotient of exact counts (no ROUND; round-10 finding)
+       CAST(t.dup_windows AS DOUBLE) / t.total_windows AS dup_ratio
 FROM tot t LEFT JOIN spans s ON t.doc_id = s.doc_id
 ORDER BY t.doc_id
 """,
@@ -1768,9 +1770,7 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "dup_ratio",
-            F.round(
-                F.col("dup_windows").cast("double") / F.col("total_windows"), 6
-            ),
+            F.col("dup_windows").cast("double") / F.col("total_windows"),
         )
         .orderBy("doc_id")
     )

@@ -1625,9 +1625,14 @@ pair AS (
   GROUP BY a.l_partkey, b.l_partkey
   HAVING COUNT(*) >= {BASKET_MIN_SUPPORT})
 SELECT p1, p2, n_pair,
-       ROUND(CAST(n_pair AS DOUBLE) / no.n, 6) AS support,
-       ROUND(CAST(n_pair AS DOUBLE) / i1.n_item, 6) AS confidence,
-       ROUND(CAST(n_pair AS DOUBLE) * no.n / (i1.n_item * i2.n_item), 6) AS lift
+       -- RAW IEEE quotients, no ROUND: all operands are exact integers
+       -- (counts < 2^53; the lift numerator/denominator products stay
+       -- exact too), so the correctly-rounded result is bit-identical
+       -- across engines — ROUND would only add decimal-halfway ties
+       -- where engine rounding modes diverge (round-10 finding)
+       CAST(n_pair AS DOUBLE) / no.n AS support,
+       CAST(n_pair AS DOUBLE) / i1.n_item AS confidence,
+       CAST(n_pair AS DOUBLE) * no.n / (i1.n_item * i2.n_item) AS lift
 FROM pair
 JOIN item i1 ON i1.l_partkey = p1
 JOIN item i2 ON i2.l_partkey = p2
@@ -1667,13 +1672,10 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p1",
             "p2",
             "n_pair",
-            F.round(F.col("n_pair").cast("double") / F.col("n"), 6).alias("support"),
-            F.round(F.col("n_pair").cast("double") / F.col("n1"), 6).alias(
-                "confidence"
-            ),
-            F.round(
-                F.col("n_pair").cast("double") * F.col("n") / (F.col("n1") * F.col("n2")),
-                6,
+            (F.col("n_pair").cast("double") / F.col("n")).alias("support"),
+            (F.col("n_pair").cast("double") / F.col("n1")).alias("confidence"),
+            (
+                F.col("n_pair").cast("double") * F.col("n") / (F.col("n1") * F.col("n2"))
             ).alias("lift"),
         )
         .orderBy(F.col("lift").desc(), "p1", "p2")

@@ -206,8 +206,12 @@ ranked AS (
   FROM counts)
 SELECT CAST(k AS BIGINT) AS n_keys, total AS n_rows,
        CAST(MAX(n) AS BIGINT) AS max_key_rows,
-       ROUND(CAST(MAX(n) AS DOUBLE) * k / total, 6) AS skew_factor,
-       ROUND(CAST(SUM((2.0 * r - k - 1) * n) AS DOUBLE) / (k * total), 6)
+       -- raw IEEE arithmetic over exact integer-valued operands (the gini
+       -- SUM's double summands are integer-valued and the running sum stays
+       -- under 2^53, so it is exact and order-independent) — no ROUND
+       -- (round-10 finding: rounding exact quotients adds halfway ties)
+       CAST(MAX(n) AS DOUBLE) * k / total AS skew_factor,
+       CAST(SUM((2.0 * r - k - 1) * n) AS DOUBLE) / (k * total)
          AS gini
 FROM ranked GROUP BY k, total
 """,
@@ -234,13 +238,12 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.groupBy("k", "total").agg(
         F.max("n").cast("bigint").alias("max_key_rows"),
-        F.round(F.max("n").cast("double") * F.col("k") / F.col("total"), 6).alias(
+        (F.max("n").cast("double") * F.col("k") / F.col("total")).alias(
             "skew_factor"
         ),
-        F.round(
+        (
             F.sum((2.0 * F.col("r") - F.col("k") - 1) * F.col("n")).cast("double")
-            / (F.col("k") * F.col("total")),
-            6,
+            / (F.col("k") * F.col("total"))
         ).alias("gini"),
     ).select(
         F.col("k").cast("bigint").alias("n_keys"),

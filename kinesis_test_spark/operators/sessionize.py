@@ -245,7 +245,8 @@ first_purchase AS (
   GROUP BY s.user_id, s.signup_ts)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_signups,
        CAST(COUNT(p.user_id) AS BIGINT) AS n_converted,
-       ROUND(CAST(COUNT(p.user_id) AS DOUBLE) / NULLIF(COUNT(*), 0), 6) AS conversion,
+       -- raw IEEE quotient of exact counts (no ROUND; round-10 finding)
+       CAST(COUNT(p.user_id) AS DOUBLE) / NULLIF(COUNT(*), 0) AS conversion,
        CAST(SUM(CASE WHEN p.user_id IS NOT NULL THEN
              (epoch_us(time_bucket(INTERVAL '1 millisecond', p.purchase_ts)) // 1000) - (epoch_us(time_bucket(INTERVAL '1 millisecond', p.signup_ts)) // 1000) END) AS BIGINT)
          AS total_lag_ms
@@ -295,8 +296,8 @@ def q_funnel_timeboxed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("c_user").cast("bigint").alias("n_converted"),
         # try_divide: zero signups (empty input) is NULL conversion, not
         # an ANSI divide-by-zero crash (edge_empty corpus)
-        F.round(
-            F.try_divide(F.count("c_user").cast("double"), F.count(F.lit(1))), 6
-        ).alias("conversion"),
+        F.try_divide(F.count("c_user").cast("double"), F.count(F.lit(1))).alias(
+            "conversion"
+        ),
         F.sum("lag_ms").cast("bigint").alias("total_lag_ms"),
     )

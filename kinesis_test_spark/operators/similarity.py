@@ -750,7 +750,8 @@ approx AS (
   WHERE rn <= {BATCH_TOP_K})
 SELECT ex.qid,
        CAST(COUNT(ap.vec_id) AS BIGINT) AS n_hit,
-       ROUND(CAST(COUNT(ap.vec_id) AS DOUBLE) / {BATCH_TOP_K}, 6)
+       -- raw IEEE quotient of exact counts (no ROUND; round-10 finding)
+       CAST(COUNT(ap.vec_id) AS DOUBLE) / {BATCH_TOP_K}
          AS recall_at_k
 FROM exact ex
 LEFT JOIN approx ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
@@ -825,9 +826,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(exact.qid)
         .agg(
             F.count("hit").cast("bigint").alias("n_hit"),
-            F.round(F.count("hit").cast("double") / BATCH_TOP_K, 6).alias(
-                "recall_at_k"
-            ),
+            (F.count("hit").cast("double") / BATCH_TOP_K).alias("recall_at_k"),
         )
         .orderBy("qid")
     )

@@ -1291,8 +1291,14 @@ WITH scored AS (
            AS BIGINT) AS score_milli
   FROM documents)
 SELECT doc_id, n_tokens, score_milli,
-       ROUND(CAST(score_milli AS DOUBLE) / (1000.0 * n_tokens), 6) AS score,
-       ROUND(CAST(score_milli AS DOUBLE) / (1000.0 * n_tokens), 6)
+       -- RAW IEEE quotient, no ROUND: both operands are exactly
+       -- representable integers, so the correctly-rounded division is
+       -- bit-identical across engines — ROUND(x, 6) would ADD a
+       -- decimal-halfway tie bomb (found at sf0.1: -4039/16000 =
+       -- -0.2524375 exactly; Spark HALF_UP and DuckDB's double rounding
+       -- disagree on the tie)
+       CAST(score_milli AS DOUBLE) / (1000.0 * n_tokens) AS score,
+       CAST(score_milli AS DOUBLE) / (1000.0 * n_tokens)
          >= {QC_THRESHOLD} AS kept
 FROM scored
 """,
@@ -1309,8 +1315,10 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     F.aggregate over the token array — NO explode, NO shuffle, NO join;
     the plan is scan -> project, embarrassingly parallel at any scale
     (plan-pinned). Score arithmetic stays integer (milli-weights summed
-    as BIGINT) until one final double division + ROUND(6), so both
-    engines agree bitwise; the kept flag compares the ROUNDED score.
+    as BIGINT) until ONE raw IEEE division — exact integer operands make
+    the correctly-rounded quotient bit-identical across engines, and
+    NO ROUND is applied (rounding an exact quotient only adds
+    decimal-halfway ties where engine rounding modes diverge).
     NULL text scores NULL and carries a NULL kept flag on both engines
     (split/aggregate propagate NULL; n_tokens is gated to NULL rather
     than Spark's size()=-1 sentinel)."""
@@ -1326,9 +1334,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, w: acc + F.element_at(warr, bucket1(w)).cast("bigint"),
     )
     n_tokens = F.when(F.col("text").isNotNull(), F.size(words)).cast("bigint")
-    score = F.round(
-        milli.cast("double") / (1000.0 * n_tokens), 6
-    )
+    score = milli.cast("double") / (1000.0 * n_tokens)
     return d.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -1564,8 +1570,9 @@ SELECT CAST({COVERAGE_VOCAB} AS BIGINT) AS vocab_size,
        CAST(COUNT(*) AS BIGINT) AS total_tokens,
        CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS oov_tokens,
-       ROUND(CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 6) AS oov_rate
+       -- raw IEEE quotient of exact counts (no ROUND; round-10 finding)
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_rate
 FROM w LEFT JOIN vocab v ON w.word = v.word
 """,
 )
@@ -1599,7 +1606,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(COVERAGE_VOCAB).cast("bigint").alias("vocab_size"),
         F.count(F.lit(1)).cast("bigint").alias("total_tokens"),
         oov.cast("bigint").alias("oov_tokens"),
-        F.round(oov.cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
+        (oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
     )
 
 
