@@ -111,8 +111,9 @@ _PRIORITY = [
     "s_state_ttl", "q_table_evolve",
     # Round-9: the ONE new registration (VERDICT r8 #4; drain budget ≤2).
     "q_dedup_substring",
-    # Round-10 keys (VERDICT r9 #4/#5/#6).
+    # Round-10 keys (VERDICT r9 #4/#5/#6 + the interval-overlap join).
     "q_quality_classifier", "q_bpe_encode", "q_dedup_substring_clusters",
+    "q_join_interval",
 ]
 
 

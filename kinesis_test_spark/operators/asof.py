@@ -248,3 +248,108 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+_DAY_MS = 86400000
+
+
+@query(
+    "q_join_interval",
+    oracle="""
+WITH acts AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         MIN(ts) AS a_start, MAX(ts) AS a_end
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2),
+spans AS (
+  SELECT user_id, strftime(time_bucket(INTERVAL '1 week', ts), '%Y-%m-%d')
+           AS week_start,
+         MIN(ts) AS b_start, MAX(ts) AS b_end
+  FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'
+  GROUP BY 1, 2)
+SELECT a.user_id, a.day, s.week_start,
+       CAST((epoch_us(time_bucket(INTERVAL '1 millisecond',
+              LEAST(a.a_end, s.b_end))) // 1000)
+          - (epoch_us(time_bucket(INTERVAL '1 millisecond',
+              GREATEST(a.a_start, s.b_start))) // 1000)
+         AS BIGINT) AS overlap_ms
+FROM acts a
+JOIN spans s
+  ON s.user_id = a.user_id
+ AND a.a_start <= s.b_end
+ AND s.b_start <= a.a_end
+""",
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join — the fourth temporal-join direction (asof
+    backward / asof forward / nearest exist above; this pairs two
+    INTERVAL relations): each user's DAILY activity interval
+    [first event, last event] against the same user's WEEKLY purchase
+    span [first purchase, last purchase of the week], emitting the
+    overlap duration — "which active days fell inside the user's buying
+    window", the engagement-overlap relation behind attribution and
+    churn features.
+
+    Scale shape: the naive form is an inequality-only join (a per-user
+    cartesian — BroadcastNestedLoopJoin at best). The engine decomposes
+    it into an EQUI-join on (user, day-bucket): each side explodes to
+    the day buckets its interval covers (a daily interval covers exactly
+    one; a weekly span covers up to 7), two overlapping intervals always
+    share the bucket of any common instant, and a distinct() collapses
+    pairs that met in several buckets. The shuffle keys on (user,
+    bucket) — plan-pinned: no CartesianProduct, no
+    BroadcastNestedLoopJoin. Timeless rows are quarantined (a row with
+    no event time belongs to no interval — stated on both engines);
+    intervals are CLOSED on both ends (min/max are observed instants),
+    so touching endpoints overlap with overlap_ms 0.
+
+    Reference analog: none (the reference has no joins at all) — SURVEY
+    §2's temporal-join family completion."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    acts = (
+        ev.groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.min("ts").alias("a_start"), F.max("ts").alias("a_end"))
+        # a day-grouped interval covers exactly its own day bucket
+        .withColumn("bucket", F.floor(F.unix_millis("a_start") / _DAY_MS))
+    )
+    spans = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias(
+                "week_start"
+            ),
+        )
+        .agg(F.min("ts").alias("b_start"), F.max("ts").alias("b_end"))
+    )
+    sb = spans.select(
+        F.col("user_id").alias("s_user"),
+        "week_start",
+        "b_start",
+        "b_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_millis("b_start") / _DAY_MS),
+                F.floor(F.unix_millis("b_end") / _DAY_MS),
+            )
+        ).alias("bucket"),
+    )
+    return (
+        acts.join(sb, (acts.user_id == sb.s_user) & (acts.bucket == sb.bucket))
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select(
+            "user_id",
+            "day",
+            "week_start",
+            (
+                F.unix_millis(F.least("a_end", "b_end"))
+                - F.unix_millis(F.greatest("a_start", "b_start"))
+            )
+            .cast("bigint")
+            .alias("overlap_ms"),
+        )
+        .distinct()
+    )

@@ -137,6 +137,7 @@ HOTKEY_EDGE_KEYS = [
     "q_dedup_substring_clusters",
     "q_quality_classifier",
     "q_bpe_encode",
+    "q_join_interval",
 ]
 
 

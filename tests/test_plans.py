@@ -446,6 +446,16 @@ def test_quality_classifier_zero_shuffle(spark, sf_dir):
     assert plan.count("Scan parquet") == 2
 
 
+def test_join_interval_bucketed_no_cartesian(spark, sf_dir):
+    """The interval-overlap join must decompose to an EQUI-join on
+    (user, day-bucket) — an inequality-only formulation would plan as a
+    BroadcastNestedLoopJoin (per-user cartesian), the scale-killer this
+    operator exists to avoid."""
+    plan = plans.formatted(q("q_join_interval", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_dedup_substring_linear_no_cartesian(spark, sf_dir):
     """Exact-substring dedup: window-hash inverted index + one linear
     island/rollup tail — hash shuffles only, no pair explosion, and the
