@@ -102,12 +102,64 @@ def burn_probe() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+_PAR_BURN_THREADS = 8
+
+
+def burn_probe_parallel(n_threads: int = _PAR_BURN_THREADS) -> float:
+    """Wall seconds for ``n_threads`` CONCURRENT copies of the single-core
+    burn. hashlib releases the GIL for 64 KiB buffers, so the threads
+    genuinely occupy N cores — quiet-host wall ≈ the single-probe time,
+    and it inflates with PARALLEL-throughput contention that the
+    single-core probe cannot see (r10 VERDICT #3: BENCH_r10 ran at
+    loadavg 7.98 with host_factor 1.0 because one free core kept the
+    single burn at baseline while the 32-thread suite ran ~16% hot)."""
+    import hashlib
+    import threading
+
+    def work() -> None:
+        h = b""
+        for _ in range(_BURN_ITERS):
+            h = hashlib.md5(_BURN_BUF + h).digest()
+
+    threads = [threading.Thread(target=work) for _ in range(n_threads)]
+    t0 = time.perf_counter()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    return round(time.perf_counter() - t0, 3)
+
+
+def host_factor_from_probes(
+    cur: dict[str, float | None], prev: dict[str, float | None]
+) -> float:
+    """The regression-threshold multiplier for this run's host: the WORST
+    of the single-core and 8-way-parallel probe inflation ratios vs the
+    baseline run's floors (never below 1.0 — a quieter-than-baseline host
+    still gates at the plain ratio). A probe kind missing on either side
+    (old BENCH files predate the parallel probe) simply doesn't vote."""
+    ratios = [
+        cur[k] / prev[k]
+        for k in ("single", "par8")
+        if cur.get(k) and prev.get(k)
+    ]
+    return max(1.0, round(max(ratios), 3)) if ratios else 1.0
+
+
+def _probe_floor(host: dict, *keys: str) -> float | None:
+    """min of the named probe fields — the run's least-contended moment."""
+    probes = [host.get(k) for k in keys]
+    probes = [float(p) for p in probes if isinstance(p, (int, float)) and p > 0]
+    return min(probes) if probes else None
+
+
 def previous_bench(
     here: str, sf: float | None = None
-) -> tuple[str | None, dict[str, float], float | None]:
+) -> tuple[str | None, dict[str, float], dict[str, float | None]]:
     """Latest BENCH_r*.json per-query timings plus that run's burn-probe
-    floor (min of before/after — its least-contended moment); empty if
-    none parseable.
+    floors ({"single": …, "par8": …} — min of before/after, the run's
+    least-contended moment; a missing kind is None); empty if none
+    parseable.
 
     When ``sf`` is given, only a baseline recorded at the same scale factor
     qualifies — timings across scales aren't comparable."""
@@ -125,18 +177,19 @@ def previous_bench(
             continue
         if isinstance(queries, dict) and queries:
             host = data["parsed"].get("host") or {}
-            probes = [
-                host.get("burn_probe_sec_before"),
-                host.get("burn_probe_sec_after"),
-            ]
-            probes = [float(p) for p in probes if isinstance(p, (int, float)) and p > 0]
-            prev_burn = min(probes) if probes else None
             return (
                 os.path.basename(path),
                 {k: float(v) for k, v in queries.items()},
-                prev_burn,
+                {
+                    "single": _probe_floor(
+                        host, "burn_probe_sec_before", "burn_probe_sec_after"
+                    ),
+                    "par8": _probe_floor(
+                        host, "burn_par8_sec_before", "burn_par8_sec_after"
+                    ),
+                },
             )
-    return None, {}, None
+    return None, {}, {"single": None, "par8": None}
 
 
 def flag_regressions(
@@ -185,6 +238,7 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     load_before = os.getloadavg()
     probe_before = burn_probe()
+    par_before = burn_probe_parallel()
     registry.load_all()
     spark = get_spark("kinesis_test_spark-bench")
     if restaged:
@@ -245,23 +299,26 @@ def main() -> None:
     # restaged timings aren't comparable to the single-file history — only
     # gate same-staging runs against each other
     baseline, prev, prev_burn = (
-        (None, {}, None)
+        (None, {}, {"single": None, "par8": None})
         if restaged
         else previous_bench(os.path.dirname(os.path.abspath(__file__)), sf)
     )
     probe_after = burn_probe()
+    par_after = burn_probe_parallel()
     load_after = os.getloadavg()
-    # Host-aware gate (r9 verdict): a contended driver host inflates every
-    # entry uniformly (BENCH_r09 median 1.21× with loadavg 9.27 minted a
-    # phantom 2.03× q_join_asof flag). The burn probe is the same fixed
-    # single-core workload every round, so the ratio of this run's probe
-    # floor to the baseline run's probe floor IS the host inflation factor
-    # — scale the regression threshold by it (never below 1.0, so a
-    # quieter-than-baseline host still gates at the plain ratio).
-    cur_burn = min(probe_before, probe_after)
-    host_factor = (
-        max(1.0, round(cur_burn / prev_burn, 3)) if prev_burn else 1.0
-    )
+    # Host-aware gate (r9 verdict, widened r11): a contended driver host
+    # inflates every entry uniformly (BENCH_r09 median 1.21× with loadavg
+    # 9.27 minted a phantom 2.03× q_join_asof flag). Both probes run the
+    # same fixed workload every round, so this run's floor over the
+    # baseline run's floor IS the host inflation factor. The WORST of the
+    # single-core and 8-way ratios gates (r10 VERDICT #3: a loaded host
+    # with one free core keeps the single burn at baseline while parallel
+    # throughput — what the 32-thread suite actually consumes — runs hot).
+    cur_burn = {
+        "single": min(probe_before, probe_after),
+        "par8": min(par_before, par_after),
+    }
+    host_factor = host_factor_from_probes(cur_burn, prev_burn)
     effective_ratio = round(REGRESSION_RATIO * host_factor, 3)
     print(
         json.dumps(
@@ -290,6 +347,8 @@ def main() -> None:
                     "loadavg_after": [round(x, 2) for x in load_after],
                     "burn_probe_sec_before": probe_before,
                     "burn_probe_sec_after": probe_after,
+                    "burn_par8_sec_before": par_before,
+                    "burn_par8_sec_after": par_after,
                 },
             }
         )

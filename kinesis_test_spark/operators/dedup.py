@@ -708,6 +708,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return min_label_components(edges, roster)
 
 
+MIN_LABEL_MAX_ROUNDS = 50  # >> any plausible component diameter; fixed-point
+# break is the normal exit, so unused rounds cost nothing — the bound only
+# exists to turn a pathological/never-converging topology into a loud error.
+
+
 def min_label_components(edges: DataFrame, roster: DataFrame) -> DataFrame:
     """Connected components by iterative min-label propagation (HashToMin):
     label ← min(own, neighbors') until a fixed point. ``edges`` is a
@@ -717,10 +722,13 @@ def min_label_components(edges: DataFrame, roster: DataFrame) -> DataFrame:
     truncated per round (truncate_lineage — reliable checkpoint() on a
     cluster with a checkpoint dir, localCheckpoint here). Shared by
     q_dedup_clusters (Jaccard edges) and q_dedup_substring_clusters
-    (shared-window star edges)."""
+    (shared-window star edges). RAISES if the fixed point is not reached
+    within MIN_LABEL_MAX_ROUNDS rounds — partially-propagated labels are
+    silently wrong, never returned (r10 ADVICE)."""
     labels = roster.select("doc_id", F.col("doc_id").alias("cluster_id"))
     edges = truncate_lineage(edges)  # fixed edge set, reused every round
-    for _ in range(16):  # bound >> component diameter; breaks at fixed point
+    changed = 0
+    for _ in range(MIN_LABEL_MAX_ROUNDS):  # breaks at fixed point
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy(F.col("u").alias("doc_id"))
@@ -744,6 +752,16 @@ def min_label_components(edges: DataFrame, roster: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # A component whose diameter exceeds the round bound would return
+        # PARTIALLY-propagated labels — silently wrong clusters. Long doc
+        # chains (A~B~C~... via successive overlapping boilerplate) are
+        # plausible on real corpora, so fail loudly instead (r10 ADVICE).
+        raise RuntimeError(
+            f"min_label_components did not converge within "
+            f"{MIN_LABEL_MAX_ROUNDS} rounds — component diameter exceeds the "
+            f"bound; raise MIN_LABEL_MAX_ROUNDS"
+        )
     return labels
 
 
@@ -1378,10 +1396,12 @@ reach(u, v) AS (
   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
 clusters AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
 scored AS (
+  -- raw IEEE quotient of exact integers — bit-identical cross-engine,
+  -- never ROUNDed (r10 VERDICT #2: ROUND adds decimal-halfway ties)
   SELECT c.doc_id, c.cluster_id,
-         ROUND(CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+         CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
                * len(list_distinct(string_split(d.text, ' ')))
-               / len(string_split(d.text, ' ')), 6) AS score
+               / len(string_split(d.text, ' ')) AS score
   FROM clusters c
   JOIN (SELECT DISTINCT doc_id, text FROM documents WHERE doc_id IS NOT NULL) d
     ON d.doc_id = c.doc_id),
@@ -1419,9 +1439,8 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = labels.join(d, "doc_id").select(
         "doc_id",
         "cluster_id",
-        F.round(n_distinct.cast("double") * n_distinct / F.size(words), 6).alias(
-            "score"
-        ),
+        # raw IEEE quotient of exact integers — bit-identical cross-engine
+        (n_distinct.cast("double") * n_distinct / F.size(words)).alias("score"),
     )
     w = Window.partitionBy("cluster_id").orderBy(F.col("score").desc(), "doc_id")
     return (

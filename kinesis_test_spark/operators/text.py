@@ -1223,43 +1223,60 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH scored AS (
   SELECT doc_id,
-         ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               * len(list_distinct(string_split(text, ' ')))
-               / len(string_split(text, ' ')), 6) AS score
-  FROM documents),
+         CAST(nd * nd AS DOUBLE) / nw AS score,
+         (nd * nd * 1000000) // nw AS score_micros
+  FROM (SELECT doc_id,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+        FROM documents)),
 thr AS (
-  SELECT CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_score
+  SELECT CAST(SUM(score_micros) AS HUGEINT) AS total_micros,
+         CAST(COUNT(*) AS HUGEINT) AS cnt
   FROM scored)
 SELECT s.doc_id, s.score
 FROM scored s, thr
-WHERE s.score >= 0.8 * thr.mean_score
+WHERE CAST(s.score_micros AS HUGEINT) * 10 * thr.cnt >= 8 * thr.total_micros
 ORDER BY s.doc_id
 """,
 )
 def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative quality gate: score every document (lexical
     diversity² / length — rewards long AND non-repetitive text), then keep
-    docs above 0.8x the corpus MEAN score (drops the weak ~10% tail). The threshold is one decimal-
-    exact aggregate broadcast back over the scan — a scale-free gate with
-    NO global sort/percentile machinery (a percent-rank gate needs a total
-    order, i.e. a single-partition window; a mean-relative gate costs one
-    1-row broadcast). Two scans of the lightweight scored relation, zero
-    shuffles of document text."""
+    docs above 0.8x the corpus MEAN score (drops the weak ~10% tail).
+    Cross-engine exactness (r10 VERDICT #2): the EMITTED score is the raw
+    IEEE quotient d²/len (both integers < 2^53 ⇒ correctly-rounded,
+    bit-identical — never ROUNDed); the GATE runs entirely in integers —
+    score_micros = (d²·10⁶) div len (positive BIGINTs, truncation=floor on
+    both engines) and the mean-relative keep test cross-multiplied as
+    10·micros·cnt ≥ 8·Σmicros in DECIMAL(38,0)/HUGEINT — so no decimal
+    rounding path (and no halfway-tie bomb) exists on either side. The
+    threshold is one exact aggregate broadcast back over the scan — a
+    scale-free gate with NO global sort/percentile machinery (a
+    percent-rank gate needs a total order, i.e. a single-partition window;
+    a mean-relative gate costs one 1-row broadcast). Two scans of the
+    lightweight scored relation, zero shuffles of document text."""
     d = t(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    n_distinct = F.size(F.array_distinct(words))
-    score = F.round(
-        n_distinct.cast("double") * n_distinct / F.size(words), 6
+    base = d.select(
+        "doc_id",
+        F.size(F.array_distinct(words)).cast("bigint").alias("nd"),
+        F.size(words).cast("bigint").alias("nw"),
     )
-    scored = d.select("doc_id", score.alias("score"))
+    scored = base.select(
+        "doc_id",
+        ((F.col("nd") * F.col("nd")).cast("double") / F.col("nw")).alias("score"),
+        F.expr("(nd * nd * 1000000) div nw").alias("score_micros"),
+    )
     thr = scored.agg(
-        (F.sum(F.col("score").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias(
-            "mean_score"
-        )
+        F.sum(F.col("score_micros").cast("decimal(38,0)")).alias("total_micros"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"),
     )
     return (
         scored.crossJoin(F.broadcast(thr))
-        .filter(F.col("score") >= 0.8 * F.col("mean_score"))
+        .filter(
+            F.col("score_micros").cast("decimal(38,0)") * 10 * F.col("cnt")
+            >= F.col("total_micros") * 8
+        )
         .select("doc_id", "score")
         .orderBy("doc_id")
     )
@@ -1396,7 +1413,10 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 AUDIT_MIN_WORDS = 20
-AUDIT_MIN_SCORE = 8.0
+# Quality-gate threshold, in micro-units: the gate compares in exact
+# integer cross-multiplied form d²·10⁶ ≥ THRESHOLD_MICROS·len (r10
+# VERDICT #2 — no float/decimal rounding path, no halfway-tie bomb).
+AUDIT_MIN_SCORE_MICROS = 8_000_000  # i.e. diversity²/len >= 8.0
 AUDIT_SEG_WORDS = 10
 
 
@@ -1406,9 +1426,7 @@ AUDIT_SEG_WORDS = 10
 WITH d AS (
   SELECT doc_id,
          len(string_split(text, ' ')) AS n_words,
-         ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               * len(list_distinct(string_split(text, ' ')))
-               / len(string_split(text, ' ')), 6) AS score
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
   FROM documents),
 segs AS (
   SELECT doc_id,
@@ -1429,7 +1447,8 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_raw,
             AS BIGINT) AS n_nodup,
        CAST(SUM(CASE WHEN n_words >= {AUDIT_MIN_WORDS}
                       AND t.doc_id IS NULL
-                      AND score >= {AUDIT_MIN_SCORE} THEN 1 ELSE 0 END)
+                      AND nd * nd * 1000000 >= {AUDIT_MIN_SCORE_MICROS} * n_words
+                 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_gated
 FROM d LEFT JOIN has_earlier_twin t ON d.doc_id = t.doc_id
 """,
@@ -1447,13 +1466,10 @@ def q_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap per-run report and 4x the pipeline cost at 100 TB."""
     d = t(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    n_distinct = F.size(F.array_distinct(words))
     base = d.select(
         "doc_id",
         F.size(words).alias("n_words"),
-        F.round(n_distinct.cast("double") * n_distinct / F.size(words), 6).alias(
-            "score"
-        ),
+        F.size(F.array_distinct(words)).cast("bigint").alias("nd"),
     )
     seg_hash = F.expr(
         f"transform(sequence(0, int(ceil(size(w) / {AUDIT_SEG_WORDS}.0)) - 1),"
@@ -1476,7 +1492,11 @@ def q_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = base.join(twins, base.doc_id == twins.twin_doc, "left")
     minlen = F.col("n_words") >= AUDIT_MIN_WORDS
     nodup = minlen & F.col("twin_doc").isNull()
-    gated = nodup & (F.col("score") >= AUDIT_MIN_SCORE)
+    # exact integer cross-multiplication — no rounding path (r10 VERDICT #2)
+    gated = nodup & (
+        F.col("nd") * F.col("nd") * F.lit(1000000)
+        >= F.lit(AUDIT_MIN_SCORE_MICROS) * F.col("n_words").cast("bigint")
+    )
 
     def stage(cond, alias):
         return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(alias)

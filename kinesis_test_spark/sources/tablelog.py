@@ -113,13 +113,29 @@ def commit(
     )
 
 
-# Per-(table, sink) incremental scan state: (highest version parsed,
-# batch_ids seen for that sink). Commits are immutable and versions dense,
-# so a JSON file never needs parsing twice per process — the common MISS
-# case (a never-before-seen batch id) costs O(commits since last call)
-# instead of O(total commits) per micro-batch (O(n²) over a sink's
-# lifetime; r9 ADVICE).
-_BATCH_SCAN_CACHE: dict[tuple[str, str], tuple[int, set[int]]] = {}
+# Per-(table, sink) incremental scan state: (log fingerprint, highest
+# version parsed, batch_ids seen for that sink). Commits are immutable and
+# versions dense, so a JSON file never needs parsing twice per process —
+# the common MISS case (a never-before-seen batch id) costs O(commits
+# since last call) instead of O(total commits) per micro-batch (O(n²) over
+# a sink's lifetime; r9 ADVICE).
+_BATCH_SCAN_CACHE: dict[tuple[str, str], tuple[tuple, int, set[int]]] = {}
+
+
+def _log_fingerprint(log: Path) -> tuple:
+    """Identity of THIS log incarnation: the (device, inode, mtime_ns) of
+    the version-0 commit file. Commit files are created once by the
+    os.link CAS and never rewritten, so the triple is stable for a live
+    log but changes when the log is deleted and recreated at the same
+    path — even if the new log grows back to >= the cached tip with dense
+    versions, which the version-count density check alone cannot see
+    (r10 ADVICE: a stale `seen` set would report a batch as committed
+    that the new log never recorded — a silently lost batch)."""
+    try:
+        st = (log / f"{0:05d}.json").stat()
+    except OSError:
+        return ()
+    return (st.st_dev, st.st_ino, st.st_mtime_ns)
 
 
 def batch_committed(table_dir: Path, batch_id: int, sink: str) -> bool:
@@ -143,7 +159,10 @@ def batch_committed(table_dir: Path, batch_id: int, sink: str) -> bool:
     don't match this sink."""
     log = Path(table_dir) / LOG_DIR
     key = (os.path.abspath(str(table_dir)), sink)
-    last, seen = _BATCH_SCAN_CACHE.get(key, (-1, set()))
+    fp = _log_fingerprint(log)
+    cached_fp, last, seen = _BATCH_SCAN_CACHE.get(key, ((), -1, set()))
+    if fp != cached_fp:
+        last, seen = -1, set()
     paths = sorted(log.glob("*.json"))
     if sum(1 for p in paths if int(p.stem) <= last) != last + 1:
         last, seen = -1, set()
@@ -156,7 +175,11 @@ def batch_committed(table_dir: Path, batch_id: int, sink: str) -> bool:
         if meta.get("sink") == sink and "batch_id" in meta:
             seen.add(meta["batch_id"])
         last = v
-    _BATCH_SCAN_CACHE[key] = (last, seen)
+    # Store the PRE-scan fingerprint: if the log was recreated mid-scan,
+    # the next call's fresh stat mismatches and forces a rescan. (Storing
+    # a post-scan stat could pair the NEW log's identity with the OLD
+    # log's seen set — exactly the stale-cache bug the fingerprint kills.)
+    _BATCH_SCAN_CACHE[key] = (fp, last, seen)
     return batch_id in seen
 
 

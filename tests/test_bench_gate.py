@@ -48,11 +48,15 @@ def test_previous_bench_picks_latest_parseable(tmp_path):
     name, prev, prev_burn = bench.previous_bench(str(tmp_path))
     assert name == "BENCH_r02.json"
     assert prev == {"q_a": 2.0}
-    assert prev_burn is None  # no host block recorded
+    assert prev_burn == {"single": None, "par8": None}  # no host block
 
 
 def test_previous_bench_none_when_absent(tmp_path):
-    assert bench.previous_bench(str(tmp_path)) == (None, {}, None)
+    assert bench.previous_bench(str(tmp_path)) == (
+        None,
+        {},
+        {"single": None, "par8": None},
+    )
 
 
 def test_previous_bench_requires_matching_sf(tmp_path):
@@ -65,7 +69,11 @@ def test_previous_bench_requires_matching_sf(tmp_path):
     name, prev, _ = bench.previous_bench(str(tmp_path), sf=0.1)
     assert name == "BENCH_r01.json"
     assert prev == {"q_a": 1.0}
-    assert bench.previous_bench(str(tmp_path), sf=0.5) == (None, {}, None)
+    assert bench.previous_bench(str(tmp_path), sf=0.5) == (
+        None,
+        {},
+        {"single": None, "par8": None},
+    )
 
 
 def test_previous_bench_reads_burn_probe_floor(tmp_path):
@@ -86,7 +94,92 @@ def test_previous_bench_reads_burn_probe_floor(tmp_path):
     )
     name, prev, prev_burn = bench.previous_bench(str(tmp_path))
     assert name == "BENCH_r01.json"
-    assert prev_burn == 0.34
+    assert prev_burn == {"single": 0.34, "par8": None}
+
+
+def test_previous_bench_reads_parallel_probe_floor(tmp_path):
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps(
+            {
+                "parsed": {
+                    "queries": {"q_a": 1.0},
+                    "host": {
+                        "burn_probe_sec_before": 0.52,
+                        "burn_probe_sec_after": 0.34,
+                        "burn_par8_sec_before": 0.80,
+                        "burn_par8_sec_after": 0.61,
+                    },
+                }
+            }
+        )
+    )
+    _, _, prev_burn = bench.previous_bench(str(tmp_path))
+    assert prev_burn == {"single": 0.34, "par8": 0.61}
+
+
+def test_host_factor_takes_worst_probe_ratio():
+    # BENCH_r10 shape (r10 VERDICT #3): one free core keeps the single
+    # burn at baseline while parallel throughput runs 2x hot — the
+    # PARALLEL ratio must drive the factor.
+    prev = {"single": 0.5, "par8": 0.6}
+    cur = {"single": 0.5, "par8": 1.2}
+    assert bench.host_factor_from_probes(cur, prev) == 2.0
+    # symmetric: single-core contention with quiet parallel also gates
+    assert bench.host_factor_from_probes({"single": 1.0, "par8": 0.6}, prev) == 2.0
+
+
+def test_host_factor_never_discounts_below_one():
+    # a quieter-than-baseline host gates at the plain ratio
+    prev = {"single": 0.5, "par8": 0.6}
+    assert bench.host_factor_from_probes({"single": 0.3, "par8": 0.4}, prev) == 1.0
+
+
+def test_host_factor_missing_probe_kinds_dont_vote():
+    # old BENCH files predate the parallel probe — single-only baseline
+    assert (
+        bench.host_factor_from_probes(
+            {"single": 1.0, "par8": 1.2}, {"single": 0.5, "par8": None}
+        )
+        == 2.0
+    )
+    # no baseline probes at all → factor 1.0
+    assert (
+        bench.host_factor_from_probes(
+            {"single": 1.0, "par8": 1.2}, {"single": None, "par8": None}
+        )
+        == 1.0
+    )
+
+
+def test_parallel_probe_measures_contention():
+    # The 8-way probe must actually inflate under a deliberate
+    # core-saturating background load (the discount direction the gate
+    # relies on). 64 hog threads on a 32-core host leave each probe
+    # thread <0.5 core (~2x+ expected); generous 1.3x margin so shared-
+    # host noise can't flake it (extra tenant load only inflates the
+    # LOADED reading further — the quiet floor is a min of 3).
+    import threading
+
+    quiet = min(bench.burn_probe_parallel() for _ in range(3))
+    stop = threading.Event()
+
+    def hog():
+        import hashlib
+
+        h = b""
+        while not stop.is_set():
+            h = hashlib.md5(bench._BURN_BUF + h).digest()
+
+    hogs = [threading.Thread(target=hog) for _ in range(64)]
+    for t in hogs:
+        t.start()
+    try:
+        loaded = min(bench.burn_probe_parallel() for _ in range(2))
+    finally:
+        stop.set()
+        for t in hogs:
+            t.join()
+    assert loaded > 1.3 * quiet, (quiet, loaded)
 
 
 def test_host_factor_scales_gate():
