@@ -232,6 +232,65 @@ def restage(spark, sf_dir: str, n_files: int = 32) -> str:
     return str(d)
 
 
+def streaming_throughput(spark, sf_dir: str, n_files: int = 8) -> dict:
+    """Rows/sec SATURATION drain (r10 VERDICT #6): stage the events table
+    as ``n_files`` parquet files, then drain them through the reference-
+    pipeline projection (ts-normalize → null-gate → y/m/d/h partition key)
+    into a noop sink with trigger(availableNow) and NO per-trigger file
+    throttle — one saturated pass over a fixed input volume. The
+    s_ingest / s_sink_partitioned headline entries measure TRIGGER
+    latency (4 and 6 scheduler round-trips), which three rounds of flags
+    proved is scheduler-noise-bound; a regression in actual streaming
+    throughput shows up here as a RATE drop instead."""
+    from pyspark.sql import functions as F
+
+    from kinesis_test_spark.streaming.pipeline import (
+        read_staged_stream,
+        scratch_dir,
+    )
+
+    d = scratch_dir("bench_stream_throughput")
+    stage = d / "in"
+    stage.mkdir()
+    # raw read/write: staged bytes keep the fixture's ts encoding, the
+    # stream reader normalizes after the scan (same contract as restage)
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(str(stage))
+    stream = read_staged_stream(spark, sf_dir, stage)
+    shaped = (
+        stream.filter(F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.format_string(
+                "y=%d/m=%d/d=%d/h=%d",
+                F.year("ts"),
+                F.month("ts"),
+                F.dayofmonth("ts"),
+                F.hour("ts"),
+            ).alias("s3_key"),
+        )
+    )
+    t0 = time.perf_counter()
+    q = (
+        shaped.writeStream.format("noop")
+        .option("checkpointLocation", str(d / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    rows = sum(int(p["numInputRows"]) for p in (q.recentProgress or []))
+    return {
+        "rows": rows,
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+        "n_files": n_files,
+    }
+
+
 def main() -> None:
     restaged = "--restaged" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -290,6 +349,12 @@ def main() -> None:
         force(registry.QUERIES["q_dedup_incremental"](spark, sf_dir))
         timings["q_dedup_incremental_warm"] = round(time.perf_counter() - t0, 3)
 
+    # Streaming SATURATION drain (r10 VERDICT #6): fixed input volume, no
+    # trigger throttle — regressions show up as a rate drop where the
+    # s_ingest/s_sink entries only measure scheduler round-trip latency.
+    stream_stats = streaming_throughput(spark, sf_dir)
+    timings["s_throughput_drain"] = stream_stats["wall_sec"]
+
     # The summed headline excludes warm-path re-measurements so `value`
     # keeps the same definition as every prior round's recording (the warm
     # entries still appear per-query for the regression gate / BASELINE.md).
@@ -329,6 +394,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "staging": "32-file" if restaged else "single-file",
+                "streaming": stream_stats,
                 "regressions": {
                     "baseline": baseline,
                     "threshold_ratio": REGRESSION_RATIO,

@@ -37,7 +37,7 @@ from kinesis_test_spark.functions.porthash import (
     sql_ascii_upper,
 )
 from kinesis_test_spark.iterate import truncate_lineage
-from kinesis_test_spark.operators.similarity import vec_valid
+from kinesis_test_spark.operators.similarity import _SQL_VEC_VALID, vec_valid
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import SQL_UNIQUE_DOCS, t, unique_docs
 
@@ -1204,6 +1204,139 @@ def q_dedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("cell") == F.col("cid_b")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", "cell", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-shape): cluster → drop within-cluster near-dups
+# keeping the most-diverse representative
+# ---------------------------------------------------------------------------
+
+# Keep/drop verdict per vector, not a pair list: within each coarse cell a
+# vector is DROPPED when a MORE-KEEPABLE near-duplicate exists. Following
+# the SemDeDup recipe (Abbas et al. 2023: within k-means clusters, remove
+# high-cosine semantic duplicates keeping the examples with LOW cosine to
+# the centroid — maximizing retained diversity), "more keepable" = lower
+# centroid similarity, tie-broken by smaller vec_id. The exists-a-better-
+# near-dup rule is deterministic and oracle-expressible, unlike the
+# paper's order-dependent greedy sweep, and keeps at least one member of
+# every mutually-similar group (its keepability minimum).
+SEM_DUP_THRESHOLD = COSINE_THRESHOLD  # pair cosine at/above this = same meaning
+
+
+@query(
+    "q_dedup_semantic",
+    oracle=f"""
+WITH cent AS (SELECT vec_id AS cid, (CASE WHEN {_SQL_VEC_VALID} THEN CAST(embedding AS DOUBLE[]) END) AS ce
+              FROM embeddings WHERE vec_id < {_N_CELLS} AND {_SQL_VEC_VALID}),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE {_SQL_VEC_VALID}),
+scored AS (
+  SELECT v.vec_id, v.e, cent.cid,
+         ROUND(list_cosine_similarity(v.e, cent.ce), 6) AS sim,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND(list_cosine_similarity(v.e, cent.ce), 6) DESC, cent.cid) AS rn
+  FROM v, cent),
+assigned AS (SELECT vec_id, e, cid, sim AS cent_sim FROM scored WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id <> b.vec_id
+   AND ROUND(list_cosine_similarity(a.e, b.e), 4) >= {SEM_DUP_THRESHOLD}
+   AND (b.cent_sim < a.cent_sim
+        OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id)))
+SELECT a.vec_id, a.cid AS cell, a.cent_sim,
+       (d.vec_id IS NULL) AS is_kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
+""",
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-shape (r10 VERDICT #5 — the one missing
+    dedup modality): assign every valid vector to its nearest coarse-
+    codebook centroid (the deterministic first-C codebook + broadcast
+    argmax of similarity.py's IVF machinery), then within each cell drop
+    members that have a more-keepable near-duplicate (pair cosine ≥
+    SEM_DUP_THRESHOLD; keepability = LOWER centroid similarity per the
+    SemDeDup diversity rule, vec_id tie-break) — one keep/drop verdict
+    row per vector. Pairs only form INSIDE a cell (plan-pinned), so the
+    pair space is Σ|cell|², never n²; at 100 TB the codebook is k-means-
+    trained (q_kmeans) and cells are the shuffle key, same plan. Invalid
+    vectors (NULL/ragged/non-finite — vec_valid) are quarantined on both
+    sides; zero-norm cosines hit the shared -1.0 sentinel (< threshold,
+    so zero vectors are never near-dups and always kept)."""
+    from kinesis_test_spark.operators.similarity import cosine
+
+    dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    v = (
+        t(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .filter(vec_valid())
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+        )
+    )
+    cent = F.broadcast(
+        v.filter(F.col("vec_id") < _N_CELLS).select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    assigned = (
+        v.crossJoin(cent)
+        .select("vec_id", "e", "cid", cosine(F.col("e"), F.col("ce")).alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "cid", F.col("sim").alias("cent_sim"))
+        .withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
+    )
+    a = assigned.select(
+        "vec_id", "cid", "cent_sim", F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cid").alias("cid_b"),
+        F.col("cent_sim").alias("cent_sim_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pair_cos = F.round(
+        F.coalesce(
+            F.try_divide(dot(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb")),
+            F.lit(-1.0),
+        ),
+        4,
+    )
+    more_keepable = (F.col("cent_sim_b") < F.col("cent_sim")) | (
+        (F.col("cent_sim_b") == F.col("cent_sim"))
+        & (F.col("vec_b") < F.col("vec_id"))
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("cid") == F.col("cid_b"))
+            & (F.col("vec_id") != F.col("vec_b"))
+            & more_keepable,
+        )
+        .filter(pair_cos >= SEM_DUP_THRESHOLD)
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cell"),
+            "cent_sim",
+            F.col("is_dropped").isNull().alias("is_kept"),
+        )
+        .orderBy("vec_id")
     )
 
 

@@ -20,10 +20,10 @@ from kinesis_test_spark.sources import t
 
 GAP_MS = 30 * 60 * 1000
 
-
-@query(
-    "q_sessionize",
-    oracle=f"""
+# Shared with q_sessionize_twophase (operators/twophase.py): the two-phase
+# decomposition is an EXECUTION strategy for the same operator — one
+# oracle, two physical plans.
+SESSIONIZE_ORACLE = f"""
 WITH flagged AS (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -41,8 +41,10 @@ WITH flagged AS (
 SELECT user_id, session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end,
        COUNT(*) AS n_events
 FROM numbered GROUP BY user_id, session_seq
-""",
-)
+"""
+
+
+@query("q_sessionize", oracle=SESSIONIZE_ORACLE)
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a session is a TIME construct: rows without an event time cannot be
     # placed in one — quarantined identically on both engines (edge

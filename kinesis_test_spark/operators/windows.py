@@ -332,9 +332,9 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_event_transitions",
-    oracle="""
+# Shared with q_event_transitions_twophase (operators/twophase.py): one
+# oracle, two physical strategies (see SESSIONIZE_ORACLE's note).
+TRANSITIONS_ORACLE = """
 WITH seq AS (
   SELECT user_id, event_type,
          -- placement-independent NULLS FIRST encoding (see q_window_lag)
@@ -345,8 +345,10 @@ WITH seq AS (
 SELECT prev_type, event_type AS next_type, COUNT(*) AS n
 FROM seq WHERE prev_type IS NOT NULL
 GROUP BY prev_type, next_type
-""",
-)
+"""
+
+
+@query("q_event_transitions", oracle=TRANSITIONS_ORACLE)
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition counts over each user's event sequence (the
     behavioral fingerprint clickstream models train on): lag per user with

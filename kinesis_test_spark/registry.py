@@ -56,6 +56,7 @@ def load_all() -> None:
         text,
         multimodal,
         sessionize,
+        twophase,
         udx,
         nested,
         subqueries,
