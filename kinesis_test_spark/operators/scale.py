@@ -252,3 +252,111 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "skew_factor",
         "gini",
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (heavy-hitter estimation at fixed memory)
+# ---------------------------------------------------------------------------
+
+CM_D = 4  # hash rows
+CM_W = 256  # buckets per row
+CM_TOP = 20  # heavy hitters evaluated against exact truth
+
+
+def _cm_oracle() -> str:
+    from kinesis_test_spark.functions.porthash import sql_hex16
+    from kinesis_test_spark.sources import SQL_UNIQUE_DOCS
+
+    def bucket_list(ref: str) -> str:
+        exprs = ", ".join(
+            "(" + sql_hex16("'cm%d|' || %s" % (j, ref)) + ") %% %d" % CM_W
+            for j in range(CM_D)
+        )
+        return "[" + exprs + "]"
+
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w
+  FROM {SQL_UNIQUE_DOCS}),
+placed AS (
+  SELECT w, j, ({bucket_list("w")})[j + 1] AS bucket
+  FROM toks, (SELECT unnest(generate_series(0, {CM_D - 1})) AS j)),
+cells AS (
+  SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cell
+  FROM placed GROUP BY j, bucket),
+exact AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM toks GROUP BY w
+  ORDER BY n_exact DESC, w LIMIT {CM_TOP}),
+probes AS (
+  SELECT e.w, e.n_exact, p.j, ({bucket_list("e.w")})[p.j + 1] AS bucket
+  FROM exact e, (SELECT unnest(generate_series(0, {CM_D - 1})) AS j) p)
+SELECT pr.w AS word, pr.n_exact,
+       CAST(MIN(c.cell) AS BIGINT) AS cm_est,
+       CAST(MIN(c.cell) - pr.n_exact AS BIGINT) AS overestimate
+FROM probes pr JOIN cells c ON c.j = pr.j AND c.bucket = pr.bucket
+GROUP BY pr.w, pr.n_exact
+ORDER BY pr.n_exact DESC, pr.w
+"""
+
+
+@query("q_sketch_countmin", oracle=_cm_oracle())
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter evaluation: estimate token counts
+    from a d×w = 4×256-cell sketch and report, for the top-20 tokens by
+    exact count, the estimate and its collision overestimate (CM never
+    underestimates: est = min over d rows of the hashed cell count, each
+    cell ≥ the true count). Hashes are the portable md5-hex16 projection
+    (functions/porthash.py) so both engines build bit-identical sketches.
+    THE SCALE CLAIM: the sketch aggregate carries d·w = 1024 cells
+    regardless of token cardinality — a fixed-memory partial/final
+    aggregate where the exact top-k needs a full |vocab|-sized shuffle;
+    at 100 TB the exact side of this evaluation runs on a sample by
+    design (the q_dedup_eval principle) and the sketch is the production
+    path. Token stream consumes unique_docs (doc-identity grain —
+    redelivered rows must not double counts)."""
+    from kinesis_test_spark.functions.porthash import spark_hex16
+    from kinesis_test_spark.sources import unique_docs
+
+    toks = (
+        unique_docs(spark, sf_dir, cols=["doc_id", "text"])
+        .select(F.explode(F.split("text", " ")).alias("w"))
+    )
+
+    def bucket(j, col):
+        return F.pmod(spark_hex16(F.concat(F.lit(f"cm{j}|"), col)), F.lit(CM_W))
+
+    placed = toks.select(
+        "w",
+        F.posexplode(F.array(*[bucket(j, F.col("w")) for j in range(CM_D)])).alias(
+            "j", "bucket"
+        ),
+    )
+    cells = placed.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cell")
+    )
+    exact = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "w")
+        .limit(CM_TOP)
+    )
+    probes = exact.select(
+        "w",
+        "n_exact",
+        F.posexplode(F.array(*[bucket(j, F.col("w")) for j in range(CM_D)])).alias(
+            "j", "bucket"
+        ),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy(F.col("w").alias("word"), "n_exact")
+        .agg(F.min("cell").cast("bigint").alias("cm_est"))
+        .select(
+            "word",
+            "n_exact",
+            "cm_est",
+            (F.col("cm_est") - F.col("n_exact")).cast("bigint").alias("overestimate"),
+        )
+        .orderBy(F.col("n_exact").desc(), "word")
+    )

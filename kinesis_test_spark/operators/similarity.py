@@ -910,3 +910,77 @@ def q_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt("na"), 6).alias("ref_norm"),
         F.round(F.sqrt("nb"), 6).alias("batch_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# matryoshka (truncated-dimension) retrieval — the MRL efficiency dial
+# ---------------------------------------------------------------------------
+
+MRL_DIM = 16  # leading dims used for the cheap ranking (of DIM=64)
+
+
+@query(
+    "q_sim_mrl",
+    oracle=f"""
+WITH q AS (SELECT (CASE WHEN {_SQL_VEC_VALID} THEN CAST(embedding AS DOUBLE[]) END) AS qe
+           FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT vec_id,
+         ROUND(list_cosine_similarity(
+           (CASE WHEN {_SQL_VEC_VALID} THEN CAST(embedding AS DOUBLE[]) END)[1:{MRL_DIM}],
+           qe[1:{MRL_DIM}]), 6) AS cos_trunc,
+         ROUND(list_cosine_similarity(
+           (CASE WHEN {_SQL_VEC_VALID} THEN CAST(embedding AS DOUBLE[]) END), qe), 6) AS cos_full
+  FROM embeddings, q WHERE vec_id <> {QUERY_VEC_ID}),
+topk AS (SELECT * FROM scored ORDER BY cos_trunc DESC, vec_id LIMIT {TOP_K}),
+exact AS (SELECT vec_id FROM scored ORDER BY cos_full DESC, vec_id LIMIT {TOP_K})
+SELECT t.vec_id, t.cos_trunc, t.cos_full,
+       (e.vec_id IS NOT NULL) AS in_exact_topk
+FROM topk t LEFT JOIN exact e ON t.vec_id = e.vec_id
+ORDER BY t.cos_trunc DESC, t.vec_id
+""",
+)
+def q_sim_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka retrieval (MRL-style): rank by cosine over only the
+    LEADING MRL_DIM=16 of 64 dimensions — the truncation dial
+    matryoshka-trained embeddings expose (4× less arithmetic and 4× less
+    vector I/O per comparison) — and report, for the truncated top-k,
+    the full-dimension cosine and whether each hit is in the exact
+    full-dim top-k (the per-row recall readout, same evaluation shape as
+    q_ann_recall). Both rankings broadcast the single query vector and
+    fold JVM-side (q_sim_search's plan); at 100 TB the truncated pass is
+    the cheap first stage over the whole corpus and the full-dim rerank
+    touches only its candidates. Invalid vectors ride the shared
+    quarantine (vec_valid → NULL → sentinel/NULL sorts to the bottom of
+    both engines' DESC order, outside any realistic top-k)."""
+    v = _vectors(spark, sf_dir)
+    q = F.broadcast(
+        v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
+    )
+    scored = (
+        v.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            cosine(
+                F.slice(F.col("e"), 1, MRL_DIM), F.slice(F.col("qe"), 1, MRL_DIM)
+            ).alias("cos_trunc"),
+            cosine(F.col("e"), F.col("qe")).alias("cos_full"),
+        )
+    )
+    topk = scored.orderBy(F.col("cos_trunc").desc(), "vec_id").limit(TOP_K)
+    exact = (
+        scored.orderBy(F.col("cos_full").desc(), "vec_id")
+        .limit(TOP_K)
+        .select(F.col("vec_id").alias("x_id"))
+    )
+    return (
+        topk.join(F.broadcast(exact), topk.vec_id == F.col("x_id"), "left")
+        .select(
+            "vec_id",
+            "cos_trunc",
+            "cos_full",
+            F.col("x_id").isNotNull().alias("in_exact_topk"),
+        )
+        .orderBy(F.col("cos_trunc").desc(), "vec_id")
+    )

@@ -21,10 +21,18 @@ NULL = "␀"  # sentinel for SQL NULL
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for name in TABLES:
+        # layout-adaptive, mirroring the Spark readers: the driver fixture
+        # is one FILE named <table>.parquet, a restaged dir (multi-file
+        # layout-invariance sweeps, bench --restaged) is a DIRECTORY of
+        # part files under the same name
+        path = f"{sf_dir}/{name}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')"
         )
     return con
 
