@@ -355,11 +355,18 @@ def main() -> None:
     stream_stats = streaming_throughput(spark, sf_dir)
     timings["s_throughput_drain"] = stream_stats["wall_sec"]
 
-    # The summed headline excludes warm-path re-measurements so `value`
-    # keeps the same definition as every prior round's recording (the warm
-    # entries still appear per-query for the regression gate / BASELINE.md).
+    # The summed headline excludes warm-path re-measurements AND the
+    # streaming drain (published separately under "streaming") so `value`
+    # keeps the same definition as every prior round's recording (the
+    # excluded entries still appear per-query for the regression gate /
+    # BASELINE.md).
     total = round(
-        sum(v for k, v in timings.items() if not k.endswith("_warm")), 3
+        sum(
+            v
+            for k, v in timings.items()
+            if not k.endswith("_warm") and k != "s_throughput_drain"
+        ),
+        3,
     )
     # restaged timings aren't comparable to the single-file history — only
     # gate same-staging runs against each other

@@ -925,12 +925,17 @@ MRL_DIM = 16  # leading dims used for the cheap ranking (of DIM=64)
 WITH q AS (SELECT (CASE WHEN {_SQL_VEC_VALID} THEN CAST(embedding AS DOUBLE[]) END) AS qe
            FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 scored AS (
+  -- COALESCE to the -1.0 sentinel exactly like Spark's cosine(): an
+  -- invalid vector must rank identically on both engines even when the
+  -- LIMIT cut falls inside the -1 band (DuckDB would otherwise place
+  -- NULL below a GENUINE -1.0 cosine while Spark ties them at -1.0 —
+  -- round-11 review finding)
   SELECT vec_id,
-         ROUND(list_cosine_similarity(
+         COALESCE(ROUND(list_cosine_similarity(
            (CASE WHEN {_SQL_VEC_VALID} THEN CAST(embedding AS DOUBLE[]) END)[1:{MRL_DIM}],
-           qe[1:{MRL_DIM}]), 6) AS cos_trunc,
-         ROUND(list_cosine_similarity(
-           (CASE WHEN {_SQL_VEC_VALID} THEN CAST(embedding AS DOUBLE[]) END), qe), 6) AS cos_full
+           qe[1:{MRL_DIM}]), 6), -1.0) AS cos_trunc,
+         COALESCE(ROUND(list_cosine_similarity(
+           (CASE WHEN {_SQL_VEC_VALID} THEN CAST(embedding AS DOUBLE[]) END), qe), 6), -1.0) AS cos_full
   FROM embeddings, q WHERE vec_id <> {QUERY_VEC_ID}),
 topk AS (SELECT * FROM scored ORDER BY cos_trunc DESC, vec_id LIMIT {TOP_K}),
 exact AS (SELECT vec_id FROM scored ORDER BY cos_full DESC, vec_id LIMIT {TOP_K})

@@ -154,10 +154,12 @@ def test_host_factor_missing_probe_kinds_dont_vote():
 def test_parallel_probe_measures_contention():
     # The 8-way probe must actually inflate under a deliberate
     # core-saturating background load (the discount direction the gate
-    # relies on). 64 hog threads on a 32-core host leave each probe
-    # thread <0.5 core (~2x+ expected); generous 1.3x margin so shared-
-    # host noise can't flake it (extra tenant load only inflates the
-    # LOADED reading further — the quiet floor is a min of 3).
+    # relies on). Hog count SCALES with the host: 2x cores + 8 leaves
+    # each probe thread well under half a core on any machine (~2x+
+    # expected); generous 1.3x margin so shared-host noise can't flake
+    # it (extra tenant load only inflates the LOADED reading further —
+    # the quiet floor is a min of 3).
+    import os
     import threading
 
     quiet = min(bench.burn_probe_parallel() for _ in range(3))
@@ -170,7 +172,10 @@ def test_parallel_probe_measures_contention():
         while not stop.is_set():
             h = hashlib.md5(bench._BURN_BUF + h).digest()
 
-    hogs = [threading.Thread(target=hog) for _ in range(64)]
+    hogs = [
+        threading.Thread(target=hog)
+        for _ in range(2 * (os.cpu_count() or 32) + 8)
+    ]
     for t in hogs:
         t.start()
     try:

@@ -187,12 +187,16 @@ def test_semantic_dedup_pairs_only_inside_cells(spark, sf_dir):
     """SemDeDup: the coarse codebook broadcasts for assignment (the only
     nested-loop allowed — 8 centroids), and the within-cell pair relation
     is an EQUI-join on the cell id — never a cartesian over the corpus
-    (r10 VERDICT #5: pair space Σ|cell|², not n²)."""
+    (r10 VERDICT #5: pair space Σ|cell|², not n²). The assignment subtree
+    is checkpointed inside the operator (it fans out to three joins), so
+    its broadcast shape is pinned on the shared _sem_assigned relation."""
+    from kinesis_test_spark.operators.dedup import _sem_assigned
+
+    assign_plan = plans.formatted(_sem_assigned(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in assign_plan  # 8-row codebook bcast
     df = q("q_dedup_semantic", spark, sf_dir)
     plan = plans.formatted(df)
     assert "CartesianProduct" not in plan
-    # assignment: broadcast nested-loop against the 8-row codebook
-    assert "BroadcastNestedLoopJoin" in plan
     # pair join: hash/merge equi-join keyed on the cell id
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
