@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "q_dedup_substring", # sliding window-hash exact-overlap spans (round 9)
     "q_quality_classifier",  # zero-shuffle hashed-feature model gate (round 10)
     "q_bpe_encode",      # merge-table tokenizer mapper, codegen-bound (round 10)
+    "q_dedup_semantic",  # SemDeDup: cell-blocked pair cosine + keep rule (round 11)
+    "q_sessionize_twophase",  # skew-safe chunked session chain (round 11)
     "s_ingest",          # streaming drain throughput
     "s_sink_partitioned",# partitioned JSON sink end-to-end
 ]

@@ -414,14 +414,17 @@ CHUNK_STRIDE = 24  # 8-word overlap
 @query(
     "q_text_chunk",
     oracle=f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-idx AS (SELECT unnest(generate_series(0, 63)) AS chunk_idx)
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
 SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
        array_to_string(words[chunk_idx * {CHUNK_STRIDE} + 1 :
                               chunk_idx * {CHUNK_STRIDE} + {CHUNK_WORDS}], ' ') AS chunk_text,
        CAST(len(words[chunk_idx * {CHUNK_STRIDE} + 1 :
                       chunk_idx * {CHUNK_STRIDE} + {CHUNK_WORDS}]) AS INT) AS n_words
-FROM w, idx
+-- spine derived PER DOC (was a fixed generate_series(0, 63), a silent
+-- 64-chunk cap the fixture never hit — edge class 19 planted a
+-- 20k-word doc and Spark emitted 625 chunks to the oracle's 64)
+FROM w, UNNEST(generate_series(
+       0, CAST(ceil(len(words) / {CHUNK_STRIDE}.0) AS BIGINT) - 1)) AS u(chunk_idx)
 WHERE chunk_idx * {CHUNK_STRIDE} < len(words)
 """,
 )
@@ -466,9 +469,11 @@ vocab AS (
   SELECT word, CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS token_id
   FROM counts ORDER BY n DESC, word LIMIT {VOCAB_SIZE}),
 w AS (SELECT doc_id, string_split(text, ' ') AS words FROM docs),
-nums AS (SELECT unnest(generate_series(1, 600)) AS i),
 positioned AS (
-  SELECT doc_id, i, words[i] AS word FROM w, nums WHERE i <= len(words)),
+  -- spine derived PER DOC (was generate_series(1, 600), a silent
+  -- 600-position cap — edge class 19)
+  SELECT doc_id, i, words[i] AS word
+  FROM w, UNNEST(generate_series(1, len(words))) AS u(i)),
 coded AS (
   SELECT p.doc_id, p.i, COALESCE(v.token_id, 0) AS tid
   FROM positioned p LEFT JOIN vocab v ON v.word = p.word)
@@ -534,12 +539,14 @@ PACK_CAPACITY = 256  # words per training sequence
     oracle=f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
            WHERE doc_id IS NOT NULL),
-idx AS (SELECT unnest(generate_series(0, 63)) AS chunk_idx),
 chunks AS (
+  -- spine derived PER DOC (was a fixed 64-chunk cap — edge class 19)
   SELECT doc_id, chunk_idx,
          len(words[chunk_idx * {CHUNK_STRIDE} + 1 :
                    chunk_idx * {CHUNK_STRIDE} + {CHUNK_WORDS}]) AS n_words
-  FROM w, idx WHERE chunk_idx * {CHUNK_STRIDE} < len(words)),
+  FROM w, UNNEST(generate_series(
+         0, CAST(ceil(len(words) / {CHUNK_STRIDE}.0) AS BIGINT) - 1)) AS u(chunk_idx)
+  WHERE chunk_idx * {CHUNK_STRIDE} < len(words)),
 ordered AS (
   SELECT doc_id, chunk_idx, n_words,
          SUM(n_words) OVER (ORDER BY doc_id NULLS FIRST, chunk_idx

@@ -1,5 +1,5 @@
 """Per-key adversarial battery: run the NAMED keys through EVERY planted
-corpus class (all 15 tests/test_edge_* plant functions) in one process.
+corpus class (every tests/test_edge_* plant function) in one process.
 
 Usage: python tools/battery.py q_dedup_semantic [q_other ...]
 
@@ -27,6 +27,7 @@ def plant_classes():
     from test_edge_constant import plant_constant
     from test_edge_dupkeys import plant_dupkeys
     from test_edge_empty import plant_empty
+    from test_edge_giant import plant_giant
     from test_edge_hotkey import plant_hotkey
     from test_edge_late import plant_late
     from test_edge_magnitude import plant_magnitude
@@ -44,6 +45,7 @@ def plant_classes():
         ("constant", plant_constant),
         ("dupkeys", plant_dupkeys),
         ("empty", plant_empty),
+        ("giant", plant_giant),
         ("hotkey", plant_hotkey),
         ("late", plant_late),
         ("magnitude", plant_magnitude),
