@@ -119,6 +119,10 @@ _PRIORITY = [
     "q_dedup_semantic", "q_sessionize_twophase",
     "q_event_transitions_twophase", "q_window_cumsum_twophase",
     "q_sketch_countmin", "q_sim_mrl",
+    # Round-11 session-2 keys: KMV distinct sketch, bloom join pruning,
+    # degree-oriented triangle counting.
+    "q_sketch_kmv", "q_join_bloom", "q_graph_triangles",
+    "q_sample_importance",
 ]
 
 

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "q_bpe_encode",      # merge-table tokenizer mapper, codegen-bound (round 10)
     "q_dedup_semantic",  # SemDeDup: cell-blocked pair cosine + keep rule (round 11)
     "q_sessionize_twophase",  # skew-safe chunked session chain (round 11)
+    "q_graph_triangles",  # degree-oriented wedge joins over checkpointed edges (round 11)
     "s_ingest",          # streaming drain throughput
     "s_sink_partitioned",# partitioned JSON sink end-to-end
 ]

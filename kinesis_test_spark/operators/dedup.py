@@ -1518,6 +1518,138 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Triangle counting over the co-purchase graph (degree-ordered orientation)
+# ---------------------------------------------------------------------------
+
+TRI_MIN_QTY = 40  # co-purchase edges from high-quantity lines only
+
+
+def _triangles_oracle() -> str:
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= {TRI_MIN_QTY}),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs) ends
+  GROUP BY node),
+oriented AS (
+  SELECT CASE WHEN (da.d, p.pa) < (db.d, p.pb) THEN p.pa ELSE p.pb END AS src,
+         CASE WHEN (da.d, p.pa) < (db.d, p.pb) THEN p.pb ELSE p.pa END AS dst,
+         CASE WHEN (da.d, p.pa) < (db.d, p.pb) THEN db.d ELSE da.d END AS dst_d
+  FROM pairs p JOIN deg da ON da.node = p.pa JOIN deg db ON db.node = p.pb),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM oriented e1
+  JOIN oriented e2 ON e2.src = e1.src
+    AND (e1.dst_d, e1.dst) < (e2.dst_d, e2.dst)
+  JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+summary AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedges
+  FROM deg),
+edges AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs)
+SELECT s.n_nodes, e.n_edges, s.n_wedges, t.n_triangles,
+       CAST(3 * t.n_triangles AS DOUBLE) / NULLIF(s.n_wedges, 0) AS clustering
+FROM summary s, edges e, tri t
+"""
+
+
+@query("q_graph_triangles", oracle=_triangles_oracle())
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the part
+    co-purchase graph (edges between parts sharing a high-quantity order
+    line), via DEGREE-ORDERED ORIENTATION: every undirected edge points
+    from its lower-(degree, node) endpoint to the higher, so each triangle
+    is counted exactly once as src->b, src->c, b->c — and a node's
+    oriented out-degree is bounded by O(sqrt(m)) regardless of its raw
+    degree, which bounds the wedge join's intermediate at O(m^1.5) where
+    the naive all-wedges join is quadratic in the hottest degree (the
+    standard scalable triangle algorithm). No global rank is assigned:
+    orientation compares the (d, node) tuple directly (struct comparison,
+    JVM-side), so there is no dimension-wide window/sort stage at all.
+    Endpoints of a join-produced pair are non-NULL by construction (a
+    NULL l_partkey fails the < predicate on both engines). clustering =
+    3*triangles/wedges is an exact-integer quotient (no ROUND);
+    try_divide/NULLIF guards the zero-wedge (empty-input) case."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= TRI_MIN_QTY)
+        .select("l_orderkey", "l_partkey")
+    )
+    b = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb"))
+    # Materialize the distinct edge list: it feeds the orientation join's
+    # left leg plus both degree lookups (and deg itself reads it twice) —
+    # without the cut the lineitem self-join would run five times.
+    pairs = truncate_lineage(
+        li.join(b, (li.l_orderkey == b.o2) & (li.l_partkey < b.pb))
+        .select(F.col("l_partkey").alias("pa"), "pb")
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("pa").alias("node"))
+        .unionByName(pairs.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("pa"), F.col("d").alias("deg_a"))
+    db_ = deg.select(F.col("node").alias("pb"), F.col("d").alias("deg_b"))
+    j = pairs.join(da, "pa").join(db_, "pb")
+    a_first = F.struct(
+        F.col("deg_a").alias("k1"), F.col("pa").alias("k2")
+    ) < F.struct(F.col("deg_b").alias("k1"), F.col("pb").alias("k2"))
+    # Materialize the oriented edge list once: it feeds THREE join legs
+    # (e1/e2/e3) and Spark does not CSE across self-join branches — without
+    # the cut, the whole pairs+deg pipeline (and its lineitem scans) runs
+    # three times (same discipline as q_dedup_semantic's _sem_assigned).
+    oriented = truncate_lineage(
+        j.select(
+            F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+            F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+            F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dst_d"),
+        )
+    )
+    e1 = oriented.select(
+        F.col("src").alias("s1"), F.col("dst").alias("d1"), F.col("dst_d").alias("dd1")
+    )
+    e2 = oriented.select(
+        F.col("src").alias("s2"), F.col("dst").alias("d2"), F.col("dst_d").alias("dd2")
+    )
+    e3 = oriented.select(F.col("src").alias("s3"), F.col("dst").alias("d3"))
+    wedge_lt = F.struct(
+        F.col("dd1").alias("k1"), F.col("d1").alias("k2")
+    ) < F.struct(F.col("dd2").alias("k1"), F.col("d2").alias("k2"))
+    wedges = e1.join(e2, (F.col("s1") == F.col("s2")) & wedge_lt)
+    tri_rel = wedges.join(
+        e3, (F.col("s3") == F.col("d1")) & (F.col("d3") == F.col("d2"))
+    )
+    tri = tri_rel.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    summary = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.coalesce(F.sum(F.expr("d * (d - 1) DIV 2")), F.lit(0))
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    edges = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        summary.crossJoin(F.broadcast(edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.try_divide(
+                (3 * F.col("n_triangles")).cast("double"), F.col("n_wedges")
+            ).alias("clustering"),
+        )
+    )
+
+
 def _keep_best_oracle() -> str:
     return f"""
 WITH RECURSIVE {SQL_SHINGLES},

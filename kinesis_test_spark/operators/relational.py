@@ -813,6 +813,79 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(h < threshold).select("event_id", "event_type", "user_id")
 
 
+IMP_W_CAP = 1000  # weight cap (chars) — bounds every integer product below
+
+
+def _importance_oracle() -> str:
+    from kinesis_test_spark.functions.porthash import sql_hex16
+    from kinesis_test_spark.sources import SQL_UNIQUE_DOCS
+
+    h = sql_hex16("'imp|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         CASE WHEN n_chars IS NULL OR n_chars < 0 THEN 0
+              ELSE LEAST(n_chars, {IMP_W_CAP}) END AS wt
+  FROM {SQL_UNIQUE_DOCS}),
+mx AS (SELECT MAX(wt) AS max_w FROM w),
+flag AS (
+  SELECT lang, wt, (({h}) * mx.max_w < wt * 65536) AS kept
+  FROM w, mx)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(wt) FILTER (WHERE kept), 0) AS BIGINT) AS w_kept,
+       CAST(COUNT(*) FILTER (WHERE kept) AS DOUBLE) / COUNT(*) AS keep_rate
+FROM flag GROUP BY lang
+"""
+
+
+@query("q_sample_importance", oracle=_importance_oracle())
+def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted Bernoulli sampling: each document is kept with
+    probability proportional to its weight (capped length as the quality
+    proxy), p_i = w_i / max(w) — the quality-weighted downsampling step of
+    a data recipe. The acceptance test is the EXACT INTEGER
+    cross-multiplication hex16(doc_id) * max_w < w_i * 65536 — no float
+    thresholds, no pow/ln (the Efraimidis-Spirakis form would put a
+    libm-vs-JDK transcendental in the accept/reject decision), so the
+    same doc is kept on every engine, run, and partitioning. max(w) joins
+    in as a broadcast 1-row aggregate; the acceptance predicate runs
+    inside codegen at scan time — zero shuffles before the per-lang
+    summary. Weight guards: NULL/negative n_chars → weight 0 (never
+    kept); doc-identity grain via unique_docs (redelivered rows must not
+    double the summary). keep_rate is an exact-integer quotient (no
+    ROUND)."""
+    from kinesis_test_spark.functions.porthash import spark_hex16
+    from kinesis_test_spark.sources import unique_docs
+
+    d = unique_docs(spark, sf_dir, cols=["doc_id", "lang", "n_chars"])
+    w = d.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("n_chars").isNull() | (F.col("n_chars") < 0), F.lit(0)
+        )
+        .otherwise(F.least(F.col("n_chars"), F.lit(IMP_W_CAP)))
+        .alias("wt"),
+    )
+    mx = w.agg(F.max("wt").alias("max_w"))
+    h = spark_hex16(F.concat(F.lit("imp|"), F.col("doc_id").cast("string")))
+    flag = w.crossJoin(F.broadcast(mx)).select(
+        "lang", "wt", (h * F.col("max_w") < F.col("wt") * 65536).alias("kept")
+    )
+    return flag.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("kept"), F.lit(1))).cast("bigint").alias("n_kept"),
+        F.coalesce(F.sum(F.when(F.col("kept"), F.col("wt"))), F.lit(0))
+        .cast("bigint")
+        .alias("w_kept"),
+        F.try_divide(
+            F.count(F.when(F.col("kept"), F.lit(1))).cast("double"),
+            F.count(F.lit(1)),
+        ).alias("keep_rate"),
+    )
+
+
 @query(
     "q_agg_argmax",
     oracle="""

@@ -360,3 +360,237 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_exact").desc(), "word")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch (fixed-memory cardinality estimation vs truth)
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+# Estimator numerator (K-1) * 16^12: the hash fraction is the first 48 bits
+# of md5 as an integer over 2^48, so est = (K-1)/frac = (K-1)*2^48/v48.
+# 63 * 2^48 < 2^53 — exact in a double, and the quotient of two exact
+# integer-valued doubles is bit-identical cross-engine (no ROUND).
+_KMV_NUM = (KMV_K - 1) * (16**12)
+
+
+def _kmv_v48_sql(ref: str) -> str:
+    """DuckDB mirror of conv(substr(h,1,12),16,10): the first 48 bits of an
+    md5 hex string as a BIGINT (12 strpos digit terms, exact)."""
+    from kinesis_test_spark.functions.porthash import HEX
+
+    terms = " + ".join(
+        f"(strpos('{HEX}', substr({ref}, {i}, 1)) - 1) * {16 ** (12 - i)}"
+        for i in range(1, 13)
+    )
+    return f"({terms})"
+
+
+def _kmv_oracle() -> str:
+    return f"""
+WITH words AS (SELECT string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                i -> w[i] || ' ' || w[i+1])) AS g
+  FROM words),
+hs AS (SELECT DISTINCT md5(g) AS h FROM bg),
+exact AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM hs),
+samp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sample, max(h) AS kth
+  FROM (SELECT h FROM hs ORDER BY h LIMIT {KMV_K})),
+est AS (
+  SELECT e.n_exact, s.n_sample,
+         CASE WHEN s.n_sample < {KMV_K} THEN CAST(e.n_exact AS DOUBLE)
+              ELSE CAST({_KMV_NUM} AS DOUBLE) / NULLIF({_kmv_v48_sql("s.kth")}, 0)
+         END AS kmv_est
+  FROM exact e, samp s)
+SELECT n_exact AS n_exact_distinct, CAST({KMV_K} AS BIGINT) AS kmv_k, n_sample,
+       kmv_est,
+       abs(kmv_est - CAST(n_exact AS DOUBLE)) / NULLIF(CAST(n_exact AS DOUBLE), 0.0)
+         AS rel_err
+FROM est
+"""
+
+
+@query("q_sketch_kmv", oracle=_kmv_oracle())
+def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch evaluated against exact truth:
+    estimate the number of DISTINCT word bigrams in the corpus from only
+    the K=64 lexicographically smallest md5 hashes (est = (K-1)/frac of the
+    K-th smallest, the Bar-Yossef/Beyer KMV estimator), next to the exact
+    countDistinct. Unlike HLL (engine-opaque registers, rows-only key
+    q_agg_approx_distinct), KMV over the portable md5 hex hash is
+    BIT-IDENTICAL cross-engine, so the estimate itself is oracle-checked.
+    THE SCALE CLAIM: the sketch side is a global top-K over hashes —
+    TakeOrderedAndProject holds K rows per partition and merges K, no
+    |vocab|-sized shuffle, and KMV sketches union by merging min-sets (the
+    distributed-aggregation property HLL is used for); the exact side is
+    the eval harness, run on a sample at 100 TB (q_dedup_eval principle).
+    When the corpus has fewer than K distinct values the sketch IS the
+    exact set (n_sample < K) and the estimator returns the exact count —
+    stated identically on both sides. Bigram generation is the empty-safe
+    slice/zip_with form (q_text_bigrams); DISTINCT collapses redelivered
+    rows, so no doc-identity gate is needed."""
+    d = t(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    w = F.col("w")
+    k = F.greatest(F.size(w) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(w, 1, k), F.slice(w, 2, k), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    hs = (
+        d.select(F.explode(bigrams).alias("g"))
+        .select(F.md5("g").alias("h"))
+        .distinct()
+    )
+    exact = hs.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    samp = (
+        hs.orderBy("h")
+        .limit(KMV_K)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sample"), F.max("h").alias("kth"))
+    )
+    v48 = F.conv(F.substring(F.col("kth"), 1, 12), 16, 10).cast("long")
+    est = (
+        exact.crossJoin(F.broadcast(samp))
+        .withColumn(
+            "kmv_est",
+            F.when(
+                F.col("n_sample") < KMV_K, F.col("n_exact").cast("double")
+            ).otherwise(F.try_divide(F.lit(float(_KMV_NUM)), v48)),
+        )
+    )
+    return est.select(
+        F.col("n_exact").alias("n_exact_distinct"),
+        F.lit(KMV_K).cast("bigint").alias("kmv_k"),
+        "n_sample",
+        "kmv_est",
+        F.try_divide(
+            F.abs(F.col("kmv_est") - F.col("n_exact").cast("double")),
+            F.col("n_exact").cast("double"),
+        ).alias("rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning (runtime filter evaluated against exact truth)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 16384  # bits (< 65536 so the hex16 projection covers the domain)
+BLOOM_K = 3  # probes per key
+BLOOM_SEGMENT = "BUILDING"  # build-side predicate (dim-filtered semi join)
+
+
+def _bloom_probe_sql(j: int, ref: str) -> str:
+    from kinesis_test_spark.functions.porthash import sql_hex16
+
+    expr = f"'bf{j}|' || CAST({ref} AS VARCHAR)"
+    return f"(({sql_hex16(expr)}) % {BLOOM_M})"
+
+
+def _bloom_oracle() -> str:
+    exists = " AND ".join(
+        f"EXISTS(SELECT 1 FROM bits WHERE bucket = {_bloom_probe_sql(j, 'o.o_custkey')})"
+        for j in range(BLOOM_K)
+    )
+    probes = ", ".join(_bloom_probe_sql(j, "c_custkey") for j in range(BLOOM_K))
+    return f"""
+WITH build AS (
+  SELECT DISTINCT c_custkey FROM customer
+  WHERE c_mktsegment = '{BLOOM_SEGMENT}' AND c_custkey IS NOT NULL),
+bits AS (SELECT DISTINCT unnest([{probes}]) AS bucket FROM build),
+flags AS (
+  SELECT ({exists}) AS bloom_pass,
+         EXISTS(SELECT 1 FROM build b WHERE b.c_custkey = o.o_custkey)
+           AS is_member
+  FROM orders o WHERE o.o_custkey IS NOT NULL)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+       CAST(COUNT(*) FILTER (WHERE is_member) AS BIGINT) AS n_members,
+       CAST(COUNT(*) FILTER (WHERE bloom_pass) AS BIGINT) AS n_pass,
+       CAST(COUNT(*) FILTER (WHERE bloom_pass AND NOT is_member) AS BIGINT)
+         AS n_false_pos,
+       CAST(COUNT(*) FILTER (WHERE is_member AND NOT bloom_pass) AS BIGINT)
+         AS n_false_neg,
+       CAST(COUNT(*) FILTER (WHERE bloom_pass AND NOT is_member) AS DOUBLE)
+         / NULLIF(COUNT(*) FILTER (WHERE NOT is_member), 0) AS fp_rate
+FROM flags
+"""
+
+
+@query("q_join_bloom", oracle=_bloom_oracle())
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning evaluated against exact truth: build an
+    m=16384-bit / k=3-probe Bloom filter over the dim-side key set
+    (customers in one market segment), pre-filter the fact side (orders)
+    with it, and report pass counts, false positives, the guaranteed-zero
+    false negatives, and the measured fp rate among true non-members —
+    the runtime-filter technique (Spark's own runtime bloom pruning,
+    parquet bloom indexes) with its accuracy made observable, the
+    q_dedup_eval/q_sketch_countmin principle. Hashes are the portable
+    md5-hex16 projection so both engines build the bit-identical filter.
+    THE SCALE CLAIM: the filter is O(m) bits broadcast to every scan task
+    regardless of fact size — fact rows that fail it never reach the join
+    shuffle; the bit-set relation (<= m rows) broadcasts, so membership
+    testing is map-side. fp_rate is an exact-integer quotient (no ROUND);
+    NULL-key fact rows are excluded symmetrically on both sides (a NULL
+    key has no probe positions). The fixture's fill ratio grows with SF,
+    so the eval exercises a different fp regime at each test scale."""
+    from kinesis_test_spark.functions.porthash import spark_hex16
+
+    def probe(j: int, col: F.Column) -> F.Column:
+        return F.pmod(
+            spark_hex16(F.concat(F.lit(f"bf{j}|"), col.cast("string"))),
+            F.lit(BLOOM_M),
+        )
+
+    cust = t(spark, sf_dir, "customer")
+    build = (
+        cust.filter(
+            (F.col("c_mktsegment") == BLOOM_SEGMENT) & F.col("c_custkey").isNotNull()
+        )
+        .select("c_custkey")
+        .distinct()
+    )
+    bits = build.select(
+        F.explode(
+            F.array(*[probe(j, F.col("c_custkey")) for j in range(BLOOM_K)])
+        ).alias("bucket")
+    ).distinct()
+
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .select("o_custkey")
+    )
+    for j in range(BLOOM_K):
+        bj = bits.select(
+            F.col("bucket").alias(f"b{j}"), F.lit(True).alias(f"hit{j}")
+        )
+        o = o.withColumn(f"b{j}", probe(j, F.col("o_custkey"))).join(
+            F.broadcast(bj), f"b{j}", "left"
+        )
+    member = build.select(
+        F.col("c_custkey").alias("o_custkey"), F.lit(True).alias("member")
+    )
+    o = o.join(F.broadcast(member), "o_custkey", "left")
+
+    bloom_pass = F.col("hit0").isNotNull()
+    for j in range(1, BLOOM_K):
+        bloom_pass = bloom_pass & F.col(f"hit{j}").isNotNull()
+    flags = o.select(
+        bloom_pass.alias("bloom_pass"),
+        F.coalesce(F.col("member"), F.lit(False)).alias("is_member"),
+    )
+
+    def n(cond: F.Column) -> F.Column:
+        return F.count(F.when(cond, F.lit(1))).cast("bigint")
+
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probed"),
+        n(F.col("is_member")).alias("n_members"),
+        n(F.col("bloom_pass")).alias("n_pass"),
+        n(F.col("bloom_pass") & ~F.col("is_member")).alias("n_false_pos"),
+        n(F.col("is_member") & ~F.col("bloom_pass")).alias("n_false_neg"),
+        F.try_divide(
+            n(F.col("bloom_pass") & ~F.col("is_member")).cast("double"),
+            n(~F.col("is_member")),
+        ).alias("fp_rate"),
+    )

@@ -484,3 +484,40 @@ def test_dedup_substring_linear_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Scan parquet") <= 4
+
+
+def test_sketch_kmv_topk_heap_no_global_sort(spark, sf_dir):
+    """KMV's K smallest hashes come from TakeOrderedAndProject (per-partition
+    K-heap, merge of K) — never a full |vocab| sort."""
+    plan = plans.formatted(q("q_sketch_kmv", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_join_bloom_all_broadcast_no_fact_shuffle(spark, sf_dir):
+    """The bloom bit-set and the exact member set are dim-derived and
+    broadcast; the fact side (orders) must never shuffle — membership
+    testing is map-side at any fact scale."""
+    plan = plans.formatted(q("q_join_bloom", spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # 3 probe joins + member join
+
+
+def test_graph_triangles_oriented_materialized_no_cartesian(spark, sf_dir):
+    """Degree-ordered triangle counting: the oriented edge list is
+    materialized once (three self-join legs must not re-run the lineitem
+    self-join — the final plan carries NO parquet scan), and the wedge +
+    closing joins are conditioned joins, never a cartesian pair explosion."""
+    plan = plans.formatted(q("q_graph_triangles", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("SortMergeJoin Inner") >= 1
+
+
+def test_sample_importance_broadcast_max_no_fact_shuffle(spark, sf_dir):
+    """max(w) joins in as a broadcast 1-row aggregate; the acceptance test
+    runs at scan time — no shuffle of the doc relation before the per-lang
+    summary (the only Exchange is the summary's partial/final agg)."""
+    plan = plans.formatted(q("q_sample_importance", spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
