@@ -52,7 +52,16 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         ascii_lower("c_name").alias("lname"),
         F.substring("c_name", 10, 9).alias("numpart"),
         F.length("c_name").alias("name_len"),
-        F.element_at(F.split("c_name", "#"), 2).alias("after_hash"),
+        # split_part(_, '#', 2) in DuckDB returns '' when the delimiter is
+        # absent and NULL on NULL input — Spark's element_at RAISES under
+        # ANSI on the missing index (edge_dupdim: a dim row whose name
+        # carries no '#'), so state all three cases explicitly
+        F.when(
+            F.col("c_name").isNotNull(),
+            F.coalesce(
+                F.try_element_at(F.split("c_name", "#"), F.lit(2)), F.lit("")
+            ),
+        ).alias("after_hash"),
         F.nullif(F.regexp_extract("c_name", r"([0-9]+)", 1), F.lit(""))
         .try_cast("bigint")
         .alias("name_num"),

@@ -26,27 +26,34 @@ from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t
 
 
-@query(
-    "q_join_asof",
-    oracle="""
+# Shared by q_join_asof and q_join_asof_union: one row per ORDER IDENTITY
+# (the window's PARTITION BY o_orderkey collapses same-key rows — the
+# dupdim class plants a duplicate o_orderkey, so the ORDER BY must list
+# EVERY emitted column, argmax-completeness rule: without the o_custkey /
+# o_orderdate terms a duplicate-key partition whose rows tie on the event
+# columns is engine-arbitrary). e.ts is non-NULL for every matched row
+# (the join predicate excludes NULL ts; a no-match partition is a single
+# NULL-padded row), but event_id / o_custkey / o_orderdate can be NULL —
+# encode DESC NULLS LAST placement-independently (DuckDB 1.0's parallel
+# window sort misplaces NULL keys even with an explicit NULLS clause; r9
+# verdict).
+_ASOF_ORACLE = """
 SELECT o_orderkey, o_custkey, o_orderdate, last_event_id, last_event_ts
 FROM (
   SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
          e.event_id AS last_event_id, e.ts AS last_event_ts,
-         -- e.ts is non-NULL for every matched row (the join predicate
-         -- excludes NULL ts; a no-match partition is a single NULL-padded
-         -- row), but e.event_id can be NULL on a matched row — encode its
-         -- DESC NULLS LAST placement-independently (DuckDB 1.0's parallel
-         -- window sort misplaces NULL keys even with an explicit NULLS
-         -- clause; r9 verdict)
          row_number() OVER (PARTITION BY o.o_orderkey
                             ORDER BY e.ts DESC NULLS LAST,
-                                     (e.event_id IS NOT NULL) DESC, COALESCE(e.event_id, 0) DESC) AS rn
+                                     (e.event_id IS NOT NULL) DESC, COALESCE(e.event_id, 0) DESC,
+                                     (o.o_custkey IS NOT NULL) DESC, COALESCE(o.o_custkey, 0) DESC,
+                                     (o.o_orderdate IS NOT NULL) DESC, COALESCE(o.o_orderdate, TIMESTAMP '1970-01-01') DESC) AS rn
   FROM orders o
   LEFT JOIN events e ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
 ) WHERE rn = 1
-""",
-)
+"""
+
+
+@query("q_join_asof", oracle=_ASOF_ORACLE)
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each order: the latest event of that user at or before the order
     date (LEFT semantics — orders with no prior event keep NULLs)."""
@@ -55,7 +62,15 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = o.join(
         e, (e.user_id == o.o_custkey) & (e.ts <= o.o_orderdate), "left"
     )
-    w = Window.partitionBy("o_orderkey").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    # complete tie-break (o_custkey/o_orderdate vary inside a duplicate-key
+    # partition — edge_dupdim); Spark desc() is NULLS LAST, matching the
+    # oracle's encoded terms
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("ts").desc(),
+        F.col("event_id").desc(),
+        F.col("o_custkey").desc(),
+        F.col("o_orderdate").desc(),
+    )
     return (
         joined.select(
             "o_orderkey",
@@ -70,22 +85,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_join_asof_union",
-    oracle="""
-SELECT o_orderkey, o_custkey, o_orderdate, last_event_id, last_event_ts
-FROM (
-  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
-         e.event_id AS last_event_id, e.ts AS last_event_ts,
-         -- same placement-independent event_id encoding as q_join_asof
-         row_number() OVER (PARTITION BY o.o_orderkey
-                            ORDER BY e.ts DESC NULLS LAST,
-                                     (e.event_id IS NOT NULL) DESC, COALESCE(e.event_id, 0) DESC) AS rn
-  FROM orders o
-  LEFT JOIN events e ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
-) WHERE rn = 1
-""",
-)
+@query("q_join_asof_union", oracle=_ASOF_ORACLE)
 def q_join_asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE form of the as-of join: union both sides into one
     (key, time)-sorted stream and carry the last event forward with
@@ -94,14 +94,25 @@ def q_join_asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     the range-join formulation (q_join_asof) costs O(orders × prior
     events per user) in intermediate rows, this costs O(orders + events).
     Same oracle as q_join_asof — the two physical strategies must agree
-    row-for-row."""
+    row-for-row, INCLUDING on dirt the merge shape doesn't naturally
+    share with the join shape (edge_dupdim findings): a NULL-user event
+    can never equal any o_custkey in the join form but would share the
+    NULL merge partition with NULL-custkey orders (excluded explicitly),
+    and the oracle's PARTITION BY o_orderkey emits one row per ORDER
+    IDENTITY where the merged stream carries one row per orders ROW —
+    collapsed by a deterministic struct argmax mirroring the oracle's
+    complete ORDER BY (struct max places NULL fields smallest, exactly
+    the encoded DESC NULLS LAST terms)."""
     o = t(spark, sf_dir, "orders")
     e = t(spark, sf_dir, "events")
     # an as-of match needs a time: a NULL-ts event would sort FIRST in
     # the merged stream and get carried as 'last event before' every
     # order, where the range-join form's `e.ts <= o.o_orderdate`
-    # naturally excludes it — state the exclusion (edge corpus)
-    events_side = e.filter(F.col("ts").isNotNull()).select(
+    # naturally excludes it — same for a NULL-user event vs the NULL
+    # merge partition (state both exclusions; edge corpora)
+    events_side = e.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
         F.col("user_id").alias("k"),
         F.col("ts"),
         F.lit(0).alias("is_order"),
@@ -123,22 +134,48 @@ def q_join_asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "is_order", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry the (ts, event_id) pair ATOMICALLY: two separate last() calls
+    # would skip a NULL event_id (ignorenulls) while carrying its ts —
+    # emitting a mixed row no single event produced when the latest prior
+    # event is identity-less (edge_dupdim review finding)
+    carried = F.last(
+        F.when(F.col("is_order") == 0, F.struct("ts", "event_id")),
+        ignorenulls=True,
+    ).over(w)
     merged = events_side.unionByName(orders_side).select(
         "k",
         "ts",
         "is_order",
         "o_orderkey",
-        F.last("event_id", ignorenulls=True).over(w).alias("last_event_id"),
-        F.last(F.when(F.col("is_order") == 0, F.col("ts")), ignorenulls=True)
-        .over(w)
-        .alias("last_event_ts"),
+        carried["event_id"].alias("last_event_id"),
+        carried["ts"].alias("last_event_ts"),
     )
-    return merged.filter(F.col("is_order") == 1).select(
+    per_row = merged.filter(F.col("is_order") == 1).select(
         "o_orderkey",
         F.col("k").alias("o_custkey"),
         F.col("ts").alias("o_orderdate"),
         "last_event_id",
         "last_event_ts",
+    )
+    # order-IDENTITY grain: the oracle's PARTITION BY o_orderkey emits one
+    # row per key (duplicate/NULL keys collapse) — mirror it with a
+    # partial/final struct argmax, field order = the oracle's ORDER BY
+    return (
+        per_row.groupBy("o_orderkey")
+        .agg(
+            F.max(
+                F.struct(
+                    "last_event_ts", "last_event_id", "o_custkey", "o_orderdate"
+                )
+            ).alias("r")
+        )
+        .select(
+            "o_orderkey",
+            F.col("r.o_custkey").alias("o_custkey"),
+            F.col("r.o_orderdate").alias("o_orderdate"),
+            F.col("r.last_event_id").alias("last_event_id"),
+            F.col("r.last_event_ts").alias("last_event_ts"),
+        )
     )
 
 

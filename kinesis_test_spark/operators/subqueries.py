@@ -219,3 +219,50 @@ def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+def _pipe_sql() -> str:
+    """The pipe-syntax body (engine side). The oracle states the same
+    dataflow in classic ANSI form — DuckDB 1.0 has no |> operator."""
+    from kinesis_test_spark.functions.exact import sql_dsum
+
+    # sql_dsum's guard text is engine-portable (runs as Spark SQL too).
+    return f"""
+FROM orders
+|> WHERE o_orderdate IS NOT NULL
+|> EXTEND CAST(year(o_orderdate) AS BIGINT) AS yr
+|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+             {sql_dsum("o_totalprice", "total")}
+   GROUP BY yr, o_orderpriority
+|> WHERE n >= 3
+|> SELECT yr, o_orderpriority, n, total
+"""
+
+
+def _pipe_oracle() -> str:
+    from kinesis_test_spark.functions.exact import sql_dsum
+
+    return f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum("o_totalprice", "total")}
+FROM orders WHERE o_orderdate IS NOT NULL
+GROUP BY 1, 2 HAVING COUNT(*) >= 3
+"""
+
+
+@query("q_sql_pipe", oracle=_pipe_oracle())
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's |> operator chain: FROM |> WHERE |>
+    EXTEND |> AGGREGATE |> WHERE |> SELECT) — the linear-dataflow SQL
+    dialect, same logical plan as the classic GROUP BY/HAVING form the
+    oracle states, so Catalyst optimizes both identically (probed: the
+    pipe text parses and runs on this build). The monetary SUM rides the
+    shared decimal route (sql_dsum — its guard text is engine-portable
+    and appears verbatim in BOTH the pipe body and the oracle); timeless
+    orders are excluded explicitly on both sides; yr is BIGINT on both
+    (Spark year() returns INT, DuckDB's returns BIGINT)."""
+    from kinesis_test_spark.sources import views
+
+    views(spark, sf_dir)
+    return spark.sql(_pipe_sql())

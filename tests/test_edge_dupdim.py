@@ -22,13 +22,33 @@ every dimension:
     groupBy-over-dim-key path collapses NULLs into one group (Spark)
     where row-level handling may differ.
 
-First sweep finding (round 11): ZERO divergences across all 277 keys —
-the surface never argmaxes over dimension attributes without a complete
-tie-break, never dropDuplicates a dim key asymmetrically, and every
-scalar-subquery key aggregates (single row by construction, not by PK
-assumption). The pins below keep the corpus exercised and additionally
-pin the fan-out CONTRACTS: a dup-key dim join multiplies matching fact
-rows on both engines, and NULL-key dim rows never join.
+First sweep (round 11): 2/278 diverged, both real, both fixed:
+
+  * q_fn_string CRASHED (totality, not parity): `element_at(split(
+    c_name, '#'), 2)` raises under Spark 4 ANSI when a dim row's name
+    carries no '#' where DuckDB's split_part returns '' — all three
+    cases now stated explicitly (missing delimiter → '', NULL name →
+    NULL, present → element).
+  * q_join_asof_union emitted one row per orders ROW where the shared
+    oracle's PARTITION BY o_orderkey emits one row per order IDENTITY
+    (duplicate keys collapse) — the merge form now ends in a
+    deterministic struct argmax on the key, and the shared oracle +
+    q_join_asof's window gained the COMPLETE tie-break (o_custkey,
+    o_orderdate vary inside a duplicate-key partition). The review of
+    that fix found two LATENT siblings in the merge shape: NULL-user
+    events shared the NULL merge partition with NULL-custkey orders
+    (the join form's predicate never matches NULLs — exclusion now
+    stated), and two separate last(ignorenulls) calls could carry a
+    MIXED row (ts from a NULL-id event, id from an older event) — the
+    pair is now carried atomically as one struct.
+
+Everything else holds: the surface never argmaxes over dimension
+attributes without a complete tie-break, never dropDuplicates a dim key
+asymmetrically, and every scalar-subquery key aggregates (single row by
+construction, not by PK assumption). The pins below keep the corpus
+exercised and additionally pin the fan-out CONTRACTS: a dup-key dim
+join multiplies matching fact rows on both engines, and NULL-key dim
+rows never join.
 """
 
 from __future__ import annotations
