@@ -89,7 +89,8 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE form of the as-of join: union both sides into one
     (key, time)-sorted stream and carry the last event forward with
-    `last_value(..., ignoreNulls)` — ONE shuffle on the key, zero join
+    `last_value(..., ignoreNulls)` — one shuffle on the user key plus an
+    orders-grain partial/final argmax (map-side combinable), zero join
     fan-out, state O(1) per key. This is the sort-merge as-of algorithm;
     the range-join formulation (q_join_asof) costs O(orders × prior
     events per user) in intermediate rows, this costs O(orders + events).

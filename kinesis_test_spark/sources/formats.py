@@ -465,6 +465,44 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_table_diff",
+    oracle="""
+SELECT event_type, 'removed' AS op, CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE user_id IS NOT NULL AND user_id % 7 = 0
+GROUP BY event_type
+""",
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC read) on the commit-log table: the net row-level
+    changes between version 0 and the latest version, computed as two
+    multiset differences (exceptAll both directions) over the versioned
+    reads — the change-data-feed capability Delta/Iceberg expose, served
+    from the same append-only storage that makes time travel free. On
+    this log the v1 compaction is semantically invisible (the diff must
+    NOT report rewritten-but-identical rows — exceptAll is multiset, so
+    relocated rows cancel) and the v2 delete surfaces as 'removed' rows
+    exactly; the oracle states the expected change set analytically from
+    the delete predicate (SQL DELETE semantics: NULL-predicate rows were
+    kept, and % is sign-preserving in both engines so negative keys
+    divisible by 7 are removed too). At scale both sides of the diff are
+    ordinary distributed scans of the two file lists; real formats
+    shortcut this with per-commit add/remove manifests — the semantics
+    pinned here are what that shortcut must reproduce."""
+    from kinesis_test_spark.sources.tablelog import live_files
+
+    d = _stage_logged_table(spark, sf_dir)
+    v0 = spark.read.parquet(*live_files(d, version=0))
+    v_latest = spark.read.parquet(*live_files(d))
+    removed = v0.exceptAll(v_latest).select("event_type", F.lit("removed").alias("op"))
+    added = v_latest.exceptAll(v0).select("event_type", F.lit("added").alias("op"))
+    return (
+        removed.unionByName(added)
+        .groupBy("event_type", "op")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@query(
     "q_source_avro_resilient",
     oracle="""
 SELECT 'rows' AS metric, CAST(COUNT(*) AS BIGINT) AS n FROM events
