@@ -203,3 +203,24 @@ def test_null_key_dim_rows_never_join(spark, dupdim_dir):
     orders = spark.read.parquet(f"{dupdim_dir}/orders.parquet")
     joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
     assert joined.filter("c_custkey IS NULL OR o_custkey IS NULL").count() == 0
+
+
+def test_struct_max_places_null_fields_smallest(spark):
+    """INVARIANT the as-of grain collapse relies on: Spark's max() over a
+    struct orders NULL field values SMALLEST at every position — exactly
+    the oracle's `(k IS NOT NULL) DESC, COALESCE(k, const) DESC` encoding,
+    so the struct argmax and the rn=1 window pick the same row. If a Spark
+    upgrade changed struct-ordering NULL placement, this pin fails before
+    any corpus does."""
+    from pyspark.sql import functions as F
+
+    rows = [(1, None, 7), (1, 5, None), (1, 5, 3)]
+    df = spark.createDataFrame(rows, "k int, a int, b int")
+    got = (
+        df.groupBy("k")
+        .agg(F.max(F.struct("a", "b")).alias("r"))
+        .select("r.a", "r.b")
+        .collect()[0]
+    )
+    # max prefers non-NULL a (5 > NULL), then non-NULL b (3 > NULL)
+    assert (got["a"], got["b"]) == (5, 3)
