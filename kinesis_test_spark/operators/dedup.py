@@ -1231,9 +1231,7 @@ def _sem_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py can pin the broadcast-assignment shape — the
     operator checkpoints this relation, which hides its subtree from the
     operator's own formatted plan."""
-    from pyspark.sql import Window
-
-    from kinesis_test_spark.operators.similarity import cosine
+    from kinesis_test_spark.operators.similarity import assign_cells
 
     v = (
         t(spark, sf_dir, "embeddings")
@@ -1248,12 +1246,11 @@ def _sem_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("cid"), F.col("e").alias("ce")
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    # assignment is the shared partial/final max_by argmax (similarity.py
+    # assign_cells — map-side combine, no n×k window sort); the oracle's
+    # rn=1 over `sim DESC, cid ASC` matches its (sim, -cid) ordering key
     return (
-        v.crossJoin(cent)
-        .select("vec_id", "e", "cid", cosine(F.col("e"), F.col("ce")).alias("sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        assign_cells(v, cent, ["e"])
         .select("vec_id", "e", "cid", F.col("sim").alias("cent_sim"))
         .withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
     )

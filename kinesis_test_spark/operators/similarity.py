@@ -51,6 +51,37 @@ def cosine(u: Column, v: Column, ndigits: int = 6) -> Column:
     )
 
 
+def assign_cells(v, cent, cols: list[str]):
+    """Broadcast-argmax cell assignment as a partial/final max_by AGGREGATE,
+    not a window: map-side combine collapses the n×k scored relation
+    k-fold before the shuffle, where a Window.partitionBy(vec_id) would
+    shuffle and sort all n×k rows — the shape difference that matters at
+    100 TB. Deterministic: the (sim, -cid) ordering key is unique per
+    vector (cids are distinct), mirroring the oracles' rn=1 over
+    `sim DESC, cid ASC` exactly. ``cols`` are the per-vector payload
+    columns carried through (always includes ``e``); the argmax'd ``cid``
+    and its ``sim`` are appended."""
+    scored = v.crossJoin(cent).select(
+        "vec_id", *cols, "cid", cosine(F.col("e"), F.col("ce")).alias("sim")
+    )
+    payload = F.struct(*[F.col(c) for c in cols], "cid", "sim")
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                payload,
+                F.struct(F.col("sim").alias("s"), (-F.col("cid")).alias("nc")),
+            ).alias("r")
+        )
+        .select(
+            "vec_id",
+            *[F.col(f"r.{c}").alias(c) for c in cols],
+            F.col("r.cid").alias("cid"),
+            F.col("r.sim").alias("sim"),
+        )
+    )
+
+
 # The corpus dimensionality. list<float> admits ANY length, so shape is
 # part of the validity contract (see vec_valid); the per-dim unnest
 # oracles and PQ subspace math also key off this constant.
@@ -167,13 +198,8 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("cid"), F.col("e").alias("ce")
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
-    assigned = (
-        v.crossJoin(cent)
-        .select("vec_id", "label", "e", "cid", cosine(F.col("e"), F.col("ce")).alias("sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "e", "cid")
+    assigned = assign_cells(v, cent, ["label", "e"]).select(
+        "vec_id", "label", "e", "cid"
     )
     qc = F.broadcast(
         assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
@@ -336,16 +362,7 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("cid"), F.col("e").alias("ce")
         )
     )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
-    assigned = (
-        v.crossJoin(cent)
-        .select("vec_id", "e", "cid", cosine(F.col("e"), F.col("ce")).alias("sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "e", "cid")
-    )
+    assigned = assign_cells(v, cent, ["e"]).select("vec_id", "e", "cid")
     sizes = assigned.groupBy("cid").agg(F.countDistinct("vec_id").alias("n_members"))
     comp = assigned.select(
         "cid", F.posexplode("e").alias("dim0", "val")
@@ -444,8 +461,6 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage. Output: final (cid, dim, centroid_val, n_members) rows.
     Rows-only (iteration count is data-dependent); the inertia-monotonicity
     property is asserted in tests/test_rows_only.py."""
-    from pyspark.sql import Window as W
-
     v = truncate_lineage(
         _vectors(spark, sf_dir).repartition(
             spark.sparkContext.defaultParallelism, "vec_id"
@@ -454,15 +469,10 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = v.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce")
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
     prev_assign = None
     for _ in range(8):
-        assigned = (
-            v.crossJoin(F.broadcast(cent))
-            .select("vec_id", "e", "cid", cosine(F.col("e"), F.col("ce")).alias("sim"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "e", "cid")
+        assigned = assign_cells(v, F.broadcast(cent), ["e"]).select(
+            "vec_id", "e", "cid"
         )
         assigned = truncate_lineage(assigned)
         if prev_assign is not None:

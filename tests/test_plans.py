@@ -521,3 +521,15 @@ def test_sample_importance_broadcast_max_no_fact_shuffle(spark, sf_dir):
     plan = plans.formatted(q("q_sample_importance", spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_ivf_assignment_is_aggregate_not_window(spark, sf_dir):
+    """Cell assignment (similarity.assign_cells) must compile to a
+    partial/final max_by AGGREGATE — map-side combine collapses the n×k
+    scored relation before the shuffle. A Window.partitionBy(vec_id)
+    regression would shuffle and sort all n×k rows (shows as a Window
+    node above the scored crossJoin)."""
+    plan = plans.formatted(q("q_sim_search_ivf", spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2 or plan.count("SortAggregate") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # codebook broadcast

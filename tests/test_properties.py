@@ -389,3 +389,25 @@ def test_minhash_bucket_cap_bounds_skewed_bucket(spark):
 
     nodes = set(range(40)) | set(range(100, 110))
     assert components(capped_pairs, nodes) == components(exact_pairs, nodes)
+
+
+@given(
+    st.lists(st.lists(st.text(string.ascii_lowercase, min_size=1, max_size=6),
+                      max_size=40), min_size=1, max_size=6)
+)
+@settings(max_examples=30, deadline=None)
+def test_kmv_minsets_merge_exactly(shards):
+    """KMV's distributed-aggregation property (the reason q_sketch_kmv can
+    stand in for HLL at scale): the min-K of a UNION equals the min-K of
+    the per-shard min-Ks — merging sketches loses nothing, so a sharded /
+    incremental build yields the bit-identical estimate to a global one."""
+    import hashlib
+
+    K = 8
+    def minset(vals):
+        hs = sorted({hashlib.md5(v.encode()).hexdigest() for v in vals})
+        return hs[:K]
+
+    global_sketch = minset([v for shard in shards for v in shard])
+    merged = sorted({h for shard in shards for h in minset(shard)})[:K]
+    assert merged == global_sketch
