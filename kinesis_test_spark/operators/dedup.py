@@ -1170,14 +1170,10 @@ def q_dedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("cid"), F.col("e").alias("ce")
         )
     )
-    from pyspark.sql import Window
+    from kinesis_test_spark.operators.similarity import assign_cells
 
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
     assigned = (
-        v.crossJoin(cent)
-        .select("vec_id", "e", "cid", cosine(F.col("e"), F.col("ce")).alias("sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        assign_cells(v, cent, ["e"])
         .select("vec_id", "e", "cid")
         .withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
     )
