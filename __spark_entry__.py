@@ -122,7 +122,7 @@ _PRIORITY = [
     # Round-11 session-2 keys: KMV distinct sketch, bloom join pruning,
     # degree-oriented triangle counting.
     "q_sketch_kmv", "q_join_bloom", "q_graph_triangles",
-    "q_sample_importance", "q_sql_pipe", "q_table_diff",
+    "q_sample_importance", "q_sql_pipe", "q_table_diff", "q_bpe_train",
 ]
 
 

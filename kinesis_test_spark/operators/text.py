@@ -1178,6 +1178,133 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TRAIN_ROUNDS = 8
+
+
+def _bpe_train_oracle() -> str:
+    """Fully UNROLLED trainer oracle: R rounds of (weighted pair count →
+    deterministic argmax → merge application) as chained CTEs — the
+    iterative algorithm is oracle-checked end-to-end, not rows-only."""
+    from kinesis_test_spark.sources import SQL_UNIQUE_DOCS
+
+    sql = f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all({sql_ascii_lower('text')}, '[a-z]+')) AS w
+  FROM {SQL_UNIQUE_DOCS}),
+vocab0 AS (
+  SELECT (' ' || regexp_replace(w, '(.)', '\\1 ', 'g')) AS s,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM words GROUP BY 1)"""
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        p = r - 1
+        sql += f""",
+pairs{r} AS (
+  -- pair explode via list_transform INSIDE the row (q_text_bigrams shape):
+  -- the UNNEST(series)-join + syms[i] form re-touches the whole symbol
+  -- list per emitted row — quadratic on a 100k-symbol word (class 19's
+  -- giant token hung the first draft of this oracle)
+  SELECT split_part(pr, ' ', 1) AS x, split_part(pr, ' ', 2) AS y,
+         CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, greatest(len(syms) - 1, 0)),
+                  i -> syms[i] || ' ' || syms[i + 1])) AS pr, freq
+    FROM (SELECT string_split(trim(s), ' ') AS syms, freq FROM vocab{p}) v)
+  GROUP BY 1, 2),
+merge{r} AS (
+  SELECT CAST({r} AS BIGINT) AS merge_rank, x, y, cnt
+  FROM pairs{r} ORDER BY cnt DESC, x, y LIMIT 1),
+vocab{r} AS (
+  SELECT replace(s, ' ' || m.x || ' ' || m.y || ' ',
+                    ' ' || m.x || m.y || ' ') AS s, freq
+  FROM vocab{p} v, merge{r} m)"""
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM merge{r}" for r in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    return f"""{sql}
+SELECT merge_rank, x AS left_sym, y AS right_sym, x || y AS merged,
+       cnt AS pair_count
+FROM ({union})
+"""
+
+
+@query("q_bpe_train", oracle=_bpe_train_oracle())
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAIN — learn the merge table itself (the step q_bpe_pair_counts
+    computes one round of and q_bpe_encode consumes): R greedy rounds, each
+    counting adjacent symbol pairs across the WORD VOCABULARY weighted by
+    word frequency, picking the argmax pair (count DESC, then (x, y) — a
+    deterministic tie-break, since ties are common on real corpora), and
+    applying the merge to every vocabulary entry. Output is the learned
+    table: (merge_rank, left_sym, right_sym, merged, pair_count).
+
+    THE SCALE SHAPE: training runs on the DISTINCT-WORD vocabulary with
+    frequencies, never on the token stream — the corpus is touched once
+    (one explode + one groupBy), then every round costs O(|vocab|), which
+    is sublinear in corpus size and shrinks as merges fuse symbols. Each
+    round's argmax joins back in as a broadcast 1-row relation (NO driver
+    collect — the loop is lineage-truncated like q_kmeans, but the merge
+    VALUE never leaves the cluster). The pair explode derives its spine
+    from each word's symbol count (class-19 rule). Empty corpus → empty
+    merge table on both engines (each stage's cross join against an empty
+    argmax relation vanishes identically)."""
+    from kinesis_test_spark.iterate import truncate_lineage
+
+    d = unique_docs(spark, sf_dir, cols=["doc_id", "text"])
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(ascii_lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w")
+    )
+    vocab = truncate_lineage(
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("s"),
+            "freq",
+        )
+    )
+    merges = []
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        syms = F.split(F.trim(F.col("s")), " ")
+        k = F.greatest(F.size(syms) - 1, F.lit(0))
+        pair_arr = F.zip_with(
+            F.slice(syms, 1, k),
+            F.slice(syms, 2, k),
+            lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+        )
+        pairs = (
+            vocab.select(F.explode(pair_arr).alias("p"), "freq")
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        m = truncate_lineage(
+            pairs.orderBy(F.col("cnt").desc(), "x", "y").limit(1)
+        )
+        merges.append(
+            m.select(
+                F.lit(r).cast("bigint").alias("merge_rank"),
+                F.col("x").alias("left_sym"),
+                F.col("y").alias("right_sym"),
+                F.concat("x", "y").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        vocab = truncate_lineage(
+            vocab.crossJoin(F.broadcast(m)).select(
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.lit(" "), F.col("x"), F.lit(" "), F.col("y"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("x"), F.col("y"), F.lit(" ")),
+                ).alias("s"),
+                "freq",
+            )
+        )
+    out = merges[0]
+    for mm in merges[1:]:
+        out = out.unionByName(mm)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # per-domain document cap (Common-Crawl-style source rebalancing)
 # ---------------------------------------------------------------------------
