@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "q_dedup_semantic",  # SemDeDup: cell-blocked pair cosine + keep rule (round 11)
     "q_sessionize_twophase",  # skew-safe chunked session chain (round 11)
     "q_graph_triangles",  # degree-oriented wedge joins over checkpointed edges (round 11)
+    "q_bpe_train",       # 8-round greedy merge learning over the word vocab (round 11)
     "s_ingest",          # streaming drain throughput
     "s_sink_partitioned",# partitioned JSON sink end-to-end
 ]
