@@ -1219,6 +1219,71 @@ def q_dedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every mutually-similar group (its keepability minimum).
 SEM_DUP_THRESHOLD = COSINE_THRESHOLD  # pair cosine at/above this = same meaning
 
+# Hot-cell guard (r11 VERDICT #1 — the repo's last unguarded quadratic):
+# near-duplicate-heavy data concentrates into FEW cells (that is what the
+# operator detects), so an uncapped within-cell self-join is |cell|² on
+# exactly the input the operator exists for. The bound is a SORTED-
+# NEIGHBORHOOD band on the keepability rank: each member is compared only
+# against the SEM_CELL_CAP immediately-more-keepable ranks. The rank key is
+# cent_sim — a 1-D projection of the vector — and high-cosine pairs have
+# provably close projections (spherical triangle inequality:
+# |angle(a,c) − angle(b,c)| ≤ angle(a,b)), so true near-dups sit close in
+# rank order and the band loses only pairs separated by ≥CAP OTHER members
+# squeezed between their centroid similarities. Like minhash's bucket_cap
+# (dedup.py NGRAM_DF_CAP / star-linking), this is a recall dial, mirrored
+# EXACTLY in the oracle — not an approximation of the oracle's semantics.
+SEM_CELL_CAP = 256
+
+
+def _sem_ranked(assigned: DataFrame) -> DataFrame:
+    """Keepability rank within each cell: rn=1 is the MOST keepable member
+    (lowest centroid similarity, vec_id tie-break) — the SemDeDup diversity
+    rule as a total order. cent_sim is non-NULL by construction (cosine()'s
+    -1.0 zero-norm sentinel), but both engines' rank windows still state
+    the ordering over the full domain identically (ASC = NULLS FIRST)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cid").orderBy(
+        F.col("cent_sim").asc(), F.col("vec_id").asc()
+    )
+    return assigned.withColumn("rn", F.row_number().over(w))
+
+
+def _sem_candidates(ranked: DataFrame) -> DataFrame:
+    """Cap-bounded within-cell candidate pairs. The JOIN ITSELF is linear,
+    not just its output: both sides carry an equi-key block id
+    (rn-1) div CAP — the band rn_a−CAP ≤ rn_b < rn_a only ever spans a
+    row's own block and the one before it, so the b-side probes exactly
+    two blocks and every (cid, block) join group holds ≤CAP a-rows ×
+    ≤2·CAP b-rows. A hot cell with m members generates Θ(m·CAP)
+    comparisons instead of Θ(m²) (pinned in tests/test_dedup_semantic.py
+    with an exact candidate-count formula on a 50%-hot corpus)."""
+    blk = F.expr(f"(rn - 1) div {SEM_CELL_CAP}")
+    a = ranked.select(
+        "vec_id",
+        "cid",
+        "cent_sim",
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        F.col("rn").alias("rn_a"),
+        blk.alias("blk_a"),
+    )
+    b = ranked.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cid").alias("cid_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("rn").alias("rn_b"),
+        F.explode(F.array(blk, blk + F.lit(1))).alias("probe_blk"),
+    )
+    return a.join(
+        b,
+        (F.col("cid") == F.col("cid_b"))
+        & (F.col("blk_a") == F.col("probe_blk"))
+        & (F.col("rn_b") < F.col("rn_a"))
+        & (F.col("rn_a") - F.col("rn_b") <= F.lit(SEM_CELL_CAP)),
+    )
+
 
 def _sem_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cell-assignment relation q_dedup_semantic shares across its
@@ -1267,13 +1332,16 @@ scored AS (
            ORDER BY ROUND(list_cosine_similarity(v.e, cent.ce), 6) DESC, cent.cid) AS rn
   FROM v, cent),
 assigned AS (SELECT vec_id, e, cid, sim AS cent_sim FROM scored WHERE rn = 1),
+ranked AS (
+  SELECT vec_id, e, cid, cent_sim,
+         row_number() OVER (PARTITION BY cid
+           ORDER BY cent_sim ASC NULLS FIRST, vec_id ASC NULLS FIRST) AS rn
+  FROM assigned),
 dropped AS (
   SELECT DISTINCT a.vec_id
-  FROM assigned a JOIN assigned b
-    ON a.cid = b.cid AND a.vec_id <> b.vec_id
-   AND ROUND(list_cosine_similarity(a.e, b.e), 4) >= {SEM_DUP_THRESHOLD}
-   AND (b.cent_sim < a.cent_sim
-        OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id)))
+  FROM ranked a JOIN ranked b
+    ON a.cid = b.cid AND b.rn < a.rn AND a.rn - b.rn <= {SEM_CELL_CAP}
+   AND ROUND(list_cosine_similarity(a.e, b.e), 4) >= {SEM_DUP_THRESHOLD})
 SELECT a.vec_id, a.cid AS cell, a.cent_sim,
        (d.vec_id IS NULL) AS is_kept
 FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
@@ -1285,31 +1353,27 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup modality): assign every valid vector to its nearest coarse-
     codebook centroid (the deterministic first-C codebook + broadcast
     argmax of similarity.py's IVF machinery), then within each cell drop
-    members that have a more-keepable near-duplicate (pair cosine ≥
-    SEM_DUP_THRESHOLD; keepability = LOWER centroid similarity per the
-    SemDeDup diversity rule, vec_id tie-break) — one keep/drop verdict
-    row per vector. Pairs only form INSIDE a cell (plan-pinned), so the
-    pair space is Σ|cell|², never n²; at 100 TB the codebook is k-means-
-    trained (q_kmeans) and cells are the shuffle key, same plan. Invalid
-    vectors (NULL/ragged/non-finite — vec_valid) are quarantined on both
-    sides; zero-norm cosines hit the shared -1.0 sentinel (< threshold,
-    so zero vectors are never near-dups and always kept)."""
-    # materialized ONCE (truncate_lineage): assigned fans out to both sides
-    # of the pair self-join AND the final verdict join — without it the
+    members that have a more-keepable near-duplicate within the cap-
+    bounded rank band (pair cosine ≥ SEM_DUP_THRESHOLD; keepability =
+    LOWER centroid similarity per the SemDeDup diversity rule, vec_id
+    tie-break; band = the SEM_CELL_CAP immediately-more-keepable ranks,
+    the sorted-neighborhood hot-cell guard above) — one keep/drop verdict
+    row per vector. Pairs only form INSIDE a cell AND inside the rank
+    band (plan-pinned + candidate-count-pinned), so the pair space is
+    Σ|cell|·CAP, never n² and never |cell|²; at 100 TB the codebook is
+    k-means-trained (q_kmeans) and (cell, rank-block) is the shuffle key,
+    same plan. The per-cell rank window sorts a hot cell on one task
+    (O(m log m), not quadratic — acceptable; the twophase split applies
+    if a single cell outgrows a task). Invalid vectors (NULL/ragged/
+    non-finite — vec_valid) are quarantined on both sides; zero-norm
+    cosines hit the shared -1.0 sentinel (< threshold, so zero vectors
+    are never near-dups and always kept)."""
+    # materialized ONCE (truncate_lineage): ranked fans out to both sides
+    # of the banded pair join AND the final verdict join — without it the
     # broadcast-argmax assignment subtree executes three times (r11 review).
     # The assignment plan itself is pinned via _sem_assigned (checkpointing
     # hides it from the operator's formatted plan).
-    assigned = truncate_lineage(_sem_assigned(spark, sf_dir))
-    a = assigned.select(
-        "vec_id", "cid", "cent_sim", F.col("e").alias("ea"), F.col("nrm").alias("na")
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("cid").alias("cid_b"),
-        F.col("cent_sim").alias("cent_sim_b"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
+    ranked = truncate_lineage(_sem_ranked(_sem_assigned(spark, sf_dir)))
     pair_cos = F.round(
         F.coalesce(
             F.try_divide(_dot(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb")),
@@ -1317,24 +1381,15 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         4,
     )
-    more_keepable = (F.col("cent_sim_b") < F.col("cent_sim")) | (
-        (F.col("cent_sim_b") == F.col("cent_sim"))
-        & (F.col("vec_b") < F.col("vec_id"))
-    )
     dropped = (
-        a.join(
-            b,
-            (F.col("cid") == F.col("cid_b"))
-            & (F.col("vec_id") != F.col("vec_b"))
-            & more_keepable,
-        )
+        _sem_candidates(ranked)
         .filter(pair_cos >= SEM_DUP_THRESHOLD)
         .select("vec_id")
         .distinct()
         .withColumn("is_dropped", F.lit(True))
     )
     return (
-        assigned.join(dropped, "vec_id", "left")
+        ranked.join(dropped, "vec_id", "left")
         .select(
             "vec_id",
             F.col("cid").alias("cell"),

