@@ -60,7 +60,8 @@ BENCH_QUERIES = [
     "q_dedup_substring", # sliding window-hash exact-overlap spans (round 9)
     "q_quality_classifier",  # zero-shuffle hashed-feature model gate (round 10)
     "q_bpe_encode",      # merge-table tokenizer mapper, codegen-bound (round 10)
-    "q_dedup_semantic",  # SemDeDup: cell-blocked pair cosine + keep rule (round 11)
+    "q_dedup_semantic",  # SemDeDup: rank-band cell pairs + keep rule (round 11/12)
+    "q_dedup_semantic_incremental",  # new vectors vs standing keepers (round 12)
     "q_sessionize_twophase",  # skew-safe chunked session chain (round 11)
     "q_graph_triangles",  # degree-oriented wedge joins over checkpointed edges (round 11)
     "q_bpe_train",       # 8-round greedy merge learning over the word vocab (round 11)
@@ -352,6 +353,17 @@ def main() -> None:
         t0 = time.perf_counter()
         force(registry.QUERIES["q_dedup_incremental"](spark, sf_dir))
         timings["q_dedup_incremental_warm"] = round(time.perf_counter() - t0, 3)
+
+    # Same warm-path entry for the semantic sibling (round 12): the cold
+    # entry pays the standing-keeper build (a full banded dedup of the
+    # standing corpus); the amortized per-run cost is assignment of the
+    # new batch + the banded join against the session-persisted keepers.
+    if "q_dedup_semantic_incremental" in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        force(registry.QUERIES["q_dedup_semantic_incremental"](spark, sf_dir))
+        timings["q_dedup_semantic_incremental_warm"] = round(
+            time.perf_counter() - t0, 3
+        )
 
     # Streaming SATURATION drain (r10 VERDICT #6): fixed input volume, no
     # trigger throttle — regressions show up as a rate drop where the

@@ -1285,13 +1285,39 @@ def _sem_candidates(ranked: DataFrame) -> DataFrame:
     )
 
 
-def _sem_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sem_pair_cos():
+    """Pair cosine over the (ea, na) × (eb, nb) candidate columns — the
+    shared -1.0 zero-norm sentinel, rounded to 4 like the oracle's
+    list_cosine_similarity rendering."""
+    return F.round(
+        F.coalesce(
+            F.try_divide(_dot(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb")),
+            F.lit(-1.0),
+        ),
+        4,
+    )
+
+
+def _sem_dropped(ranked: DataFrame) -> DataFrame:
+    """vec_ids dropped by the banded more-keepable-near-dup rule."""
+    return (
+        _sem_candidates(ranked)
+        .filter(_sem_pair_cos() >= SEM_DUP_THRESHOLD)
+        .select("vec_id")
+        .distinct()
+    )
+
+
+def _sem_assigned(spark: SparkSession, sf_dir: str, pred=None) -> DataFrame:
     """The cell-assignment relation q_dedup_semantic shares across its
     joins: valid vectors argmax-assigned to the broadcast coarse codebook,
     with centroid similarity and the precomputed norm. Separate so
     tests/test_plans.py can pin the broadcast-assignment shape — the
     operator checkpoints this relation, which hides its subtree from the
-    operator's own formatted plan."""
+    operator's own formatted plan. ``pred`` restricts WHICH vectors get
+    assigned (the incremental operator assigns only the new batch — O(new)
+    per run); the codebook always comes from the FULL table, a fixed
+    asset shared by every run."""
     from kinesis_test_spark.operators.similarity import assign_cells
 
     v = (
@@ -1307,6 +1333,8 @@ def _sem_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("cid"), F.col("e").alias("ce")
         )
     )
+    if pred is not None:
+        v = v.filter(pred)
     # assignment is the shared partial/final max_by argmax (similarity.py
     # assign_cells — map-side combine, no n×k window sort); the oracle's
     # rn=1 over `sim DESC, cid ASC` matches its (sim, -cid) ordering key
@@ -1317,10 +1345,12 @@ def _sem_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_semantic",
-    oracle=f"""
-WITH cent AS (SELECT vec_id AS cid, (CASE WHEN {_SQL_VEC_VALID} THEN CAST(embedding AS DOUBLE[]) END) AS ce
+# The shared oracle prefix for the semantic-dedup family: valid vectors
+# argmax-assigned to the fixed first-_N_CELLS codebook (rn=1 over
+# `sim DESC, cid ASC` — the exact mirror of assign_cells' (sim, -cid)
+# max_by key). Extracted verbatim from the battle-tested q_dedup_semantic
+# oracle so the incremental/eval siblings share one definition.
+_SEM_SQL_ASSIGNED = f"""cent AS (SELECT vec_id AS cid, (CASE WHEN {_SQL_VEC_VALID} THEN CAST(embedding AS DOUBLE[]) END) AS ce
               FROM embeddings WHERE vec_id < {_N_CELLS} AND {_SQL_VEC_VALID}),
 v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
       WHERE {_SQL_VEC_VALID}),
@@ -1331,7 +1361,13 @@ scored AS (
            PARTITION BY v.vec_id
            ORDER BY ROUND(list_cosine_similarity(v.e, cent.ce), 6) DESC, cent.cid) AS rn
   FROM v, cent),
-assigned AS (SELECT vec_id, e, cid, sim AS cent_sim FROM scored WHERE rn = 1),
+assigned AS (SELECT vec_id, e, cid, sim AS cent_sim FROM scored WHERE rn = 1)"""
+
+
+@query(
+    "q_dedup_semantic",
+    oracle=f"""
+WITH {_SEM_SQL_ASSIGNED},
 ranked AS (
   SELECT vec_id, e, cid, cent_sim,
          row_number() OVER (PARTITION BY cid
@@ -1374,20 +1410,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The assignment plan itself is pinned via _sem_assigned (checkpointing
     # hides it from the operator's formatted plan).
     ranked = truncate_lineage(_sem_ranked(_sem_assigned(spark, sf_dir)))
-    pair_cos = F.round(
-        F.coalesce(
-            F.try_divide(_dot(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb")),
-            F.lit(-1.0),
-        ),
-        4,
-    )
-    dropped = (
-        _sem_candidates(ranked)
-        .filter(pair_cos >= SEM_DUP_THRESHOLD)
-        .select("vec_id")
-        .distinct()
-        .withColumn("is_dropped", F.lit(True))
-    )
+    dropped = _sem_dropped(ranked).withColumn("is_dropped", F.lit(True))
     return (
         ranked.join(dropped, "vec_id", "left")
         .select(
@@ -1397,6 +1420,262 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("is_dropped").isNull().alias("is_kept"),
         )
         .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental semantic dedup (new batch vs standing cell keepers)
+# ---------------------------------------------------------------------------
+
+# Deterministic batch split for the fixture, mirroring q_dedup_incremental:
+# every 10th vector plays the "newly arrived" batch; the rest is the
+# standing corpus whose keep verdicts a daily pipeline persists between runs.
+_SEM_NEW_PRED = "vec_id % 10 = 0"
+
+
+def sem_standing_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing corpus's per-cell KEPT representatives, persisted once
+    per (session, sf_dir) — the canonical set a production pipeline stores
+    between runs (the semantic sibling of corpus_minhash_bands). Computed
+    with exactly q_dedup_semantic's banded rule restricted to the standing
+    corpus."""
+
+    def build() -> DataFrame:
+        ranked = _sem_ranked(
+            _sem_assigned(spark, sf_dir, pred=~F.expr(_SEM_NEW_PRED))
+        )
+        dropped = _sem_dropped(ranked).withColumn("is_dropped", F.lit(True))
+        return (
+            ranked.join(dropped, "vec_id", "left")
+            .filter(F.col("is_dropped").isNull())
+            .select("vec_id", "cid", "cent_sim", "e", "nrm")
+        )
+
+    return _session_cached(spark, ("sem_keepers", str(sf_dir)), build)
+
+
+@query(
+    "q_dedup_semantic_incremental",
+    oracle=f"""
+WITH {_SEM_SQL_ASSIGNED},
+standing AS (SELECT * FROM assigned WHERE NOT (vec_id % 10 = 0)),
+newb AS (SELECT * FROM assigned WHERE vec_id % 10 = 0),
+st_ranked AS (
+  SELECT vec_id, e, cid, cent_sim,
+         row_number() OVER (PARTITION BY cid
+           ORDER BY cent_sim ASC NULLS FIRST, vec_id ASC NULLS FIRST) AS rn
+  FROM standing),
+st_dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM st_ranked a JOIN st_ranked b
+    ON a.cid = b.cid AND b.rn < a.rn AND a.rn - b.rn <= {SEM_CELL_CAP}
+   AND ROUND(list_cosine_similarity(a.e, b.e), 4) >= {SEM_DUP_THRESHOLD}),
+keepers AS (
+  SELECT s.vec_id, s.e, s.cid, s.cent_sim
+  FROM st_ranked s LEFT JOIN st_dropped d ON s.vec_id = d.vec_id
+  WHERE d.vec_id IS NULL),
+uni AS (
+  SELECT vec_id, e, cid, cent_sim, TRUE AS is_new FROM newb
+  UNION ALL
+  SELECT vec_id, e, cid, cent_sim, FALSE FROM keepers),
+uni_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cid
+    ORDER BY cent_sim ASC NULLS FIRST, vec_id ASC NULLS FIRST) AS rn
+  FROM uni),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM uni_ranked a JOIN uni_ranked b
+    ON a.cid = b.cid AND a.is_new AND NOT b.is_new
+   AND abs(a.rn - b.rn) <= {SEM_CELL_CAP}
+   AND ROUND(list_cosine_similarity(a.e, b.e), 4) >= {SEM_DUP_THRESHOLD})
+SELECT n.vec_id, n.cid AS cell, n.cent_sim,
+       (d.vec_id IS NULL) AS is_kept
+FROM newb n LEFT JOIN dropped d ON n.vec_id = d.vec_id
+ORDER BY n.vec_id
+""",
+)
+def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic dedup (r11 VERDICT #3) — the run a production
+    pipeline does daily: verdict a NEW batch of vectors against the
+    STANDING corpus's kept representatives without recomputing the
+    standing side. Per-run cost is O(new)·k for assignment (the codebook
+    broadcast argmax over only the new batch — _sem_assigned's pred) plus
+    a banded join against the session-persisted keeper set
+    (sem_standing_keepers, the state a real pipeline stores between runs).
+    A new vector is DROPPED when any standing keeper in its cell within
+    the bidirectional SEM_CELL_CAP rank band is a near-duplicate (pair
+    cosine ≥ SEM_DUP_THRESHOLD); dedup is against the CANONICAL kept set,
+    not against dropped standing members, and — like q_dedup_incremental —
+    new×new pairs are out of scope (they verdict in the batch's own full
+    run). The union rank co-sorts new vectors and keepers per cell so the
+    band is the same sorted-neighborhood guard as the base operator; the
+    keeper side probes three blocks (the band runs both directions — a
+    keeper may rank above or below the new vector), keeping every
+    (cell, block) join group ≤CAP × ≤3·CAP rows."""
+    keepers = sem_standing_keepers(spark, sf_dir)
+    new = _sem_assigned(spark, sf_dir, pred=F.expr(_SEM_NEW_PRED))
+    uni = new.select("vec_id", "cid", "cent_sim", "e", "nrm").withColumn(
+        "is_new", F.lit(True)
+    ).unionByName(
+        keepers.select("vec_id", "cid", "cent_sim", "e", "nrm").withColumn(
+            "is_new", F.lit(False)
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cid").orderBy(
+        F.col("cent_sim").asc(), F.col("vec_id").asc()
+    )
+    # materialized once: the co-ranked relation fans out to both join legs
+    # and the verdict join (same discipline as the base operator)
+    uni_ranked = truncate_lineage(uni.withColumn("rn", F.row_number().over(w)))
+    blk = F.expr(f"(rn - 1) div {SEM_CELL_CAP}")
+    a = uni_ranked.filter(F.col("is_new")).select(
+        "vec_id",
+        "cid",
+        "cent_sim",
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        F.col("rn").alias("rn_a"),
+        blk.alias("blk_a"),
+    )
+    b = uni_ranked.filter(~F.col("is_new")).select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cid").alias("cid_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("rn").alias("rn_b"),
+        F.explode(F.array(blk - F.lit(1), blk, blk + F.lit(1))).alias("probe_blk"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("cid") == F.col("cid_b"))
+            & (F.col("blk_a") == F.col("probe_blk"))
+            & (F.abs(F.col("rn_a") - F.col("rn_b")) <= F.lit(SEM_CELL_CAP)),
+        )
+        .filter(_sem_pair_cos() >= SEM_DUP_THRESHOLD)
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        uni_ranked.filter(F.col("is_new"))
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cell"),
+            "cent_sim",
+            F.col("is_dropped").isNull().alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic-dedup quality eval (band recall vs exact within-cell truth)
+# ---------------------------------------------------------------------------
+
+# The tighter threshold dial measured next to the family default. 0.45 is
+# data-informed: the fixture's within-cell pair-cosine tail reaches ~0.49
+# at sf0.01 / ~0.53 at sf0.1, so this dial keeps a non-empty truth set at
+# every gate scale (7 / 48 pairs) while 0.5+ would read an all-zero row.
+SEM_EVAL_STRICT = 0.45
+
+
+def _sem_eval_oracle() -> str:
+    dials = []
+    for label, thr in (("t0.40", SEM_DUP_THRESHOLD), ("t0.45", SEM_EVAL_STRICT)):
+        dials.append(
+            f"""
+  SELECT '{label}' AS dial,
+         CAST((SELECT COUNT(*) FROM pairs_band WHERE cos >= {thr}) AS BIGINT) AS n_pred,
+         CAST((SELECT COUNT(*) FROM pairs_all WHERE cos >= {thr}) AS BIGINT) AS n_truth"""
+        )
+    dial_union = "\n  UNION ALL".join(dials)
+    return f"""
+WITH {_SEM_SQL_ASSIGNED},
+ranked AS (
+  SELECT vec_id, e, cid, cent_sim,
+         row_number() OVER (PARTITION BY cid
+           ORDER BY cent_sim ASC NULLS FIRST, vec_id ASC NULLS FIRST) AS rn
+  FROM assigned WHERE vec_id IS NOT NULL),
+pairs_all AS (
+  SELECT a.vec_id AS pa, b.vec_id AS pb,
+         ROUND(list_cosine_similarity(a.e, b.e), 4) AS cos
+  FROM ranked a JOIN ranked b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+pairs_band AS (
+  SELECT LEAST(a.vec_id, b.vec_id) AS pa, GREATEST(a.vec_id, b.vec_id) AS pb,
+         ROUND(list_cosine_similarity(a.e, b.e), 4) AS cos
+  FROM ranked a JOIN ranked b
+    ON a.cid = b.cid AND b.rn < a.rn AND a.rn - b.rn <= {SEM_CELL_CAP}),
+dials AS ({dial_union})
+SELECT dial, n_pred, n_truth,
+       (n_truth - n_pred) AS n_missed,
+       CAST(n_pred AS DOUBLE) / NULLIF(n_truth, 0) AS recall
+FROM dials
+ORDER BY dial
+"""
+
+
+@query("q_dedup_semantic_eval", oracle=_sem_eval_oracle())
+def q_dedup_semantic_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality readout for the semantic-dedup band (r11 VERDICT #8): how
+    many true within-cell near-dup pairs the SEM_CELL_CAP sorted-
+    neighborhood band recovers, at TWO threshold dials side by side (the
+    family default 0.4 and the stricter SEM_EVAL_STRICT — tighter pairs
+    have closer centroid similarities, so the band's recall should RISE
+    with the threshold: the locality argument measured, not asserted,
+    and never BELOW the default's). Truth = ALL
+    within-cell pairs at the dial threshold (unbounded — at 100 TB the
+    truth side runs on a sample BY DESIGN, exactly like q_dedup_eval's
+    exact-Jaccard side); predicted = the banded candidate pairs the
+    production operator actually compares. Banded pairs are a SUBSET of
+    truth by construction (same cells, same cosine, the band only
+    prunes), so precision is identically 1 and the readout is
+    n_pred / n_truth / n_missed / recall. Identity-less vectors are
+    quarantined from the EVAL only (pair identity needs an id; the dedup
+    verdict itself keeps them)."""
+    ranked = truncate_lineage(
+        _sem_ranked(
+            _sem_assigned(spark, sf_dir, pred=F.col("vec_id").isNotNull())
+        )
+    )
+    t_a = ranked.select(
+        "vec_id", "cid", F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    t_b = ranked.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cid").alias("cid_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs_all = t_a.join(
+        t_b, (F.col("cid") == F.col("cid_b")) & (F.col("vec_id") < F.col("vec_b"))
+    ).select(_sem_pair_cos().alias("cos"))
+    pairs_band = _sem_candidates(ranked).select(_sem_pair_cos().alias("cos"))
+
+    def dial(label: str, thr: float) -> DataFrame:
+        pred = pairs_band.filter(F.col("cos") >= thr).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pred")
+        )
+        truth = pairs_all.filter(F.col("cos") >= thr).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_truth")
+        )
+        return pred.crossJoin(F.broadcast(truth)).select(
+            F.lit(label).alias("dial"),
+            "n_pred",
+            "n_truth",
+            (F.col("n_truth") - F.col("n_pred")).alias("n_missed"),
+            F.try_divide(F.col("n_pred").cast("double"), F.col("n_truth")).alias(
+                "recall"
+            ),
+        )
+
+    return (
+        dial("t0.40", SEM_DUP_THRESHOLD)
+        .unionByName(dial("t0.45", SEM_EVAL_STRICT))
+        .orderBy("dial")
     )
 
 

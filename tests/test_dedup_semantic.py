@@ -129,6 +129,40 @@ def test_banded_verdict_equals_bruteforce_when_cap_unbound(spark):
     assert len(expect_dropped) > 0  # the corpus actually plants dups
 
 
+def test_band_can_miss_a_rank_distant_pair(spark):
+    """The eval's recall column measures something real: a near-dup pair
+    separated by more than CAP interleaved ranks IS missed by the band
+    (and would be counted by the unbounded truth side). Two copies of the
+    same vector get artificial cent_sim scores CAP+2 ranks apart with
+    orthogonal fillers between them — the band must NOT pair them."""
+    from pyspark.sql import functions as F
+
+    n_fill = SEM_CELL_CAP + 1
+    rows = [(0, 0, 0.0, [1.0, 0.0, 0.0])]  # dup A, most keepable
+    for i in range(n_fill):  # orthogonal fillers occupy the band
+        rows.append((i + 1, 0, float(i + 1), [0.0, 1.0, 0.0]))
+    rows.append((n_fill + 1, 0, float(n_fill + 1), [1.0, 0.0, 0.0]))  # dup B
+    ranked = _sem_ranked(_assigned_frame(spark, rows))
+    from kinesis_test_spark.operators.dedup import _sem_pair_cos
+
+    banded = {
+        (min(r.vec_id, r.vec_b), max(r.vec_id, r.vec_b))
+        for r in _sem_candidates(ranked)
+        .filter(_sem_pair_cos() >= SEM_DUP_THRESHOLD)
+        .select("vec_id", "vec_b")
+        .collect()
+    }
+    assert (0, n_fill + 1) not in banded  # the true pair is outside the band
+    # sanity: with the fillers removed the band finds it
+    close = [r for r in rows if r[3] == [1.0, 0.0, 0.0]]
+    found = (
+        _sem_candidates(_sem_ranked(_assigned_frame(spark, close)))
+        .filter(_sem_pair_cos() >= SEM_DUP_THRESHOLD)
+        .count()
+    )
+    assert found == 1
+
+
 def test_band_block_join_is_equi_keyed(spark):
     """The candidate join must carry the (cid, rank-block) EQUI keys — a
     cid-only join would still execute |cell|² comparisons inside a hot
