@@ -119,9 +119,11 @@ _PRIORITY = [
     # Round-10 keys (VERDICT r9 #4/#5/#6 + the interval-overlap join).
     "q_quality_classifier", "q_bpe_encode", "q_dedup_substring_clusters",
     "q_join_interval",
-    # Round-11 keys (VERDICT r10 #5 semantic dedup; #1 skew-safe variants;
-    # count-min heavy hitters + matryoshka retrieval).
-    "q_dedup_semantic", "q_sessionize_twophase",
+    # Round-11 keys (VERDICT r10 #5 semantic dedup — re-listed at the head
+    # in round 12 after the SEM_CELL_CAP band changed its semantics;
+    # #1 skew-safe variants; count-min heavy hitters + matryoshka
+    # retrieval).
+    "q_sessionize_twophase",
     "q_event_transitions_twophase", "q_window_cumsum_twophase",
     "q_sketch_countmin", "q_sim_mrl",
     # Round-11 session-2 keys: KMV distinct sketch, bloom join pruning,
