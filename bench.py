@@ -151,6 +151,32 @@ def host_factor_from_probes(
     return max(1.0, round(max(ratios), 3)) if ratios else 1.0
 
 
+def per_entry_host_factors(
+    order: list[str],
+    probes_start: dict[str, float | None],
+    probes_end: dict[str, float | None],
+    prev_floor: dict[str, float | None],
+) -> tuple[float, float, dict[str, float]]:
+    """Per-entry threshold multipliers for a host whose contention CHANGES
+    during the run (r11 VERDICT #2: a start-of-run spike — par8 burn
+    2.234s before vs 0.561s after — died mid-run, the min(before, after)
+    floor read quiet, and the four earliest entries flagged at 1.6-1.9×
+    while the settled tail ran 1.01×). The start and end probes each vote
+    a factor against the BASELINE run's floors; each entry's factor is the
+    linear interpolation between them by its position in run order, so a
+    decaying spike discounts exactly the entries it polluted and a
+    quiet-start/loud-end run still gates its early entries hard. Returns
+    (factor_start, factor_end, {entry: factor})."""
+    f_start = host_factor_from_probes(probes_start, prev_floor)
+    f_end = host_factor_from_probes(probes_end, prev_floor)
+    n = len(order)
+    factors = {
+        name: round(f_start + (f_end - f_start) * (i / (n - 1) if n > 1 else 0.0), 3)
+        for i, name in enumerate(order)
+    }
+    return f_start, f_end, factors
+
+
 def _probe_floor(host: dict, *keys: str) -> float | None:
     """min of the named probe fields — the run's least-contended moment."""
     probes = [host.get(k) for k in keys]
@@ -202,14 +228,26 @@ def flag_regressions(
     prev: dict[str, float],
     ratio: float = REGRESSION_RATIO,
     min_delta: float = REGRESSION_MIN_DELTA_SEC,
+    factors: dict[str, float] | None = None,
 ) -> dict[str, dict[str, float]]:
     """Queries slower than ``ratio`` × their previous-round time AND more
-    than ``min_delta`` seconds slower in absolute terms."""
+    than ``min_delta`` seconds slower in absolute terms. ``factors`` (from
+    per_entry_host_factors) widens each entry's threshold by the host
+    contention measured AROUND ITS POSITION in the run; the flagged record
+    carries the effective threshold so adjudications are on the record."""
     flagged: dict[str, dict[str, float]] = {}
     for name, cur in timings.items():
         old = prev.get(name)
-        if old is not None and old > 0 and cur > ratio * old and cur - old > min_delta:
-            flagged[name] = {"prev": old, "cur": cur, "ratio": round(cur / old, 2)}
+        if old is None or old <= 0:
+            continue
+        eff = round(ratio * (factors.get(name, 1.0) if factors else 1.0), 3)
+        if cur > eff * old and cur - old > min_delta:
+            flagged[name] = {
+                "prev": old,
+                "cur": cur,
+                "ratio": round(cur / old, 2),
+                "threshold": eff,
+            }
     return flagged
 
 
@@ -408,6 +446,17 @@ def main() -> None:
     }
     host_factor = host_factor_from_probes(cur_burn, prev_burn)
     effective_ratio = round(REGRESSION_RATIO * host_factor, 3)
+    # Per-entry factors (r11 VERDICT #2): the start and end probes vote
+    # separately and each entry gates at its run-position interpolation,
+    # so a contention spike that decays mid-run discounts the entries it
+    # actually polluted instead of being erased by the min() floor above
+    # (kept for the legacy host_factor field / BASELINE.md continuity).
+    factor_start, factor_end, entry_factors = per_entry_host_factors(
+        list(timings),
+        {"single": probe_before, "par8": par_before},
+        {"single": probe_after, "par8": par_after},
+        prev_burn,
+    )
     print(
         json.dumps(
             {
@@ -423,8 +472,10 @@ def main() -> None:
                     "threshold_ratio": REGRESSION_RATIO,
                     "host_factor": host_factor,
                     "threshold_ratio_effective": effective_ratio,
+                    "host_factor_start": factor_start,
+                    "host_factor_end": factor_end,
                     "flagged": flag_regressions(
-                        timings, prev, ratio=effective_ratio
+                        timings, prev, factors=entry_factors
                     ),
                 },
                 # Host-contention evidence (BASELINE.md noise rules): the

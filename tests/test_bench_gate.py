@@ -20,7 +20,12 @@ def test_flags_only_above_ratio():
     cur = {"q_a": 1.49, "q_b": 3.1, "q_c": 4.0, "q_new": 9.0}
     flagged = bench.flag_regressions(cur, prev, ratio=1.5)
     assert set(flagged) == {"q_b"}
-    assert flagged["q_b"] == {"prev": 2.0, "cur": 3.1, "ratio": 1.55}
+    assert flagged["q_b"] == {
+        "prev": 2.0,
+        "cur": 3.1,
+        "ratio": 1.55,
+        "threshold": 1.5,
+    }
 
 
 def test_absolute_floor_suppresses_subsecond_noise():
@@ -196,3 +201,42 @@ def test_host_factor_scales_gate():
     effective = 1.5 * 2.0  # REGRESSION_RATIO x host_factor
     flagged = bench.flag_regressions(cur, prev, ratio=effective)
     assert set(flagged) == {"q_real"}
+
+
+def test_decaying_spike_discounts_only_the_entries_it_polluted():
+    # r11 VERDICT #2 scenario: the par8 burn read 4x the baseline BEFORE
+    # the run and quiet AFTER (contention died mid-run). Early entries
+    # inflated ~1.6x must NOT flag; a late entry 1.6x slower ran on a
+    # quiet host and MUST flag. The min(before, after) floor the legacy
+    # host_factor uses could never see this.
+    order = [f"q_{i:02d}" for i in range(10)]
+    prev_floor = {"single": 0.5, "par8": 0.5}
+    f_start, f_end, factors = bench.per_entry_host_factors(
+        order,
+        {"single": 0.5, "par8": 2.0},   # 4x parallel contention at start
+        {"single": 0.5, "par8": 0.5},   # quiet at end
+        prev_floor,
+    )
+    assert f_start == 4.0 and f_end == 1.0
+    assert factors["q_00"] == 4.0 and factors["q_09"] == 1.0
+    assert factors["q_04"] > factors["q_05"] > factors["q_06"]  # monotone decay
+    prev = {name: 1.0 for name in order}
+    cur = {name: 1.0 for name in order}
+    cur["q_00"] = 1.7  # early, polluted — threshold 1.5*4.0
+    cur["q_09"] = 1.7  # late, quiet host — threshold 1.5*1.0
+    flagged = bench.flag_regressions(cur, prev, factors=factors)
+    assert set(flagged) == {"q_09"}
+    assert flagged["q_09"]["threshold"] == 1.5
+    # a genuine catastrophic regression flags even at the spiked start
+    cur["q_00"] = 8.0
+    assert "q_00" in bench.flag_regressions(cur, prev, factors=factors)
+
+
+def test_per_entry_factors_without_baseline_are_one():
+    _, _, factors = bench.per_entry_host_factors(
+        ["q_a", "q_b"],
+        {"single": 9.0, "par8": 9.0},
+        {"single": 9.0, "par8": 9.0},
+        {"single": None, "par8": None},  # no baseline probes: nothing votes
+    )
+    assert factors == {"q_a": 1.0, "q_b": 1.0}
