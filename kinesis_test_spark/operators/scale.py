@@ -369,8 +369,12 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMV_K = 64
 # Estimator numerator (K-1) * 16^12: the hash fraction is the first 48 bits
 # of md5 as an integer over 2^48, so est = (K-1)/frac = (K-1)*2^48/v48.
-# 63 * 2^48 < 2^53 — exact in a double, and the quotient of two exact
-# integer-valued doubles is bit-identical cross-engine (no ROUND).
+# 63 * 2^48 EXCEEDS 2^53, but it is still exactly representable in a
+# double because its significand is only 6 bits wide (63) — exactness
+# here comes from the narrow mantissa, NOT from magnitude (do not copy
+# this pattern to a numerator whose significand is wider than 53 bits).
+# The quotient of two exact integer-valued doubles is bit-identical
+# cross-engine (no ROUND).
 _KMV_NUM = (KMV_K - 1) * (16**12)
 
 

@@ -1104,10 +1104,18 @@ def _bpe_sql_tokens(var: str) -> str:
     """DuckDB expression: BPE token count of word ``var`` under BPE_MERGES.
 
     A word becomes a space-delimited symbol string (' h e l l o ') and each
-    merge (x, y) is one replace(' x y ' -> ' xy '): string replace is
-    greedy, left-to-right, non-overlapping — exactly BPE's within-word
-    application order, and the flanking spaces stop a merge from crossing
-    symbol boundaries ('ab a' never matches pair (b, a))."""
+    merge (x, y) is ONE SINGLE-PASS replace(' x y ' -> ' xy '): greedy,
+    left-to-right, non-overlapping, with the flanking spaces stopping a
+    merge from crossing symbol boundaries ('ab a' never matches pair
+    (b, a)). DELIBERATE DEVIATION from canonical BPE on immediately
+    consecutive occurrences of the same pair: the trailing space of one
+    match is the leading space of the next, so the single pass skips the
+    second occurrence — 'aaaa' + (a,a) yields [aa, a, a] where canonical
+    greedy yields [aa, aa] (and 'thth' + (t,h) yields [th, t, h]). Both
+    engines run the IDENTICAL chain so parity holds by construction; a
+    repeat-until-fixpoint replace would need unbounded expression depth
+    (the class-19 giant token is a 100k-char run). The defined contract
+    is the single-pass application, stated here and in q_bpe_train."""
     s = f"(' ' || regexp_replace({var}, '(.)', '\\1 ', 'g'))"
     for x, y in BPE_MERGES:
         s = f"replace({s}, ' {x} {y} ', ' {x}{y} ')"
@@ -1158,7 +1166,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     hex-encode instead, but a cross-engine regex over astral codepoints
     diverges (Java regex walks UTF-16 units, RE2 walks codepoints), so
     non-ASCII bytes act as token boundaries — symmetric and
-    Unicode-version-stable. Greedy-merge equivalence of replace() is
+    Unicode-version-stable. Merge application is the SINGLE-PASS replace
+    contract documented on _bpe_sql_tokens (consecutive same-pair
+    occurrences share a delimiter space and the second is skipped —
+    deviates from canonical BPE on runs, identically on both engines);
     pinned in test_edge_docs (e.g. 'aaa' + (a,a) -> [aa, a]).
 
     Reference analog: none (the reference never tokenizes) — this is
@@ -1234,7 +1245,12 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting adjacent symbol pairs across the WORD VOCABULARY weighted by
     word frequency, picking the argmax pair (count DESC, then (x, y) — a
     deterministic tie-break, since ties are common on real corpora), and
-    applying the merge to every vocabulary entry. Output is the learned
+    applying the merge to every vocabulary entry with the SINGLE-PASS
+    replace contract documented on _bpe_sql_tokens (consecutive
+    occurrences of the merged pair share a delimiter space, so the second
+    stays unmerged that round — the learned table can deviate from
+    canonical greedy BPE on run-heavy vocabularies, identically on both
+    engines). Output is the learned
     table: (merge_rank, left_sym, right_sym, merged, pair_count).
 
     THE SCALE SHAPE: training runs on the DISTINCT-WORD vocabulary with
