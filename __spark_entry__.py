@@ -39,7 +39,7 @@ _PRIORITY = [
     # Round-12 keys: new registrations first, then keys whose SEMANTICS
     # changed this round (q_dedup_semantic gained the SEM_CELL_CAP band —
     # its r11 green row predates the new behavior, so it must re-verify).
-    "q_dedup_semantic_incremental", "q_dedup_semantic_eval",
+    "q_dedup_semantic_incremental", "q_dedup_semantic_eval", "q_emb_sq8",
     "q_dedup_semantic",
     # SURVEY.md §2B contract keys with no driver entry in round 1.
     "q_dedup_exact", "q_dedup_minhash", "q_sim_search", "q_text_stats",

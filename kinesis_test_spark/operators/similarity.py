@@ -999,3 +999,133 @@ def q_sim_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cos_trunc").desc(), "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (SQ8) — the third compression dial next to PQ
+# (subspace codebooks) and MRL (dimension truncation)
+# ---------------------------------------------------------------------------
+
+# Quantization is floor(x/s*127 + 0.5): floor of an IEEE double is
+# engine-identical INCLUDING at exact-half boundaries (no HALF_UP-vs-
+# banker's divergence — the decimal-halfway class that bans ROUND on
+# quotients never enters), and with s = corpus max |component| the code
+# domain is exactly [-127, 127] with no clamp (x=s gives floor(127.5)=127,
+# x=-s gives floor(-126.5)=-127).
+SQ8_LEVELS = 127
+
+
+def _sq8_quant(x, s):
+    """One component's int8 code under scale ``s`` (0 when the corpus is
+    all-zero/empty — the s>0 guard keeps ANSI division out of reach)."""
+    return F.when(
+        s > 0, F.floor(x / s * F.lit(float(SQ8_LEVELS)) + F.lit(0.5))
+    ).otherwise(F.lit(0.0))
+
+
+@query(
+    "q_emb_sq8",
+    oracle=f"""
+WITH v AS (SELECT vec_id, (CASE WHEN {_SQL_VEC_VALID} THEN CAST(embedding AS DOUBLE[]) END) AS e
+           FROM embeddings),
+s AS (SELECT max(list_max(list_transform(e, x -> abs(x)))) AS s
+      FROM v WHERE e IS NOT NULL),
+rec AS (
+  SELECT vec_id, e,
+         list_transform(e, x ->
+           (CASE WHEN s.s > 0 THEN floor(x / s.s * {SQ8_LEVELS}.0 + 0.5)
+                 ELSE 0.0 END) * s.s / {SQ8_LEVELS}.0) AS r
+  FROM v, s),
+err AS (
+  SELECT max(list_max(list_transform(list_zip(e, r),
+        p -> abs(p[1] - p[2])))) AS max_abs_err
+  FROM rec WHERE e IS NOT NULL),
+q AS (SELECT e AS qe FROM v WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT rec.vec_id,
+         COALESCE(ROUND(list_cosine_similarity(rec.r, q.qe), 6), -1.0) AS cos_sq8,
+         COALESCE(ROUND(list_cosine_similarity(rec.e, q.qe), 6), -1.0) AS cos_full
+  FROM rec, q WHERE rec.vec_id <> {QUERY_VEC_ID}),
+topk AS (SELECT * FROM scored ORDER BY cos_sq8 DESC, vec_id LIMIT {TOP_K}),
+exact AS (SELECT vec_id FROM scored ORDER BY cos_full DESC, vec_id LIMIT {TOP_K})
+SELECT t.vec_id, t.cos_sq8, t.cos_full,
+       (x.vec_id IS NOT NULL) AS in_exact_topk,
+       err.max_abs_err
+FROM topk t LEFT JOIN exact x ON t.vec_id = x.vec_id, err
+ORDER BY t.cos_sq8 DESC, t.vec_id
+""",
+)
+def q_emb_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization (SQ8) with its quality readout — the
+    compression dial every production vector store ships alongside PQ
+    (q_emb_pq, subspace codebooks) and MRL truncation (q_sim_mrl): one
+    global scale s = max |component|, each component stored as
+    floor(x/s·127 + 0.5) ∈ [-127, 127] (4× smaller than float32, 8× than
+    float64), search ASYMMETRIC (full-precision query against
+    reconstructed int8 corpus — the standard SQ serving shape). Output:
+    the SQ8 top-k for the family's fixed query with each hit's
+    full-precision cosine, whether it survives in the exact top-k (the
+    per-row recall readout, q_sim_mrl's shape), and the corpus-wide
+    max_abs_err reconstruction bound (constant per row — max is a
+    SELECTION of identically-computed doubles, so it needs no decimal
+    route). Quantize/reconstruct is a scan-side projection (zero
+    shuffles); the scale and the error bound are broadcast 1-row
+    aggregates; the rankings are the TakeOrderedAndProject heaps of the
+    sim-search family. floor(x + 0.5) (not ROUND) keeps the halfway class
+    out: floor of a double is engine-identical everywhere. Invalid
+    vectors quarantine through the shared NULL→-1.0 sentinel; an
+    all-zero reconstruction hits DuckDB's native -1.0 zero-norm return,
+    which Spark's cosine() mirrors."""
+    v = _vectors(spark, sf_dir).select("vec_id", "e")
+    s_df = F.broadcast(
+        v.filter(F.col("e").isNotNull()).agg(
+            F.max(F.array_max(F.transform("e", F.abs))).alias("s")
+        )
+    )
+    sc = F.col("s")
+    rec = v.crossJoin(s_df).select(
+        "vec_id",
+        "e",
+        F.transform(
+            "e", lambda x: _sq8_quant(x, sc) * sc / F.lit(float(SQ8_LEVELS))
+        ).alias("r"),
+    )
+    err_df = F.broadcast(
+        rec.filter(F.col("e").isNotNull()).agg(
+            F.max(
+                F.array_max(
+                    F.zip_with("e", "r", lambda x, r: F.abs(x - r))
+                )
+            ).alias("max_abs_err")
+        )
+    )
+    q = F.broadcast(
+        v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
+    )
+    scored = (
+        rec.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            cosine(F.col("r"), F.col("qe")).alias("cos_sq8"),
+            cosine(F.col("e"), F.col("qe")).alias("cos_full"),
+        )
+    )
+    topk = scored.orderBy(F.col("cos_sq8").desc(), "vec_id").limit(TOP_K)
+    exact = (
+        scored.orderBy(F.col("cos_full").desc(), "vec_id")
+        .limit(TOP_K)
+        .select(F.col("vec_id").alias("x_id"))
+    )
+    return (
+        topk.join(F.broadcast(exact), topk.vec_id == F.col("x_id"), "left")
+        .crossJoin(err_df)
+        .select(
+            "vec_id",
+            "cos_sq8",
+            "cos_full",
+            F.col("x_id").isNotNull().alias("in_exact_topk"),
+            "max_abs_err",
+        )
+        .orderBy(F.col("cos_sq8").desc(), "vec_id")
+    )
