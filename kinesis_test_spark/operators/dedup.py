@@ -490,12 +490,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_embedding",
     oracle=f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-       ROUND(list_cosine_similarity((CASE WHEN (a.embedding IS NOT NULL AND len(a.embedding) = 64 AND len(list_filter(a.embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(a.embedding AS DOUBLE[]) END),
-                                    (CASE WHEN (b.embedding IS NOT NULL AND len(b.embedding) = 64 AND len(list_filter(b.embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(b.embedding AS DOUBLE[]) END)), 4) AS cos_sim
+       ROUND(list_cosine_similarity((CASE WHEN (a.embedding IS NOT NULL AND len(a.embedding) = 64 AND len(list_filter(a.embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(a.embedding AS DOUBLE[]) END),
+                                    (CASE WHEN (b.embedding IS NOT NULL AND len(b.embedding) = 64 AND len(list_filter(b.embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(b.embedding AS DOUBLE[]) END)), 4) AS cos_sim
 FROM embeddings a
 JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE ROUND(list_cosine_similarity((CASE WHEN (a.embedding IS NOT NULL AND len(a.embedding) = 64 AND len(list_filter(a.embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(a.embedding AS DOUBLE[]) END),
-                                   (CASE WHEN (b.embedding IS NOT NULL AND len(b.embedding) = 64 AND len(list_filter(b.embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(b.embedding AS DOUBLE[]) END)), 4) >= {COSINE_THRESHOLD}
+WHERE ROUND(list_cosine_similarity((CASE WHEN (a.embedding IS NOT NULL AND len(a.embedding) = 64 AND len(list_filter(a.embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(a.embedding AS DOUBLE[]) END),
+                                   (CASE WHEN (b.embedding IS NOT NULL AND len(b.embedding) = 64 AND len(list_filter(b.embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(b.embedding AS DOUBLE[]) END)), 4) >= {COSINE_THRESHOLD}
 """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1124,9 +1124,9 @@ _N_CELLS = 8  # same deterministic coarse codebook as similarity.py's IVF
 @query(
     "q_dedup_embedding_cells",
     oracle=f"""
-WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
+WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
               FROM embeddings WHERE vec_id < {_N_CELLS}),
-v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings),
+v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings),
 scored AS (
   SELECT v.vec_id, v.e, cent.cid,
          row_number() OVER (

@@ -88,8 +88,18 @@ def assign_cells(v, cent, cols: list[str]):
 DIM = 64
 
 # A vector is VALID iff present, EXACTLY DIM-long, and every component
-# sits inside the exact-aggregation domain (|x| < 1e12,
-# functions/exact.EXACT_MAX). NaN poisons similarity rankings
+# sits inside the EMBEDDING ROUTE DOMAIN |x| < 1e6 (VEC_COMPONENT_MAX —
+# tightened from the generic 1e12 in round 12, degenvec class finding):
+# the centroid family sums components through DECIMAL(28,16) and hands
+# the sum back as DOUBLE, and the two engines' decimal->double
+# conversions drift one ULP apart once the value is large (exact.py
+# DOUBLE_SAFE_EXP note); a per-dim MEAN of magnitude m carries that
+# drift as ~ULP(m), so ROUND(...,9) oracles stay deterministic only for
+# m ≲ 4.5e6 (0.5·10⁻⁹/2⁻⁵²). |x| < 1e6 keeps every downstream route —
+# centroid means (ROUND 9), drift dot-products (< 1e12, inside the
+# (28,16) integer capacity), norms/cosines (doubles + ROUND 6) — in the
+# engine-agreeing regime, and is still orders of magnitude above any
+# real embedding's components. NaN poisons similarity rankings
 # asymmetrically (Spark sorts a NaN cosine to the TOP of a DESC order;
 # DuckDB windowed aggs NULL or raise), a finite-but-huge component
 # overflows the DECIMAL(28,16) centroid route, and a WRONG-LENGTH vector
@@ -102,17 +112,21 @@ DIM = 64
 # identically on both engines. SQL mirror: _SQL_VEC_VALID below.
 
 
+VEC_COMPONENT_MAX = 1.0e6  # the embedding route domain (see above)
+
+
 def vec_valid(col: str = "embedding"):
     # shape + domain: exactly DIM components (ragged vectors split the
     # engines — see the contract comment above), each non-NULL and inside
-    # the exact-aggregation domain (abs(x) < b is FALSE for NaN/±Inf in
+    # the embedding route domain (abs(x) < b is FALSE for NaN/±Inf in
     # both engines)
     return (
         F.col(col).isNotNull()
         & (F.size(col) == F.lit(DIM))
         & F.forall(
             col,
-            lambda x: x.isNotNull() & (F.abs(x.cast("double")) < F.lit(1.0e12)),
+            lambda x: x.isNotNull()
+            & (F.abs(x.cast("double")) < F.lit(VEC_COMPONENT_MAX)),
         )
     )
 
@@ -120,7 +134,7 @@ def vec_valid(col: str = "embedding"):
 _SQL_VEC_VALID = (
     f"(embedding IS NOT NULL AND len(embedding) = {DIM}"
     " AND len(list_filter(embedding,"
-    " x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)"
+    " x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)"
 )
 
 
@@ -137,10 +151,10 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sim_search",
     oracle=f"""
-WITH q AS (SELECT (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS qe FROM embeddings
+WITH q AS (SELECT (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS qe FROM embeddings
            WHERE vec_id = {QUERY_VEC_ID})
 SELECT vec_id, label,
-       ROUND(list_cosine_similarity((CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END), qe), 6) AS cos_sim
+       ROUND(list_cosine_similarity((CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END), qe), 6) AS cos_sim
 FROM embeddings, q
 WHERE vec_id <> {QUERY_VEC_ID}
 ORDER BY cos_sim DESC, vec_id
@@ -167,10 +181,10 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sim_search_ivf",
     oracle=f"""
-WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
+WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
               FROM embeddings
-              WHERE vec_id < {N_CENTROIDS} AND (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
-v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings),
+              WHERE vec_id < {N_CENTROIDS} AND (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
+v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings),
 scored AS (
   SELECT v.vec_id, v.label, v.e, cent.cid,
          row_number() OVER (
@@ -254,8 +268,8 @@ def _lsh_oracle() -> str:
     )
     return f"""
 WITH planes AS (SELECT [{planes_sql}] AS R),
-v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
-     WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
+v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+     WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
 bucketed AS (
   SELECT vec_id, label, e, CAST({bits} AS BIGINT) AS bucket FROM v, planes)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
@@ -319,11 +333,11 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_kmeans_step",
     oracle=f"""
-WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
+WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
               FROM embeddings
-              WHERE vec_id < {N_CENTROIDS} AND (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
-v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
-     WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
+              WHERE vec_id < {N_CENTROIDS} AND (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
+v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+     WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
 scored AS (
   SELECT v.vec_id, v.e, cent.cid,
          row_number() OVER (PARTITION BY v.vec_id
@@ -381,10 +395,10 @@ N_PROBES = 2
 @query(
     "q_sim_search_ivf_multiprobe",
     oracle=f"""
-WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
+WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
               FROM embeddings
-              WHERE vec_id < {N_CENTROIDS} AND (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
-v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings),
+              WHERE vec_id < {N_CENTROIDS} AND (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
+v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings),
 scored AS (
   SELECT v.vec_id, v.label, v.e, cent.cid,
          row_number() OVER (PARTITION BY v.vec_id
@@ -526,7 +540,7 @@ BATCH_TOP_K = 5
 @query(
     "q_emb_normalize",
     oracle="""
-WITH v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings)
+WITH v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings)
 SELECT vec_id, label,
        ROUND(sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)), 6)
          AS l2_norm,
@@ -559,8 +573,8 @@ def q_emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_emb_centroid",
     oracle=f"""
-WITH v AS (SELECT label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
-           WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
+WITH v AS (SELECT label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+           WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
 comp AS (
   SELECT label, dim, e[dim] AS val
   FROM v, (SELECT unnest(generate_series(1, {DIM})) AS dim))
@@ -597,8 +611,8 @@ def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ann_batch",
     oracle=f"""
-WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
-     WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
+WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+     WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
 q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_BATCH_QUERIES}),
 db AS (SELECT vec_id, e FROM v WHERE vec_id >= {N_BATCH_QUERIES}),
 scored AS (
@@ -649,8 +663,8 @@ PQ_CODES = 16  # codewords per subspace (first 16 vectors' sub-vectors)
 @query(
     "q_emb_pq",
     oracle=f"""
-WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
-     WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
+WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+     WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
 sub AS (
   SELECT vec_id, m, e[(m * {PQ_SUBDIM} + 1):((m + 1) * {PQ_SUBDIM})] AS se
   FROM v, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)),
@@ -721,8 +735,8 @@ def q_emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ann_recall",
     oracle=f"""
-WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
-     WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
+WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+     WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
 q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_BATCH_QUERIES}),
 db AS (SELECT vec_id, e FROM v WHERE vec_id >= {N_BATCH_QUERIES}),
 exact AS (
@@ -845,8 +859,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_emb_drift",
     oracle=f"""
-WITH v AS (SELECT vec_id % 2 AS grp, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e
-           FROM embeddings WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e12))) = 0)),
+WITH v AS (SELECT vec_id % 2 AS grp, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e
+           FROM embeddings WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
 comp AS (
   SELECT grp, dim,
          ROUND(CAST(SUM(CAST(e[dim] AS DECIMAL(28,16))) AS DOUBLE)

@@ -25,6 +25,7 @@ from _probe import SRC, TRUNC  # noqa: E402
 def plant_classes():
     """[(tag, plant_fn)] for every adversarial corpus class."""
     from test_edge_constant import plant_constant
+    from test_edge_degenvec import plant_degenvec
     from test_edge_dupdim import plant_dupdim
     from test_edge_dupkeys import plant_dupkeys
     from test_edge_empty import plant_empty
@@ -44,6 +45,7 @@ def plant_classes():
 
     return [
         ("constant", plant_constant),
+        ("degenvec", plant_degenvec),
         ("dupdim", plant_dupdim),
         ("dupkeys", plant_dupkeys),
         ("empty", plant_empty),
