@@ -1249,17 +1249,37 @@ def _sem_ranked(assigned: DataFrame) -> DataFrame:
     return assigned.withColumn("rn", F.row_number().over(w))
 
 
-def _sem_candidates(ranked: DataFrame) -> DataFrame:
+def _sem_candidates(
+    ranked: DataFrame,
+    a_side: DataFrame | None = None,
+    b_side: DataFrame | None = None,
+    bidirectional: bool = False,
+) -> DataFrame:
     """Cap-bounded within-cell candidate pairs. The JOIN ITSELF is linear,
     not just its output: both sides carry an equi-key block id
-    (rn-1) div CAP — the band rn_a−CAP ≤ rn_b < rn_a only ever spans a
-    row's own block and the one before it, so the b-side probes exactly
-    two blocks and every (cid, block) join group holds ≤CAP a-rows ×
-    ≤2·CAP b-rows. A hot cell with m members generates Θ(m·CAP)
-    comparisons instead of Θ(m²) (pinned in tests/test_dedup_semantic.py
-    with an exact candidate-count formula on a 50%-hot corpus)."""
+    (rn-1) div CAP. Default (backward band, rn_a−CAP ≤ rn_b < rn_a): the
+    band only ever spans a row's own block and the one before it, so the
+    b-side probes exactly two blocks and every (cid, block) join group
+    holds ≤CAP a-rows × ≤2·CAP b-rows; a hot cell with m members
+    generates Θ(m·CAP) comparisons instead of Θ(m²) (pinned in
+    tests/test_dedup_semantic.py with an exact candidate-count formula
+    on a 50%-hot corpus). ``bidirectional`` widens the band to
+    |rn_a − rn_b| ≤ CAP (b probes three blocks, ≤3·CAP per group) — the
+    incremental operator's new-vs-keeper match, where a keeper may rank
+    on either side of the new vector. ``a_side``/``b_side`` restrict the
+    two legs to sub-relations of ``ranked`` (both must carry its
+    columns); rn must come from ONE shared ranking so the band compares
+    across the legs, which is why the legs are filters of one ranked
+    relation rather than independently-ranked inputs."""
     blk = F.expr(f"(rn - 1) div {SEM_CELL_CAP}")
-    a = ranked.select(
+    offsets = (-1, 0, 1) if bidirectional else (0, 1)
+    band = (
+        F.abs(F.col("rn_a") - F.col("rn_b")) <= F.lit(SEM_CELL_CAP)
+        if bidirectional
+        else (F.col("rn_b") < F.col("rn_a"))
+        & (F.col("rn_a") - F.col("rn_b") <= F.lit(SEM_CELL_CAP))
+    )
+    a = (a_side if a_side is not None else ranked).select(
         "vec_id",
         "cid",
         "cent_sim",
@@ -1268,20 +1288,19 @@ def _sem_candidates(ranked: DataFrame) -> DataFrame:
         F.col("rn").alias("rn_a"),
         blk.alias("blk_a"),
     )
-    b = ranked.select(
+    b = (b_side if b_side is not None else ranked).select(
         F.col("vec_id").alias("vec_b"),
         F.col("cid").alias("cid_b"),
         F.col("e").alias("eb"),
         F.col("nrm").alias("nb"),
         F.col("rn").alias("rn_b"),
-        F.explode(F.array(blk, blk + F.lit(1))).alias("probe_blk"),
+        F.explode(F.array(*[blk + F.lit(o) for o in offsets])).alias("probe_blk"),
     )
     return a.join(
         b,
         (F.col("cid") == F.col("cid_b"))
         & (F.col("blk_a") == F.col("probe_blk"))
-        & (F.col("rn_b") < F.col("rn_a"))
-        & (F.col("rn_a") - F.col("rn_b") <= F.lit(SEM_CELL_CAP)),
+        & band,
     )
 
 
@@ -1441,8 +1460,13 @@ def sem_standing_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus."""
 
     def build() -> DataFrame:
-        ranked = _sem_ranked(
-            _sem_assigned(spark, sf_dir, pred=~F.expr(_SEM_NEW_PRED))
+        # checkpointed for the same reason the base operator checkpoints:
+        # ranked fans out to both legs of the banded pair join AND the
+        # keep-verdict join — without it the broadcast-argmax assignment
+        # subtree executes three times (r12 self-review finding, the same
+        # fan-out defect the r11 review fixed in q_dedup_semantic).
+        ranked = truncate_lineage(
+            _sem_ranked(_sem_assigned(spark, sf_dir, pred=~F.expr(_SEM_NEW_PRED)))
         )
         dropped = _sem_dropped(ranked).withColumn("is_dropped", F.lit(True))
         return (
@@ -1529,30 +1553,12 @@ def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized once: the co-ranked relation fans out to both join legs
     # and the verdict join (same discipline as the base operator)
     uni_ranked = truncate_lineage(uni.withColumn("rn", F.row_number().over(w)))
-    blk = F.expr(f"(rn - 1) div {SEM_CELL_CAP}")
-    a = uni_ranked.filter(F.col("is_new")).select(
-        "vec_id",
-        "cid",
-        "cent_sim",
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-        F.col("rn").alias("rn_a"),
-        blk.alias("blk_a"),
-    )
-    b = uni_ranked.filter(~F.col("is_new")).select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("cid").alias("cid_b"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-        F.col("rn").alias("rn_b"),
-        F.explode(F.array(blk - F.lit(1), blk, blk + F.lit(1))).alias("probe_blk"),
-    )
     dropped = (
-        a.join(
-            b,
-            (F.col("cid") == F.col("cid_b"))
-            & (F.col("blk_a") == F.col("probe_blk"))
-            & (F.abs(F.col("rn_a") - F.col("rn_b")) <= F.lit(SEM_CELL_CAP)),
+        _sem_candidates(
+            uni_ranked,
+            a_side=uni_ranked.filter(F.col("is_new")),
+            b_side=uni_ranked.filter(~F.col("is_new")),
+            bidirectional=True,
         )
         .filter(_sem_pair_cos() >= SEM_DUP_THRESHOLD)
         .select("vec_id")

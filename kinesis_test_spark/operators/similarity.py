@@ -95,7 +95,7 @@ DIM = 64
 # conversions drift one ULP apart once the value is large (exact.py
 # DOUBLE_SAFE_EXP note); a per-dim MEAN of magnitude m carries that
 # drift as ~ULP(m), so ROUND(...,9) oracles stay deterministic only for
-# m ≲ 4.5e6 (0.5·10⁻⁹/2⁻⁵²). |x| < 1e6 keeps every downstream route —
+# m ≲ 2.25e6 (0.5·10⁻⁹·2⁵²). |x| < 1e6 keeps every downstream route —
 # centroid means (ROUND 9), drift dot-products (< 1e12, inside the
 # (28,16) integer capacity), norms/cosines (doubles + ROUND 6) — in the
 # engine-agreeing regime, and is still orders of magnitude above any

@@ -106,21 +106,13 @@ def test_banded_verdict_equals_bruteforce_when_cap_unbound(spark):
                 expect_dropped.add(a)
                 break
 
-    from pyspark.sql import functions as F
-    from kinesis_test_spark.operators.similarity import _dot
+    from kinesis_test_spark.operators.dedup import _sem_pair_cos
 
     ranked = _sem_ranked(_assigned_frame(spark, rows))
-    pair_cos = F.round(
-        F.coalesce(
-            F.try_divide(_dot(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb")),
-            F.lit(-1.0),
-        ),
-        4,
-    )
     got_dropped = {
         r.vec_id
         for r in _sem_candidates(ranked)
-        .filter(pair_cos >= SEM_DUP_THRESHOLD)
+        .filter(_sem_pair_cos() >= SEM_DUP_THRESHOLD)
         .select("vec_id")
         .distinct()
         .collect()

@@ -43,7 +43,7 @@ none planted vectors whose VALUES are degenerate while fully valid:
     DECIMAL(28,16) cast outright (DuckDB ConversionException). The
     embedding domain is now route-derived — |x| < 1e6
     (similarity.VEC_COMPONENT_MAX) keeps per-dim means inside the
-    drift-free regime (m ≲ 4.5e6) and products inside the (28,16)
+    drift-free regime (m ≲ 2.25e6) and products inside the (28,16)
     integer capacity — so this vector QUARANTINES symmetrically.
 
 The full-surface sweep lives in tools/probe_degenvec.py (imports
@@ -68,8 +68,9 @@ F32_MIN_SUBNORMAL = 1.401298464324817e-45
 
 
 def plant_degenvec(src: str, dest: Path) -> None:
-    """Restage ``src`` with seven degenerate-valued (but fully valid:
-    DIM-long, finite, in-domain) embedding rows."""
+    """Restage ``src`` with eight degenerate-valued embedding rows (all
+    DIM-long and finite; the 1e11 row is deliberately above the 1e6
+    route domain and must quarantine symmetrically)."""
     dest.mkdir(parents=True, exist_ok=True)
     for f in Path(src).glob("*.parquet"):
         shutil.copy(f, dest / f.name)

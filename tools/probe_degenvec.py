@@ -1,8 +1,10 @@
-"""Plant DEGENERATE-VALUED (but fully valid) embedding vectors — exact
-zero, float32 min-subnormal, negative zero, sign-flip (genuine -1.0
-cosine colliding with the sentinel), exact duplicate of the family query
-vector (1.0 tie at the top of every ranking), a ×3 scaled copy, and a
-huge-but-in-domain 1e11 vector — and gate the WHOLE surface.
+"""Plant DEGENERATE-VALUED embedding vectors — exact zero, float32
+min-subnormal, negative zero, sign-flip (genuine -1.0 cosine colliding
+with the sentinel), exact duplicate of the family query vector (1.0 tie
+at the top of every ranking), a ×3 scaled copy, a large-but-IN-domain
+1e5 vector (must flow through), and an ABOVE-domain 1e11 vector (must
+quarantine symmetrically — over VEC_COMPONENT_MAX=1e6, the round-12
+route-derived bound) — and gate the WHOLE surface.
 
 The corpus construction lives in tests/test_edge_degenvec.plant_degenvec
 (the standing in-suite pin over the embedding-consumer families); this
