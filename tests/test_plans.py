@@ -537,3 +537,27 @@ def test_ivf_assignment_is_aggregate_not_window(spark, sf_dir):
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2 or plan.count("SortAggregate") >= 2
     assert "BroadcastNestedLoopJoin" in plan  # codebook broadcast
+
+
+def test_sq8_quantize_is_scan_side_with_broadcast_scalars(spark, sf_dir):
+    """q_emb_sq8: quantize/reconstruct must stay a scan-side projection —
+    the scale and the error bound join in as BROADCAST 1-row aggregates
+    and both rankings are k-heaps (TakeOrderedAndProject), never a global
+    sort or a shuffled join of the corpus against a scalar."""
+    df = q("q_emb_sq8", spark, sf_dir)
+    plan = plans.formatted(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # scalars broadcast, corpus never shuffles
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # s / err / query 1-row joins
+
+
+def test_semantic_incremental_band_join_is_equi_keyed(spark, sf_dir):
+    """q_dedup_semantic_incremental: the new-vs-keeper match must carry
+    the (cell, rank-block) equi-keys (bidirectional band — keeper side
+    probes three blocks); a cid-only join would re-open the hot-cell
+    quadratic the base operator closed."""
+    df = q("q_dedup_semantic_incremental", spark, sf_dir)
+    plan = plans.formatted(df)
+    assert "CartesianProduct" not in plan
+    assert "probe_blk" in plan and "blk_a" in plan
