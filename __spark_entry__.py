@@ -36,9 +36,9 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 # checked, so the next round's window samples the remaining tail.
 
 _PRIORITY = [
-    # Round-12 keys: new registrations first, then keys whose SEMANTICS
-    # changed this round (q_dedup_semantic gained the SEM_CELL_CAP band —
-    # its r11 green row predates the new behavior, so it must re-verify).
+    # Round-13 keys: new registrations first.
+    "q_dedup_phash", "q_dedup_substring_incremental",
+    # Round-12 keys.
     "q_dedup_semantic_incremental", "q_dedup_semantic_eval", "q_emb_sq8",
     "q_dedup_semantic",
     # SURVEY.md §2B contract keys with no driver entry in round 1.
@@ -140,6 +140,19 @@ _PRIORITY = [
 # driver's own ledger should re-confirm them, so they outrank fresh rows.
 _TESTDATA_REGEN_ROUND = 4
 
+# Keys whose SEMANTICS changed this round: their latest green driver row
+# predates the new behavior, so they must re-verify ahead of the rotation
+# (emitted in group 0 alongside never-checked keys, VERDICT r12 #1).  Clear
+# this set each round after the driver re-confirms; re-listing a changed key
+# in _PRIORITY alone is NOT enough — green keys now rotate by confirmation
+# age, which a semantics change does not reset.
+_RECHECK: set[str] = {
+    # r13: the semantic band gained the NULL-id quarantine (ADVICE r12 —
+    # identity-less vectors are verdicted kept out-of-band, which can change
+    # drop verdicts for rows that previously shared a band with them).
+    "q_dedup_semantic", "q_dedup_semantic_incremental", "q_dedup_semantic_eval",
+}
+
 
 def _latest_green_round() -> dict[str, int]:
     """Per key: the most recent round with a fully-green driver row."""
@@ -179,10 +192,14 @@ def _ordered_keys() -> list[str]:
     """Emission order for queries(): the driver checks a ~50-key prefix.
 
     Three groups:
-      0. never driver-green (new keys / past failures) — highest risk first;
+      0. never driver-green (new keys / past failures) plus the explicit
+         _RECHECK set (changed semantics) — highest risk first;
       1. green only on pre-regen fixtures (round < _TESTDATA_REGEN_ROUND) —
          oldest confirmation first, so the stale ledger drains front-to-back;
-      2. green on current fixtures — demoted to the tail.
+      2. green on current fixtures — OLDEST confirmation first (VERDICT r12
+         #1: a flat tail made the window re-check the same ~44 keys every
+         round; age-sorted, the ~46 free slots sweep all ~280 green keys
+         every ~6 rounds, so no key's independent confirmation goes stale).
     """
     names = list(registry.QUERIES)
     latest = _latest_green_round()
@@ -191,12 +208,12 @@ def _ordered_keys() -> list[str]:
 
     def sort_key(name: str) -> tuple[int, int, int]:
         rnd = latest.get(name)
-        if rnd is None:
+        if rnd is None or name in _RECHECK:
             group, age = 0, 0
         elif rnd < _TESTDATA_REGEN_ROUND:
             group, age = 1, rnd
         else:
-            group, age = 2, 0
+            group, age = 2, rnd
         return (group, age, rank.get(name, len(_PRIORITY) + fallback[name]))
 
     return sorted(names, key=sort_key)

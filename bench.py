@@ -152,7 +152,7 @@ def host_factor_from_probes(
 
 
 def per_entry_host_factors(
-    order: list[str],
+    timings: dict[str, float] | list[str],
     probes_start: dict[str, float | None],
     probes_end: dict[str, float | None],
     prev_floor: dict[str, float | None],
@@ -163,17 +163,24 @@ def per_entry_host_factors(
     floor read quiet, and the four earliest entries flagged at 1.6-1.9×
     while the settled tail ran 1.01×). The start and end probes each vote
     a factor against the BASELINE run's floors; each entry's factor is the
-    linear interpolation between them by its position in run order, so a
-    decaying spike discounts exactly the entries it polluted and a
-    quiet-start/loud-end run still gates its early entries hard. Returns
+    linear interpolation between them at the entry's MIDPOINT in
+    cumulative elapsed time (r12 ADVICE: entries range ~0.1s to ~8s, so a
+    positional interpolation misestimates which entries a decaying spike
+    actually polluted — a long early entry absorbs more of the spike than
+    its run index suggests). ``timings`` is the run-ordered {entry:
+    seconds} record; a plain list weights every entry equally. Returns
     (factor_start, factor_end, {entry: factor})."""
     f_start = host_factor_from_probes(probes_start, prev_floor)
     f_end = host_factor_from_probes(probes_end, prev_floor)
-    n = len(order)
-    factors = {
-        name: round(f_start + (f_end - f_start) * (i / (n - 1) if n > 1 else 0.0), 3)
-        for i, name in enumerate(order)
-    }
+    if not isinstance(timings, dict):
+        timings = {name: 1.0 for name in timings}
+    total = sum(timings.values())
+    factors: dict[str, float] = {}
+    cum = 0.0
+    for name, dur in timings.items():
+        frac = (cum + dur / 2.0) / total if total > 0 else 0.0
+        factors[name] = round(f_start + (f_end - f_start) * frac, 3)
+        cum += dur
     return f_start, f_end, factors
 
 
@@ -452,7 +459,7 @@ def main() -> None:
     # actually polluted instead of being erased by the min() floor above
     # (kept for the legacy host_factor field / BASELINE.md continuity).
     factor_start, factor_end, entry_factors = per_entry_host_factors(
-        list(timings),
+        timings,
         {"single": probe_before, "par8": par_before},
         {"single": probe_after, "par8": par_after},
         prev_burn,

@@ -1240,7 +1240,14 @@ def _sem_ranked(assigned: DataFrame) -> DataFrame:
     (lowest centroid similarity, vec_id tie-break) — the SemDeDup diversity
     rule as a total order. cent_sim is non-NULL by construction (cosine()'s
     -1.0 zero-norm sentinel), but both engines' rank windows still state
-    the ordering over the full domain identically (ASC = NULLS FIRST)."""
+    the ordering over the full domain identically (ASC = NULLS FIRST).
+    CALLERS MUST QUARANTINE NULL vec_ids first (r12 ADVICE): two
+    identity-less vectors tied on cent_sim have an engine-arbitrary
+    relative rank, and if their embeddings differ and they straddle a
+    SEM_CELL_CAP block boundary, OTHER rows' band membership diverges.
+    Every consumer ranks only identified vectors (q_dedup_semantic
+    verdicts NULL-id rows kept out-of-band; the incremental split and the
+    eval exclude them by pred — the identity-grain convention)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("cid").orderBy(
@@ -1336,13 +1343,17 @@ def _sem_assigned(spark: SparkSession, sf_dir: str, pred=None) -> DataFrame:
     operator's own formatted plan. ``pred`` restricts WHICH vectors get
     assigned (the incremental operator assigns only the new batch — O(new)
     per run); the codebook always comes from the FULL table, a fixed
-    asset shared by every run."""
+    asset shared by every run. Identity-less vectors (NULL vec_id) are
+    excluded at the source: assignment is an identity-grain operation —
+    the argmax groups ON vec_id, so two NULL-id vectors would collapse
+    into one arbitrary group on both engines (r12 ADVICE; the verdict
+    operators carry NULL-id rows out-of-band instead)."""
     from kinesis_test_spark.operators.similarity import assign_cells
 
     v = (
         t(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .filter(vec_valid())
+        .filter(vec_valid() & F.col("vec_id").isNotNull())
         .select(
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
         )
@@ -1372,7 +1383,7 @@ def _sem_assigned(spark: SparkSession, sf_dir: str, pred=None) -> DataFrame:
 _SEM_SQL_ASSIGNED = f"""cent AS (SELECT vec_id AS cid, (CASE WHEN {_SQL_VEC_VALID} THEN CAST(embedding AS DOUBLE[]) END) AS ce
               FROM embeddings WHERE vec_id < {_N_CELLS} AND {_SQL_VEC_VALID}),
 v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-      WHERE {_SQL_VEC_VALID}),
+      WHERE {_SQL_VEC_VALID} AND vec_id IS NOT NULL),
 scored AS (
   SELECT v.vec_id, v.e, cent.cid,
          ROUND(list_cosine_similarity(v.e, cent.ce), 6) AS sim,
@@ -1391,7 +1402,7 @@ ranked AS (
   SELECT vec_id, e, cid, cent_sim,
          row_number() OVER (PARTITION BY cid
            ORDER BY cent_sim ASC NULLS FIRST, vec_id ASC NULLS FIRST) AS rn
-  FROM assigned),
+  FROM assigned WHERE vec_id IS NOT NULL),
 dropped AS (
   SELECT DISTINCT a.vec_id
   FROM ranked a JOIN ranked b
@@ -1400,7 +1411,11 @@ dropped AS (
 SELECT a.vec_id, a.cid AS cell, a.cent_sim,
        (d.vec_id IS NULL) AS is_kept
 FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
-ORDER BY a.vec_id
+UNION ALL
+SELECT vec_id, CAST(NULL AS BIGINT) AS cell, CAST(NULL AS DOUBLE) AS cent_sim,
+       TRUE AS is_kept
+FROM embeddings WHERE vec_id IS NULL AND {_SQL_VEC_VALID}
+ORDER BY vec_id NULLS FIRST
 """,
 )
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1422,7 +1437,14 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     if a single cell outgrows a task). Invalid vectors (NULL/ragged/
     non-finite — vec_valid) are quarantined on both sides; zero-norm
     cosines hit the shared -1.0 sentinel (< threshold, so zero vectors
-    are never near-dups and always kept)."""
+    are never near-dups and always kept). IDENTITY-LESS vectors (NULL
+    vec_id) never enter assignment or the rank band — the argmax groups
+    ON vec_id, so two NULL-id vectors would collapse into one arbitrary
+    group, and their band rank is engine-arbitrary when tied on cent_sim
+    (r12 ADVICE, which can shift OTHER rows across a block boundary).
+    They surface kept with NULL cell/cent_sim, each physical row carried
+    — the identity-grain convention the dedup family already follows for
+    documents."""
     # materialized ONCE (truncate_lineage): ranked fans out to both sides
     # of the banded pair join AND the final verdict join — without it the
     # broadcast-argmax assignment subtree executes three times (r11 review).
@@ -1430,16 +1452,26 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hides it from the operator's formatted plan).
     ranked = truncate_lineage(_sem_ranked(_sem_assigned(spark, sf_dir)))
     dropped = _sem_dropped(ranked).withColumn("is_dropped", F.lit(True))
-    return (
-        ranked.join(dropped, "vec_id", "left")
+    verdicts = ranked.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        F.col("cid").alias("cell"),
+        "cent_sim",
+        F.col("is_dropped").isNull().alias("is_kept"),
+    )
+    # identity-less rows: kept by fiat, unassigned — the scan predicate is
+    # pushed to parquet, where vec_id IS NULL zone-maps to ~zero row
+    # groups at scale
+    unidentified = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isNull() & vec_valid())
         .select(
             "vec_id",
-            F.col("cid").alias("cell"),
-            "cent_sim",
-            F.col("is_dropped").isNull().alias("is_kept"),
+            F.lit(None).cast("bigint").alias("cell"),
+            F.lit(None).cast("double").alias("cent_sim"),
+            F.lit(True).alias("is_kept"),
         )
-        .orderBy("vec_id")
     )
+    return verdicts.unionByName(unidentified).orderBy("vec_id")
 
 
 # ---------------------------------------------------------------------------

@@ -208,28 +208,53 @@ def test_decaying_spike_discounts_only_the_entries_it_polluted():
     # the run and quiet AFTER (contention died mid-run). Early entries
     # inflated ~1.6x must NOT flag; a late entry 1.6x slower ran on a
     # quiet host and MUST flag. The min(before, after) floor the legacy
-    # host_factor uses could never see this.
-    order = [f"q_{i:02d}" for i in range(10)]
+    # host_factor uses could never see this. Timings carry real durations
+    # so the interpolation is by elapsed time.
+    timings = {f"q_{i:02d}": 1.0 for i in range(10)}
     prev_floor = {"single": 0.5, "par8": 0.5}
     f_start, f_end, factors = bench.per_entry_host_factors(
-        order,
+        timings,
         {"single": 0.5, "par8": 2.0},   # 4x parallel contention at start
         {"single": 0.5, "par8": 0.5},   # quiet at end
         prev_floor,
     )
     assert f_start == 4.0 and f_end == 1.0
-    assert factors["q_00"] == 4.0 and factors["q_09"] == 1.0
+    # midpoint interpolation over 10 equal 1s entries: q_00 at elapsed 0.5
+    # of 10 (f=3.85), q_09 at 9.5 of 10 (f=1.15)
+    assert factors["q_00"] == 3.85 and factors["q_09"] == 1.15
     assert factors["q_04"] > factors["q_05"] > factors["q_06"]  # monotone decay
-    prev = {name: 1.0 for name in order}
-    cur = {name: 1.0 for name in order}
-    cur["q_00"] = 1.7  # early, polluted — threshold 1.5*4.0
-    cur["q_09"] = 1.7  # late, quiet host — threshold 1.5*1.0
+    prev = {name: 1.0 for name in timings}
+    cur = {name: 1.0 for name in timings}
+    cur["q_00"] = 1.7  # early, polluted — threshold 1.5*3.85
+    cur["q_09"] = 1.9  # late, quiet host — threshold 1.5*1.15
     flagged = bench.flag_regressions(cur, prev, factors=factors)
     assert set(flagged) == {"q_09"}
-    assert flagged["q_09"]["threshold"] == 1.5
+    assert flagged["q_09"]["threshold"] == 1.725
     # a genuine catastrophic regression flags even at the spiked start
     cur["q_00"] = 8.0
     assert "q_00" in bench.flag_regressions(cur, prev, factors=factors)
+
+
+def test_factors_interpolate_by_elapsed_time_not_index():
+    # r12 ADVICE: entries range ~0.1s to ~8s. One 8s entry leading the run
+    # absorbs most of a decaying start spike; the many short entries after
+    # it run on a host that has already settled. By INDEX the short entries
+    # would read heavily polluted (index 1 of 5 -> factor ~3.25); by
+    # ELAPSED TIME they gate near quiet.
+    timings = {"q_long": 8.0, "q_s1": 0.5, "q_s2": 0.5, "q_s3": 0.5, "q_s4": 0.5}
+    f_start, f_end, factors = bench.per_entry_host_factors(
+        timings,
+        {"single": 0.5, "par8": 2.0},   # 4x contention at start
+        {"single": 0.5, "par8": 0.5},   # quiet at end
+        {"single": 0.5, "par8": 0.5},
+    )
+    assert f_start == 4.0 and f_end == 1.0
+    # q_long midpoint at 4.0 of 10.0 elapsed -> 4 - 3*0.4 = 2.8
+    assert factors["q_long"] == 2.8
+    # first short entry's midpoint at 8.25 of 10.0 -> 4 - 3*0.825 = 1.525
+    assert factors["q_s1"] == 1.525
+    # the last short entry is nearly quiet (midpoint 9.75 of 10 -> 1.075)
+    assert factors["q_s4"] == 1.075
 
 
 def test_per_entry_factors_without_baseline_are_one():

@@ -155,6 +155,60 @@ def test_band_can_miss_a_rank_distant_pair(spark):
     assert found == 1
 
 
+def test_tied_null_id_vectors_quarantined_from_band(spark, tmp_path):
+    """r12 ADVICE pin: two NULL-vec_id vectors that TIE on rounded
+    cent_sim (scalar multiples of one base vector — identical direction,
+    identical centroid cosine) but have DIFFERENT embeddings. Before the
+    quarantine their relative rank was engine/run-arbitrary, so band
+    membership of OTHER rows could diverge across a SEM_CELL_CAP
+    boundary. The quarantine verdicts them kept out-of-band: parity must
+    hold, both NULL-id rows surface as kept, and identified rows' verdicts
+    are unchanged vs the clean fixture."""
+    import shutil
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kinesis_test_spark.oracle import check_query
+    from kinesis_test_spark import registry
+
+    registry.load_all()
+    src = Path("/root/testdata/sf0.001")
+    dest = tmp_path / "nullid_sf"
+    dest.mkdir()
+    for f in src.glob("*.parquet"):
+        shutil.copy(f, dest / f.name)
+    emb = pq.read_table(dest / "embeddings.parquet")
+    head = emb.to_pydict()
+    base = [float(x) for x in head["embedding"][head["vec_id"].index(20)]]
+    ex = pa.table(
+        {
+            "vec_id": [None, None],
+            "embedding": [
+                [2.0 * x for x in base],  # same direction -> same cent_sim
+                [5.0 * x for x in base],  # ... but a DIFFERENT embedding
+            ],
+            "label": [head["label"][0]] * 2,
+        },
+        schema=emb.schema,
+    )
+    pq.write_table(pa.concat_tables([emb, ex]), dest / "embeddings.parquet")
+
+    problems = check_query(spark, str(dest), "q_dedup_semantic")
+    assert not problems, problems
+    out = registry.QUERIES["q_dedup_semantic"](spark, str(dest))
+    null_rows = out.filter("vec_id IS NULL").collect()
+    assert len(null_rows) == 2 and all(r.is_kept for r in null_rows)
+    # identified rows' verdicts are untouched by the quarantined pair
+    clean = {
+        r.vec_id: r.is_kept
+        for r in registry.QUERIES["q_dedup_semantic"](spark, str(src)).collect()
+    }
+    dirty = {r.vec_id: r.is_kept for r in out.collect() if r.vec_id is not None}
+    assert dirty == clean
+
+
 def test_band_block_join_is_equi_keyed(spark):
     """The candidate join must carry the (cid, rank-block) EQUI keys — a
     cid-only join would still execute |cell|² comparisons inside a hot
