@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "q_sessionize_twophase",  # skew-safe chunked session chain (round 11)
     "q_graph_triangles",  # degree-oriented wedge joins over checkpointed edges (round 11)
     "q_bpe_train",       # 8-round greedy merge learning over the word vocab (round 11)
+    "q_dedup_phash",     # image perceptual hash + Hamming pigeonhole band (round 13)
+    "q_dedup_substring_incremental",  # new batch vs standing window-hash index (round 13)
     "s_ingest",          # streaming drain throughput
     "s_sink_partitioned",# partitioned JSON sink end-to-end
 ]
@@ -407,6 +409,16 @@ def main() -> None:
         t0 = time.perf_counter()
         force(registry.QUERIES["q_dedup_semantic_incremental"](spark, sf_dir))
         timings["q_dedup_semantic_incremental_warm"] = round(
+            time.perf_counter() - t0, 3
+        )
+
+    # Same warm-path entry for the substring sibling (round 13): cold pays
+    # the standing window-hash index build; warm measures the amortized
+    # O(new tokens) window+probe path against the session-persisted index.
+    if "q_dedup_substring_incremental" in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        force(registry.QUERIES["q_dedup_substring_incremental"](spark, sf_dir))
+        timings["q_dedup_substring_incremental_warm"] = round(
             time.perf_counter() - t0, 3
         )
 
