@@ -37,7 +37,8 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 
 _PRIORITY = [
     # Round-13 keys: new registrations first.
-    "q_dedup_phash", "q_dedup_substring_incremental",
+    "q_dedup_phash", "q_dedup_substring_incremental", "q_sim_search_ivfpq",
+    "s_heavy_hitters",
     # Round-12 keys.
     "q_dedup_semantic_incremental", "q_dedup_semantic_eval", "q_emb_sq8",
     "q_dedup_semantic",
@@ -151,6 +152,15 @@ _RECHECK: set[str] = {
     # identity-less vectors are verdicted kept out-of-band, which can change
     # drop verdicts for rows that previously shared a band with them).
     "q_dedup_semantic", "q_dedup_semantic_incremental", "q_dedup_semantic_eval",
+    # r13: _vectors became the identity-grain embeddings source (NULL-id
+    # quarantine + byte-identical-redelivery dedup, mirrored in every
+    # similarity oracle) — every consumer's semantics changed on dirty
+    # input (clean-fixture results are bit-identical, but the driver's
+    # independent check is the hard signal for changed code).
+    "q_sim_search", "q_sim_search_ivf", "q_sim_search_ivf_multiprobe",
+    "q_sim_mrl", "q_emb_sq8", "q_sim_lsh", "q_kmeans_step", "q_kmeans",
+    "q_emb_normalize", "q_emb_centroid", "q_emb_drift", "q_emb_pq",
+    "q_ann_batch", "q_ann_recall",
 }
 
 

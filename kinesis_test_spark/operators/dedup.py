@@ -724,12 +724,13 @@ def _phash_oracle() -> str:
     from kinesis_test_spark.functions.porthash import sql_hex16
 
     slot = f"({sql_hex16('w || v.tag')} % {PHASH_SLOTS})"
+    tags = ", ".join(f"'#{j}'" for j in range(PHASH_VOTES))
     return f"""
 WITH ud AS (SELECT doc_id, text FROM {SQL_UNIQUE_DOCS}),
 words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM ud),
 votes AS (
   SELECT doc_id, {slot} AS s, length(w) AS l
-  FROM words, (SELECT unnest(['#0', '#1', '#2']) AS tag) v),
+  FROM words, (SELECT unnest([{tags}]) AS tag) v),
 ss AS (SELECT doc_id, s, SUM(l) AS ls FROM votes GROUP BY doc_id, s),
 spine AS (
   SELECT d.doc_id, u.s
@@ -741,7 +742,8 @@ vals AS (
   FROM spine sp LEFT JOIN ss ON sp.doc_id = ss.doc_id AND sp.s = ss.s),
 tot AS (SELECT doc_id, SUM(v) AS tv FROM vals GROUP BY doc_id),
 abits AS (
-  SELECT v.doc_id, v.s, CASE WHEN v.v * 64 >= t.tv THEN 1 ELSE 0 END AS ab
+  SELECT v.doc_id, v.s,
+         CASE WHEN v.v * {PHASH_SLOTS} >= t.tv THEN 1 ELSE 0 END AS ab
   FROM vals v JOIN tot t ON v.doc_id = t.doc_id),
 dbits AS (
   SELECT a.doc_id, a.s, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS db

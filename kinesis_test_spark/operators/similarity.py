@@ -138,24 +138,51 @@ _SQL_VEC_VALID = (
 )
 
 
+# Oracle-side mirror of _vectors' identity grain — interpolate (or inline
+# verbatim) as the FROM source in any embeddings oracle. Full-tuple
+# DISTINCT ≡ id-grain dedup under the byte-identical-redelivery contract
+# (the unique_docs trick; mutated same-id rows are out of contract).
+_SQL_VECTORS = (
+    "(SELECT DISTINCT vec_id, label, embedding FROM embeddings"
+    " WHERE vec_id IS NOT NULL)"
+)
+
+
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.when(
-            vec_valid(), F.transform("embedding", lambda x: x.cast("double"))
-        ).alias("e"),
+    """One row per vector IDENTITY — the embeddings mirror of
+    sources.unique_docs (r13 finding, the q_dedup_semantic NULL-id ADVICE
+    generalized): a vector's identity is vec_id, and every similarity
+    consumer either argmax-groups ON vec_id (assign_cells — two valid
+    NULL-id vectors collapse into ONE engine-arbitrary group; proven
+    divergence in q_kmeans_step), ranks with vec_id as the unique
+    tie-break (top-k cuts — two tied NULL-id rows make the cut
+    arbitrary), or joins codebooks built from id-selected rows (a
+    redelivered duplicate of a codebook row re-multiplies the broadcast
+    join — proven ADC overcount in q_sim_search_ivfpq under the dupkeys
+    corpus). Identity-less rows are quarantined and byte-identical
+    redeliveries collapse to one row, on BOTH sides (_SQL_VECTORS)."""
+    return (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isNotNull())
+        .dropDuplicates(["vec_id"])
+        .select(
+            "vec_id",
+            "label",
+            F.when(
+                vec_valid(), F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("e"),
+        )
     )
 
 
 @query(
     "q_sim_search",
     oracle=f"""
-WITH q AS (SELECT (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS qe FROM embeddings
+WITH q AS (SELECT (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS qe FROM (SELECT DISTINCT vec_id, label, embedding FROM embeddings WHERE vec_id IS NOT NULL)
            WHERE vec_id = {QUERY_VEC_ID})
 SELECT vec_id, label,
        ROUND(list_cosine_similarity((CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END), qe), 6) AS cos_sim
-FROM embeddings, q
+FROM (SELECT DISTINCT vec_id, label, embedding FROM embeddings WHERE vec_id IS NOT NULL), q
 WHERE vec_id <> {QUERY_VEC_ID}
 ORDER BY cos_sim DESC, vec_id
 LIMIT {TOP_K}
@@ -182,9 +209,9 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sim_search_ivf",
     oracle=f"""
 WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
-              FROM embeddings
+              FROM (SELECT DISTINCT vec_id, label, embedding FROM embeddings WHERE vec_id IS NOT NULL)
               WHERE vec_id < {N_CENTROIDS} AND (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
-v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings),
+v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM (SELECT DISTINCT vec_id, label, embedding FROM embeddings WHERE vec_id IS NOT NULL)),
 scored AS (
   SELECT v.vec_id, v.label, v.e, cent.cid,
          row_number() OVER (
@@ -268,7 +295,7 @@ def _lsh_oracle() -> str:
     )
     return f"""
 WITH planes AS (SELECT [{planes_sql}] AS R),
-v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM (SELECT DISTINCT vec_id, label, embedding FROM embeddings WHERE vec_id IS NOT NULL)
      WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
 bucketed AS (
   SELECT vec_id, label, e, CAST({bits} AS BIGINT) AS bucket FROM v, planes)
@@ -334,9 +361,9 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_kmeans_step",
     oracle=f"""
 WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
-              FROM embeddings
+              FROM (SELECT DISTINCT vec_id, label, embedding FROM embeddings WHERE vec_id IS NOT NULL)
               WHERE vec_id < {N_CENTROIDS} AND (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
-v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM (SELECT DISTINCT vec_id, label, embedding FROM embeddings WHERE vec_id IS NOT NULL)
      WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
 scored AS (
   SELECT v.vec_id, v.e, cent.cid,
@@ -396,9 +423,9 @@ N_PROBES = 2
     "q_sim_search_ivf_multiprobe",
     oracle=f"""
 WITH cent AS (SELECT vec_id AS cid, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS ce
-              FROM embeddings
+              FROM (SELECT DISTINCT vec_id, label, embedding FROM embeddings WHERE vec_id IS NOT NULL)
               WHERE vec_id < {N_CENTROIDS} AND (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
-v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings),
+v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM (SELECT DISTINCT vec_id, label, embedding FROM embeddings WHERE vec_id IS NOT NULL)),
 scored AS (
   SELECT v.vec_id, v.label, v.e, cent.cid,
          row_number() OVER (PARTITION BY v.vec_id
@@ -540,7 +567,7 @@ BATCH_TOP_K = 5
 @query(
     "q_emb_normalize",
     oracle="""
-WITH v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings)
+WITH v AS (SELECT vec_id, label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM (SELECT DISTINCT vec_id, label, embedding FROM embeddings WHERE vec_id IS NOT NULL))
 SELECT vec_id, label,
        ROUND(sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)), 6)
          AS l2_norm,
@@ -573,7 +600,7 @@ def q_emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_emb_centroid",
     oracle=f"""
-WITH v AS (SELECT label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+WITH v AS (SELECT label, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM (SELECT DISTINCT vec_id, label, embedding FROM embeddings WHERE vec_id IS NOT NULL)
            WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
 comp AS (
   SELECT label, dim, e[dim] AS val
@@ -611,7 +638,7 @@ def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ann_batch",
     oracle=f"""
-WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM (SELECT DISTINCT vec_id, label, embedding FROM embeddings WHERE vec_id IS NOT NULL)
      WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
 q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_BATCH_QUERIES}),
 db AS (SELECT vec_id, e FROM v WHERE vec_id >= {N_BATCH_QUERIES}),
@@ -663,7 +690,7 @@ PQ_CODES = 16  # codewords per subspace (first 16 vectors' sub-vectors)
 @query(
     "q_emb_pq",
     oracle=f"""
-WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM (SELECT DISTINCT vec_id, label, embedding FROM embeddings WHERE vec_id IS NOT NULL)
      WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
 sub AS (
   SELECT vec_id, m, e[(m * {PQ_SUBDIM} + 1):((m + 1) * {PQ_SUBDIM})] AS se
@@ -728,6 +755,198 @@ def q_emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ combined search (ADC: coarse cells + residual product codes)
+# ---------------------------------------------------------------------------
+
+# One ordered-fold squared-L2 between two equal-length lists, SQL side —
+# matches Spark's zip_with + aggregate fold order term-for-term.
+def _sql_l2(a: str, b: str, n: int) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {n}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+
+
+@query(
+    "q_sim_search_ivfpq",
+    oracle=f"""
+WITH cent AS (SELECT vec_id AS cid, (CASE WHEN {_SQL_VEC_VALID} THEN CAST(embedding AS DOUBLE[]) END) AS ce
+              FROM (SELECT DISTINCT vec_id, label, embedding FROM embeddings WHERE vec_id IS NOT NULL) WHERE vec_id < {N_CENTROIDS} AND {_SQL_VEC_VALID}),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM (SELECT DISTINCT vec_id, label, embedding FROM embeddings WHERE vec_id IS NOT NULL)
+      WHERE {_SQL_VEC_VALID} AND vec_id IS NOT NULL),
+scored AS (
+  SELECT v.vec_id, v.e, cent.cid, cent.ce,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND(list_cosine_similarity(v.e, cent.ce), 6) DESC, cent.cid) AS rn
+  FROM v, cent),
+assigned AS (
+  SELECT vec_id, cid,
+         list_transform(generate_series(1, {DIM}), i -> e[i] - ce[i]) AS r
+  FROM scored WHERE rn = 1),
+sub AS (
+  SELECT vec_id, cid, m, r[(m * {PQ_SUBDIM} + 1):((m + 1) * {PQ_SUBDIM})] AS rs
+  FROM assigned, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)),
+cb AS (SELECT vec_id AS code, m, rs AS cce FROM sub WHERE vec_id < {PQ_CODES}),
+coded AS (
+  SELECT s.vec_id, s.cid, s.m, cb.code,
+         row_number() OVER (
+           PARTITION BY s.vec_id, s.m
+           ORDER BY ROUND({_sql_l2('s.rs', 'cb.cce', PQ_SUBDIM)}, 6), cb.code) AS rn
+  FROM sub s JOIN cb ON s.m = cb.m),
+codes AS (SELECT vec_id, cid, m, code FROM coded WHERE rn = 1),
+qsub AS (SELECT cid AS qcid, m, rs AS qrs FROM sub WHERE vec_id = {QUERY_VEC_ID}),
+lut AS (
+  SELECT q.qcid, q.m, cb.code,
+         ROUND({_sql_l2('q.qrs', 'cb.cce', PQ_SUBDIM)}, 6) AS qd2
+  FROM qsub q JOIN cb ON q.m = cb.m),
+adc AS (
+  SELECT c.vec_id, c.cid,
+         CAST(SUM(CAST(l.qd2 AS DECIMAL(28,6))) AS DOUBLE) AS adc_d2
+  FROM codes c JOIN lut l ON c.cid = l.qcid AND c.m = l.m AND c.code = l.code
+  WHERE c.vec_id <> {QUERY_VEC_ID}
+  GROUP BY c.vec_id, c.cid),
+top AS (SELECT * FROM adc ORDER BY adc_d2 ASC, vec_id ASC LIMIT {TOP_K}),
+q AS (SELECT e AS qe FROM v WHERE vec_id = {QUERY_VEC_ID})
+SELECT t.vec_id, t.cid AS cell, t.adc_d2,
+       ROUND({_sql_l2('a.e', 'q.qe', DIM)}, 6) AS exact_d2
+FROM top t JOIN v a ON a.vec_id = t.vec_id, q
+ORDER BY t.adc_d2 ASC, t.vec_id ASC
+""",
+)
+def q_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search — the combined form a production vector store
+    actually runs (FAISS's IVFADC shape): coarse cells bound WHERE to
+    look, residual product codes bound WHAT each candidate costs to
+    score. Index build: assign every vector to its coarse cell
+    (broadcast argmax, the shared assign_cells aggregate), take the
+    RESIDUAL e − centroid (residual PQ — the standard trick: residuals
+    have ~k× smaller spread than raw vectors, so the same code budget
+    quantizes finer), and code each residual sub-vector against a
+    deterministic first-PQ_CODES codebook (same stand-in stance as the
+    IVF/PQ siblings). Search: the query probes its own cell; an
+    asymmetric-distance LUT (query residual sub-vector × every codeword:
+    PQ_M·PQ_CODES = 128 rounded squared-L2 entries, broadcast) prices
+    every candidate as a SUM of 8 table lookups — the candidate's full
+    vector is never touched at search time. The 8-term ADC sum runs
+    through DECIMAL(28,6) (each term pre-rounded to 6, so the decimal is
+    exact and the sum order-free — a raw double SUM over a group is
+    aggregation-order-dependent and diverges cross-engine). Top-K by
+    (adc_d2 ASC, vec_id) is a TakeOrderedAndProject heap; the k-bounded
+    winners join back (broadcast) for their EXACT distance so the output
+    shows the per-hit ADC approximation error. Identity-less vectors are
+    quarantined (assignment and coding group ON vec_id — the r13
+    identity-grain rule for argmax-by-id operators). At 100 TB: codes
+    are PQ_M bytes per vector (the whole searchable index for 10^9
+    vectors fits in a few GB per worker), the LUT is 128 doubles, and
+    the only per-candidate work is a partition-local hash-join +
+    8-lookup sum — scan-free, shuffle-free search inside the probed
+    cell."""
+    v = (
+        _vectors(spark, sf_dir)
+        .filter(F.col("e").isNotNull() & F.col("vec_id").isNotNull())
+        .select("vec_id", "e")
+    )
+    cent = F.broadcast(
+        v.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+        )
+    )
+    assigned = (
+        assign_cells(v, cent, ["e"])
+        .join(cent, "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.zip_with("e", "ce", lambda x, y: x - y).alias("r"),
+        )
+    )
+    subs = [
+        F.struct(
+            F.lit(m).alias("m"),
+            F.slice("r", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("rs"),
+        )
+        for m in range(PQ_M)
+    ]
+    sub = assigned.select(
+        "vec_id", "cid", F.explode(F.array(*subs)).alias("s")
+    ).select("vec_id", "cid", F.col("s.m").alias("m"), F.col("s.rs").alias("rs"))
+    # the sub relation fans out to the codebook, the query LUT, and the
+    # candidate coding — materialize once (r11/r12 fan-out class)
+    from kinesis_test_spark.iterate import truncate_lineage
+
+    sub = truncate_lineage(sub)
+    cb = F.broadcast(
+        sub.filter(F.col("vec_id") < PQ_CODES).select(
+            F.col("vec_id").alias("code"),
+            F.col("m").alias("m_cb"),
+            F.col("rs").alias("cce"),
+        )
+    )
+    sq = lambda a, b: F.round(  # noqa: E731
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    codes = (
+        sub.join(cb, F.col("m") == F.col("m_cb"))
+        .select("vec_id", "cid", "m", "code", sq("rs", "cce").alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "m", "code")
+    )
+    qsub = sub.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("cid").alias("qcid"), F.col("m").alias("qm"), F.col("rs").alias("qrs")
+    )
+    lut = F.broadcast(
+        qsub.join(cb, F.col("qm") == F.col("m_cb")).select(
+            "qcid",
+            F.col("qm"),
+            F.col("code").alias("qcode"),
+            sq("qrs", "cce").alias("qd2"),
+        )
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(
+            lut,
+            (F.col("cid") == F.col("qcid"))
+            & (F.col("m") == F.col("qm"))
+            & (F.col("code") == F.col("qcode")),
+        )
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(F.col("qd2").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("adc_d2")
+        )
+    )
+    top = F.broadcast(
+        adc.orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc()).limit(TOP_K)
+    )
+    qe = F.broadcast(
+        v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
+    )
+    return (
+        top.join(v, "vec_id")
+        .crossJoin(qe)
+        .select(
+            "vec_id",
+            F.col("cid").alias("cell"),
+            "adc_d2",
+            sq("e", "qe").alias("exact_d2"),
+        )
+        .orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
 # ANN quality evaluation: recall@k of the IVF path vs brute force
 # ---------------------------------------------------------------------------
 
@@ -735,7 +954,7 @@ def q_emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ann_recall",
     oracle=f"""
-WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM embeddings
+WITH v AS (SELECT vec_id, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e FROM (SELECT DISTINCT vec_id, label, embedding FROM embeddings WHERE vec_id IS NOT NULL)
      WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
 q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {N_BATCH_QUERIES}),
 db AS (SELECT vec_id, e FROM v WHERE vec_id >= {N_BATCH_QUERIES}),
@@ -860,7 +1079,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_emb_drift",
     oracle=f"""
 WITH v AS (SELECT vec_id % 2 AS grp, (CASE WHEN (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0) THEN CAST(embedding AS DOUBLE[]) END) AS e
-           FROM embeddings WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
+           FROM (SELECT DISTINCT vec_id, label, embedding FROM embeddings WHERE vec_id IS NOT NULL) WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
 comp AS (
   SELECT grp, dim,
          ROUND(CAST(SUM(CAST(e[dim] AS DECIMAL(28,16))) AS DOUBLE)
@@ -892,13 +1111,12 @@ def q_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the term sums go through decimal so the metric is partition-count
     invariant, which a drift ALERT must be (a threshold that flickers
     with task scheduling pages someone at 3am for nothing)."""
+    # identity-grain source (r13): the oracle's v CTE reads _SQL_VECTORS,
+    # so the Spark side must dedup/quarantine identically
     v = (
-        t(spark, sf_dir, "embeddings")
-        .filter(vec_valid())
-        .select(
-            (F.col("vec_id") % 2).alias("grp"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-        )
+        _vectors(spark, sf_dir)
+        .filter(F.col("e").isNotNull())
+        .select((F.col("vec_id") % 2).alias("grp"), "e")
     )
     comp = (
         v.select("grp", F.posexplode("e").alias("dim0", "val"))
@@ -947,7 +1165,7 @@ MRL_DIM = 16  # leading dims used for the cheap ranking (of DIM=64)
     "q_sim_mrl",
     oracle=f"""
 WITH q AS (SELECT (CASE WHEN {_SQL_VEC_VALID} THEN CAST(embedding AS DOUBLE[]) END) AS qe
-           FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+           FROM (SELECT DISTINCT vec_id, label, embedding FROM embeddings WHERE vec_id IS NOT NULL) WHERE vec_id = {QUERY_VEC_ID}),
 scored AS (
   -- COALESCE to the -1.0 sentinel exactly like Spark's cosine(): an
   -- invalid vector must rank identically on both engines even when the
@@ -960,7 +1178,7 @@ scored AS (
            qe[1:{MRL_DIM}]), 6), -1.0) AS cos_trunc,
          COALESCE(ROUND(list_cosine_similarity(
            (CASE WHEN {_SQL_VEC_VALID} THEN CAST(embedding AS DOUBLE[]) END), qe), 6), -1.0) AS cos_full
-  FROM embeddings, q WHERE vec_id <> {QUERY_VEC_ID}),
+  FROM (SELECT DISTINCT vec_id, label, embedding FROM embeddings WHERE vec_id IS NOT NULL), q WHERE vec_id <> {QUERY_VEC_ID}),
 topk AS (SELECT * FROM scored ORDER BY cos_trunc DESC, vec_id LIMIT {TOP_K}),
 exact AS (SELECT vec_id FROM scored ORDER BY cos_full DESC, vec_id LIMIT {TOP_K})
 SELECT t.vec_id, t.cos_trunc, t.cos_full,
@@ -1041,7 +1259,7 @@ def _sq8_quant(x, s):
     "q_emb_sq8",
     oracle=f"""
 WITH v AS (SELECT vec_id, (CASE WHEN {_SQL_VEC_VALID} THEN CAST(embedding AS DOUBLE[]) END) AS e
-           FROM embeddings),
+           FROM (SELECT DISTINCT vec_id, label, embedding FROM embeddings WHERE vec_id IS NOT NULL)),
 s AS (SELECT max(list_max(list_transform(e, x -> abs(x)))) AS s
       FROM v WHERE e IS NOT NULL),
 rec AS (

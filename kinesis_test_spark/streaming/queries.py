@@ -1032,6 +1032,65 @@ def s_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+HH_TOP_N = 3  # heavy hitters reported per window
+
+
+@query(
+    "s_heavy_hitters",
+    oracle=f"""
+WITH c AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, user_id,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2),
+r AS (
+  SELECT window_start, user_id, n,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n DESC, user_id ASC) AS rnk
+  FROM c)
+SELECT window_start, CAST(rnk AS INT) AS rnk, user_id, n
+FROM r WHERE rnk <= {HH_TOP_N}
+ORDER BY window_start, rnk
+""",
+)
+def s_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: top-{HH_TOP_N} users per hour window by
+    event count — the per-window hot-key report an ops dashboard reads
+    off the live stream (the exact companion to the q_sketch_countmin
+    batch sketch: at dashboard cardinalities the exact windowed count IS
+    the 100 TB answer, because the streaming state is one row per
+    (window, user) — bounded by active users per hour, not by events).
+    The stateful stage is the windowed count (RocksDB state, AvailableNow
+    drain); the top-k cut is a rank over the DRAINED sink — ranking is
+    not a streaming aggregate, and a real pipeline reads the leaderboard
+    off the serving table exactly like this. Identity-less rows are
+    quarantined (a heavy hitter of unknown identity is not actionable —
+    the s_window_users NULL convention); timeless rows drop from window()
+    on both sides (ts IS NOT NULL mirror). n DESC ties break on user_id
+    ASC — unique within a window, so the cut is placement-independent."""
+    d = scratch_dir("s_heavy_hitters")
+    name = _mem_name("hh")
+    counts = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .groupBy(F.window("ts", "1 hour").start.alias("window_start"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    run_to_memory(counts, name, d / "cp", output_mode="complete")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("user_id").asc()
+    )
+    return (
+        spark.table(name)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= HH_TOP_N)
+        .select("window_start", "rnk", "user_id", F.col("n").cast("bigint").alias("n"))
+        .orderBy("window_start", "rnk")
+    )
+
+
 ALERT_THRESHOLD = 5  # fires on the upper tail at every test SF
 
 

@@ -70,8 +70,28 @@ def plant_nulls(src: str, dest: Path) -> None:
     pq.write_table(pa.concat_tables([docs, dx]), dest / "documents.parquet")
 
     emb = pq.read_table(dest / "embeddings.parquet")
+    head = emb.to_pydict()
+    base = [float(x) for x in head["embedding"][head["vec_id"].index(20)]]
+    other = [float(x) for x in head["embedding"][head["vec_id"].index(33)]]
     ex = pa.table(
-        {"vec_id": [92000011], "embedding": [None], "label": [None]},
+        {
+            # NULL embedding under a real id (the r7/r8 class), plus the
+            # r13 class: VALID embeddings under NULL vec_id — two scaled
+            # copies (they TIE on every rounded cosine, so any
+            # id-tie-broken rank or argmax that admits them is
+            # engine-arbitrary) and one distinct direction. Identity-less
+            # vectors are quarantined at ingestion (_vectors /
+            # _SQL_VECTORS — proven q_kmeans_step divergence before the
+            # quarantine).
+            "vec_id": [92000011, None, None, None],
+            "embedding": [
+                None,
+                [2.0 * x for x in base],
+                [5.0 * x for x in base],
+                list(other),
+            ],
+            "label": [None, head["label"][0], head["label"][0], head["label"][0]],
+        },
         schema=emb.schema,
     )
     pq.write_table(pa.concat_tables([emb, ex]), dest / "embeddings.parquet")
@@ -123,6 +143,16 @@ NULL_EDGE_KEYS = [
     "q_ann_recall",
     "q_sim_search_ivf",
     "q_sim_search_ivf_multiprobe",
+    # class 6 (r13): VALID embeddings under NULL vec_id — identity-grain
+    # quarantine at _vectors/_SQL_VECTORS (tied scaled copies would make
+    # assign_cells argmax groups and vec_id-tie-broken rank cuts
+    # engine-arbitrary; q_kmeans_step diverged before the quarantine)
+    "q_sim_search",
+    "q_sim_mrl",
+    "q_emb_sq8",
+    "q_emb_normalize",
+    "q_sim_search_ivfpq",
+    "q_dedup_semantic",
     # class 5: codec rigs fed None payloads
     "q_mm_decode",
     "q_mm_decode_arrow",

@@ -561,3 +561,21 @@ def test_semantic_incremental_band_join_is_equi_keyed(spark, sf_dir):
     plan = plans.formatted(df)
     assert "CartesianProduct" not in plan
     assert "probe_blk" in plan and "blk_a" in plan
+
+
+def test_ivfpq_search_is_lut_priced_with_topk_heap(spark, sf_dir):
+    """q_sim_search_ivfpq: candidate pricing must be LUT lookups — the
+    ADC join is broadcast-equi on (cell, subspace, code), the only
+    nested-loop is the sanctioned 1-row query-vector broadcast, and the
+    top-k is a heap (TakeOrderedAndProject), never a global sort. The
+    residual/coding subtree is checkpointed away."""
+    import re
+
+    df = q("q_sim_search_ivfpq", spark, sf_dir)
+    plan = plans.formatted(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one distinct BNLJ node: the broadcast 1-row qe join
+    bnlj = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
+    assert len(bnlj) == 1, plan
+    assert "qcode" in plan  # the LUT equi-key reached the join
