@@ -161,6 +161,9 @@ _RECHECK: set[str] = {
     "q_sim_mrl", "q_emb_sq8", "q_sim_lsh", "q_kmeans_step", "q_kmeans",
     "q_emb_normalize", "q_emb_centroid", "q_emb_drift", "q_emb_pq",
     "q_ann_batch", "q_ann_recall",
+    # r13: singleton-class finding — target now counts in-domain rows only
+    # and the zero-target regime is explicit (oracle CEIL bucketing).
+    "q_sql_script",
 }
 
 

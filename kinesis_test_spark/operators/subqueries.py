@@ -166,7 +166,8 @@ def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sql_script",
     oracle="""
-WITH tot AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS target FROM lineitem),
+WITH tot AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS target FROM lineitem
+             WHERE abs(l_quantity) < 1.0e12),
 cum AS (
   -- The NULL-k (out-of-domain) group must never enter any cumulative
   -- count: the engine side is a procedural loop whose `l_quantity <= k
@@ -175,15 +176,28 @@ cum AS (
   -- NULL keys nondeterministically even with an explicit NULLS clause
   -- (r9 verdict) — so the group is EXCLUDED from the chained relation
   -- outright, which is the same contract made placement-independent.
+  -- Bucket by CEIL, not TRUNC: the loop's count(l_quantity <= k) admits
+  -- a fractional quantity q exactly from k = ceil(q) (r13 singleton
+  -- review; equal on the integer-valued fixture).
   SELECT k, CAST(SUM(n) OVER (ORDER BY k) AS BIGINT) AS cnt
-  FROM (SELECT CAST(TRUNC(CASE WHEN abs(l_quantity) < 1.0e12
-                           THEN l_quantity END) AS INT) AS k, COUNT(*) AS n
+  FROM (SELECT CAST(CEIL(CASE WHEN abs(l_quantity) < 1.0e12
+                          THEN l_quantity END) AS INT) AS k, COUNT(*) AS n
         FROM lineitem GROUP BY 1)
   WHERE k IS NOT NULL),
-hit AS (SELECT MIN(k) AS k FROM cum, tot WHERE cnt >= tot.target)
-SELECT CAST(COALESCE(hit.k, 0) AS INT) AS median_qty_ceil,
-       CAST(COALESCE((SELECT cnt FROM cum WHERE k = hit.k), 0) AS BIGINT)
-         AS n_at_or_below,
+-- target > 0 guard + GREATEST clamp mirror the loop exactly: with
+-- target = 0 (n_rows <= 1, the singleton/empty regime) the loop body
+-- never runs and the script reports its k = 0 / cnt = 0 initializers;
+-- with target > 0 the first checked cutoff is k = 1, so a crossing in a
+-- non-positive bucket still reports k = 1 (GREATEST skips the NULL of an
+-- empty MIN per Postgres semantics, but target > 0 makes hit non-empty:
+-- cum's max cnt is the full in-domain count >= target by construction).
+hit AS (SELECT GREATEST(MIN(k), 1) AS k FROM cum, tot
+        WHERE cnt >= tot.target AND tot.target > 0)
+SELECT CAST(CASE WHEN tot.target = 0 THEN 0 ELSE COALESCE(hit.k, 0) END AS INT)
+         AS median_qty_ceil,
+       CAST(CASE WHEN tot.target = 0 THEN 0
+                 ELSE COALESCE((SELECT MAX(cnt) FROM cum WHERE k <= hit.k), 0)
+            END AS BIGINT) AS n_at_or_below,
        tot.target
 FROM hit, tot
 """,
@@ -209,7 +223,12 @@ def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
           DECLARE target BIGINT;
           DECLARE k INT = 0;
           DECLARE cnt BIGINT = 0;
-          SET target = (SELECT COUNT(*) DIV 2 FROM lineitem);
+          -- target over the IN-DOMAIN rows only: an out-of-domain quantity
+          -- (abs >= 1e12 / non-finite) can never be admitted by the loop's
+          -- count, so counting it into target would make the target
+          -- unreachable and the WHILE non-terminating (r13 singleton review)
+          SET target = (SELECT COUNT(*) DIV 2 FROM lineitem
+                        WHERE abs(l_quantity) < 1.0e12);
           WHILE cnt < target DO
             SET k = k + 1;
             SET cnt = (SELECT COUNT(*) FROM lineitem

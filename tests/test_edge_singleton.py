@@ -87,6 +87,10 @@ SINGLETON_KEYS = [
     "q_quality_gate",       # mean-relative gate over one doc
     "q_skew_report",
     "s_heavy_hitters",
+    # THE first-sweep finding (fixed): with one row, target = n//2 = 0 and
+    # the engine's WHILE body never runs (k=0/cnt=0) — the oracle now
+    # gates the zero-target regime explicitly
+    "q_sql_script",
 ]
 
 

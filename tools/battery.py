@@ -39,6 +39,7 @@ def plant_classes():
     from test_edge_nulls import plant_nulls
     from test_edge_nullts import plant_nullts
     from test_edge_ragged import plant_ragged
+    from test_edge_singleton import plant_singleton
     from test_edge_ts_extremes import plant_ts_extremes
     from test_edge_unicode import plant_unicode
     from test_edge_whitespace import plant_whitespace
@@ -59,6 +60,7 @@ def plant_classes():
         ("nulls", plant_nulls),
         ("nullts", plant_nullts),
         ("ragged", plant_ragged),
+        ("singleton", plant_singleton),
         ("ts_extremes", plant_ts_extremes),
         ("unicode", plant_unicode),
         ("whitespace", plant_whitespace),
