@@ -844,7 +844,7 @@ def q_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell."""
     v = (
         _vectors(spark, sf_dir)
-        .filter(F.col("e").isNotNull() & F.col("vec_id").isNotNull())
+        .filter(F.col("e").isNotNull())  # ids non-NULL by _vectors' grain
         .select("vec_id", "e")
     )
     cent = F.broadcast(
