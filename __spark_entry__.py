@@ -164,6 +164,13 @@ _RECHECK: set[str] = {
     # r13: singleton-class finding — target now counts in-domain rows only
     # and the zero-target regime is explicit (oracle CEIL bucketing).
     "q_sql_script",
+    # r13: the fractional-class cents campaign (EDGES class 23) rewrote the
+    # decimal-quantization step engine-wide; clean-fixture results are
+    # bit-identical by construction, but these carried the deepest
+    # restructuring (inline-copy fixes + the q14/q8 ratio mirrors) and
+    # lead the recheck queue as the campaign's representatives.
+    "q_ab_test", "q_bootstrap_ci", "q_cohort_ltv", "q_cte", "q_fn_math",
+    "s_observe", "q_tpch_q14",
 }
 
 

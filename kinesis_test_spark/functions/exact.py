@@ -7,9 +7,29 @@ scheduling changes. Routing through decimal makes the aggregate exact and
 order-independent, which is also what you want at 100 TB: results must not
 depend on partition count.
 
-Pattern (mirrored verbatim in the DuckDB oracle SQL):
-    Spark :  F.sum(col.cast("decimal(p,s)")).cast("double")
-    oracle:  CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)
+Pattern (mirrored verbatim in the DuckDB oracle SQL; r13 cents form):
+    Spark :  F.sum(F.round(col * 10^s).cast("decimal(p,0)")).cast("double") / 10^s
+    oracle:  CAST(SUM(CAST(ROUND(x * 10^s.0) AS DECIMAL(p,0))) AS DOUBLE) / 10^s.0
+
+WHY the quantization is an explicit ROUND(x · 10^s) rather than the direct
+CAST(x AS DECIMAL(p,s)) the route used through round 12: the direct cast's
+double→decimal conversion is ALGORITHMICALLY DIFFERENT between the engines
+— Spark goes through Java's BigDecimal.valueOf (HALF_UP on the double's
+SHORTEST decimal repr) while DuckDB scales the BINARY value — and the two
+disagree on schema-legal inputs within an ULP of the  .{s}5  boundary
+(probed r13: CAST(1048576.005 AS DECIMAL(18,2)) → 1048576.01 Spark /
+1048576.00 DuckDB, and 7.5649999999999995 splits the OTHER way; a scan of
+n.xx5-shaped doubles found the class dense near power-of-two magnitudes).
+The cents form is unambiguous by construction: x·10^s is ONE IEEE multiply
+(bit-identical cross-engine), ROUND to integer of a double has no
+repr-vs-binary gap (a shortest repr of exactly k.5 round-trips only when
+the double IS exactly k.5) and both engines round that tie away from zero
+(probed incl. negatives), the integer-valued double converts to
+DECIMAL(p,0) exactly, and the final /10^s is one more shared IEEE op. On
+inputs that are exact s-decimals (every clean fixture) the two forms are
+bit-identical; they differ only on sub-grain inputs, where the old form
+was engine-ambiguous. Inline CAST(… AS DECIMAL(18,2)) oracle copies carry
+the same rule site-by-site.
 """
 
 from __future__ import annotations
@@ -60,34 +80,53 @@ def sql_finite(expr: str, exp: int = 12) -> str:
     return f"(CASE WHEN abs({expr}) < 1.0e{min(exp, DOUBLE_SAFE_EXP)} THEN {expr} END)"
 
 
+def _cents(c: Column, scale: int) -> Column:
+    """Deterministic quantization to the scale grain (module docstring):
+    ONE shared IEEE multiply + an integer ROUND with agreeing tie rule —
+    never the engine-ambiguous direct double→DECIMAL(p,s) cast."""
+    return F.round(c * F.lit(float(10**scale)))
+
+
 def dsum(col: Column | str, alias: str, prec: int = 18, scale: int = 2) -> Column:
     """Order-independent SUM over a double column, returned as double.
 
-    Inputs the DECIMAL(prec,scale) route cannot represent are excluded
-    explicitly (see ``finite``; bound 10^(prec-scale))."""
+    Inputs the route cannot represent are excluded explicitly (see
+    ``finite``; bound 10^(prec-scale)). Quantization via the cents form
+    (module docstring) — the direct DECIMAL(p,s) cast is engine-ambiguous
+    within an ULP of the .{s}5 boundary."""
     c = finite(col, prec - scale)
-    return F.sum(c.cast(f"decimal({prec},{scale})")).cast("double").alias(alias)
+    return (
+        F.sum(_cents(c, scale).cast(f"decimal({prec},0)")).cast("double")
+        / F.lit(float(10**scale))
+    ).alias(alias)
 
 
 def davg(col: Column | str, alias: str, prec: int = 18, scale: int = 2) -> Column:
-    """Order-independent AVG: exact decimal sum / count, divided as double.
+    """Order-independent AVG: exact cents sum / 10^s / count, as double.
 
     The count is over the SAME finite-guarded value as the sum — counting
     raw non-NULLs would divide a non-finite-excluded sum by a larger n."""
     c = finite(col, prec - scale)
     return (
-        F.sum(c.cast(f"decimal({prec},{scale})")).cast("double") / F.count(c)
+        F.sum(_cents(c, scale).cast(f"decimal({prec},0)")).cast("double")
+        / F.lit(float(10**scale))
+        / F.count(c)
     ).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str, prec: int = 18, scale: int = 2) -> str:
     g = sql_finite(expr, prec - scale)
-    return f"CAST(SUM(CAST({g} AS DECIMAL({prec},{scale}))) AS DOUBLE) AS {alias}"
+    m = f"1.0e{scale}"
+    return (
+        f"CAST(SUM(CAST(ROUND(({g}) * {m}) AS DECIMAL({prec},0))) AS DOUBLE)"
+        f" / {m} AS {alias}"
+    )
 
 
 def sql_davg(expr: str, alias: str, prec: int = 18, scale: int = 2) -> str:
     g = sql_finite(expr, prec - scale)
+    m = f"1.0e{scale}"
     return (
-        f"CAST(SUM(CAST({g} AS DECIMAL({prec},{scale}))) AS DOUBLE)"
-        f" / COUNT({g}) AS {alias}"
+        f"CAST(SUM(CAST(ROUND(({g}) * {m}) AS DECIMAL({prec},0))) AS DOUBLE)"
+        f" / {m} / COUNT({g}) AS {alias}"
     )

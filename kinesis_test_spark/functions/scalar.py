@@ -156,7 +156,11 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_math",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       CAST(ROUND(CAST(fprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS price_r2,
+       -- integer-space two-step round (r13 fractional class): the direct
+       -- double->DECIMAL cast and ROUND(double, n) are both engine-
+       -- ambiguous within an ULP of the half boundary; cents-form steps
+       -- (shared IEEE multiply + integer ROUND) are not
+       ROUND(ROUND(fprice * 1.0e4) / 1.0e2) / 1.0e2 AS price_r2,
        abs(l_discount - 0.05) AS disc_dev,
        CAST(ceil(fqty) AS BIGINT) AS qty_ceil,
        CAST(floor(fqty) AS BIGINT) AS qty_floor,
@@ -175,7 +179,8 @@ SELECT l_orderkey, l_linenumber,
        l_orderkey % 7 AS key_mod,
        greatest(l_discount, l_tax) AS max_rate,
        least(l_discount, l_tax) AS min_rate,
-       CAST(CAST(fprice AS DECIMAL(18,2)) * CAST(fqty AS DECIMAL(18,2)) AS DOUBLE)
+       CAST(CAST(ROUND(fprice * 1.0e2) AS DECIMAL(18,0))
+            * CAST(ROUND(fqty * 1.0e2) AS DECIMAL(18,0)) AS DOUBLE) / 1.0e4
          AS exact_product
 FROM (SELECT *,
              -- the decimal/int routes are range-guarded NULL on non-finite
@@ -195,9 +200,10 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(finite("l_extendedprice").cast("decimal(18,4)"), 2)
-        .cast("double")
-        .alias("price_r2"),
+        (
+            F.round(F.round(finite("l_extendedprice") * F.lit(10000.0)) / F.lit(100.0))
+            / F.lit(100.0)
+        ).alias("price_r2"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.ceil(finite("l_quantity")).alias("qty_ceil"),
         F.floor(finite("l_quantity")).alias("qty_floor"),
@@ -212,9 +218,13 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") % 7).alias("key_mod"),
         F.greatest("l_discount", "l_tax").alias("max_rate"),
         F.least("l_discount", "l_tax").alias("min_rate"),
-        (finite("l_extendedprice").cast("decimal(18,2)") * finite("l_quantity").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("exact_product"),
+        (
+            (
+                F.round(finite("l_extendedprice") * F.lit(100.0)).cast("decimal(18,0)")
+                * F.round(finite("l_quantity") * F.lit(100.0)).cast("decimal(18,0)")
+            ).cast("double")
+            / F.lit(10000.0)
+        ).alias("exact_product"),
     )
 
 

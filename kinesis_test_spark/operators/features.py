@@ -223,14 +223,14 @@ CDC_NEW_START, CDC_NEW_END = "2024-01-22", "2024-01-29"
     oracle=f"""
 WITH a AS (
   SELECT user_id, event_type,
-         CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e15 THEN value END) AS DECIMAL(18,2))) AS DOUBLE) AS val,
+         CAST(SUM(CAST(ROUND((CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 AS val,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM events
   WHERE ts >= TIMESTAMP '{CDC_OLD_START}' AND ts < TIMESTAMP '{CDC_OLD_END}'
   GROUP BY user_id, event_type),
 b AS (
   SELECT user_id, event_type,
-         CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e15 THEN value END) AS DECIMAL(18,2))) AS DOUBLE) AS val,
+         CAST(SUM(CAST(ROUND((CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 AS val,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM events
   WHERE ts >= TIMESTAMP '{CDC_NEW_START}' AND ts < TIMESTAMP '{CDC_NEW_END}'
@@ -266,8 +266,8 @@ def q_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
             .groupBy("user_id", "event_type")
             .agg(
-                F.sum(finite("value", 16).cast("decimal(18,2)"))
-                .cast("double")
+                (F.sum(F.round(finite("value", 16) * F.lit(100.0)).cast("decimal(18,0)"))
+                .cast("double") / F.lit(100.0))
                 .alias(vk),
                 F.count(F.lit(1)).cast("bigint").alias(nk),
             )

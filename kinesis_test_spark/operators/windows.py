@@ -507,7 +507,7 @@ held AS (
   SELECT user_id, value, t1 - t0 AS dur_ms FROM seg WHERE t1 IS NOT NULL)
 SELECT user_id,
        CAST(SUM(dur_ms) AS BIGINT) AS span_ms,
-       ROUND(CAST(SUM(CAST((CASE WHEN abs(value * dur_ms) < 1.0e15 THEN value * dur_ms END) AS DECIMAL(28,6))) AS DOUBLE)
+       ROUND(CAST(SUM(CAST(ROUND((CASE WHEN abs(value * dur_ms) < 1.0e15 THEN value * dur_ms END) * 1.0e6) AS DECIMAL(28,0))) AS DOUBLE) / 1.0e6
              / NULLIF(SUM(dur_ms), 0), 6) AS twa_value,
        CAST(COUNT(*) AS BIGINT) AS n_segments
 FROM held GROUP BY user_id ORDER BY user_id
@@ -540,9 +540,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dur_ms").cast("bigint").alias("span_ms"),
             F.round(
                 F.try_divide(
-                    F.sum(
-                        finite(F.col("value") * F.col("dur_ms"), 22).cast("decimal(28,6)")
-                    ).cast("double"),
+                    F.sum(F.round(finite(F.col("value") * F.col("dur_ms"), 22) * F.lit(1000000.0)).cast("decimal(28,0)")).cast("double") / F.lit(1000000.0),
                     F.sum("dur_ms"),
                 ),
                 6,

@@ -29,6 +29,7 @@ def plant_classes():
     from test_edge_dupdim import plant_dupdim
     from test_edge_dupkeys import plant_dupkeys
     from test_edge_empty import plant_empty
+    from test_edge_fractional import plant_fractional
     from test_edge_giant import plant_giant
     from test_edge_hotkey import plant_hotkey
     from test_edge_late import plant_late
@@ -50,6 +51,7 @@ def plant_classes():
         ("dupdim", plant_dupdim),
         ("dupkeys", plant_dupkeys),
         ("empty", plant_empty),
+        ("fractional", plant_fractional),
         ("giant", plant_giant),
         ("hotkey", plant_hotkey),
         ("late", plant_late),
