@@ -160,7 +160,7 @@ SELECT l_orderkey, l_linenumber,
        -- double->DECIMAL cast and ROUND(double, n) are both engine-
        -- ambiguous within an ULP of the half boundary; cents-form steps
        -- (shared IEEE multiply + integer ROUND) are not
-       ROUND(ROUND(fprice * 1.0e4) / 1.0e2) / 1.0e2 AS price_r2,
+       ROUND(ROUND(fprice * 1.0e4) / 1.0e2) / 1.0e2 + 0.0 AS price_r2,
        abs(l_discount - 0.05) AS disc_dev,
        CAST(ceil(fqty) AS BIGINT) AS qty_ceil,
        CAST(floor(fqty) AS BIGINT) AS qty_floor,
@@ -203,6 +203,8 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.round(F.round(finite("l_extendedprice") * F.lit(10000.0)) / F.lit(100.0))
             / F.lit(100.0)
+            + F.lit(0.0)  # computed-zero normalization (negzero rule):
+            # the all-double path would hand DuckDB's -0.0 through
         ).alias("price_r2"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.ceil(finite("l_quantity")).alias("qty_ceil"),
