@@ -141,36 +141,41 @@ _PRIORITY = [
 # driver's own ledger should re-confirm them, so they outrank fresh rows.
 _TESTDATA_REGEN_ROUND = 4
 
-# Keys whose SEMANTICS changed this round: their latest green driver row
-# predates the new behavior, so they must re-verify ahead of the rotation
-# (emitted in group 0 alongside never-checked keys, VERDICT r12 #1).  Clear
-# this set each round after the driver re-confirms; re-listing a changed key
-# in _PRIORITY alone is NOT enough — green keys now rotate by confirmation
-# age, which a semantics change does not reset.
-_RECHECK: set[str] = {
-    # r13: the semantic band gained the NULL-id quarantine (ADVICE r12 —
-    # identity-less vectors are verdicted kept out-of-band, which can change
-    # drop verdicts for rows that previously shared a band with them).
-    "q_dedup_semantic", "q_dedup_semantic_incremental", "q_dedup_semantic_eval",
-    # r13: _vectors became the identity-grain embeddings source (NULL-id
-    # quarantine + byte-identical-redelivery dedup, mirrored in every
-    # similarity oracle) — every consumer's semantics changed on dirty
-    # input (clean-fixture results are bit-identical, but the driver's
-    # independent check is the hard signal for changed code).
-    "q_sim_search", "q_sim_search_ivf", "q_sim_search_ivf_multiprobe",
-    "q_sim_mrl", "q_emb_sq8", "q_sim_lsh", "q_kmeans_step", "q_kmeans",
-    "q_emb_normalize", "q_emb_centroid", "q_emb_drift", "q_emb_pq",
-    "q_ann_batch", "q_ann_recall",
-    # r13: singleton-class finding — target now counts in-domain rows only
-    # and the zero-target regime is explicit (oracle CEIL bucketing).
-    "q_sql_script",
-    # r13: the fractional-class cents campaign (EDGES class 23) rewrote the
-    # decimal-quantization step engine-wide; clean-fixture results are
-    # bit-identical by construction, but these carried the deepest
-    # restructuring (inline-copy fixes + the q14/q8 ratio mirrors) and
-    # lead the recheck queue as the campaign's representatives.
-    "q_ab_test", "q_bootstrap_ci", "q_cohort_ltv", "q_cte", "q_fn_math",
-    "s_observe", "q_tpch_q14",
+# Keys whose SEMANTICS changed, mapped to the round the change landed:
+# a key sorts into group 0 (ahead of the rotation) only while its latest
+# green driver row PREDATES that round, so a driver re-confirmation retires
+# the entry automatically (ADVICE r13 — the old set needed manual clearing
+# and would otherwise starve the age rotation forever).  Re-listing a
+# changed key in _PRIORITY alone is NOT enough — green keys rotate by
+# confirmation age, which a semantics change does not reset.  Entries whose
+# round is long re-confirmed are kept briefly as documentation and pruned
+# opportunistically.
+_RECHECK: dict[str, int] = {
+    # r13: semantic band NULL-id quarantine; _vectors identity grain across
+    # every similarity consumer; singleton q_sql_script fix; fractional
+    # cents-campaign representatives.  (Most re-confirmed green in r13;
+    # the self-expiry keeps whichever the r13 window missed in group 0.)
+    **{k: 13 for k in (
+        "q_dedup_semantic", "q_dedup_semantic_incremental",
+        "q_dedup_semantic_eval",
+        "q_sim_search", "q_sim_search_ivf", "q_sim_search_ivf_multiprobe",
+        "q_sim_mrl", "q_emb_sq8", "q_sim_lsh", "q_kmeans_step", "q_kmeans",
+        "q_emb_normalize", "q_emb_centroid", "q_emb_drift", "q_emb_pq",
+        "q_ann_batch", "q_ann_recall",
+        "q_sql_script",
+        "q_ab_test", "q_bootstrap_ci", "q_cohort_ltv", "q_cte", "q_fn_math",
+        "s_observe", "q_tpch_q14",
+    )},
+    # r14: the floor-LONG cents form (ADVICE r13 — quantization above 2^53
+    # cents was still engine-ambiguous) rewrote every decimal aggregate, and
+    # the scale-6 route guards narrowed 1e15 → 1e12 (the CENTS_SAFE_EXP
+    # re-derivation).  Clean-fixture results are bit-identical; these keys
+    # carry the narrowed guards or are the hot cents representatives.
+    **{k: 14 for k in (
+        "q_tpch_q14", "q_tpch_q8", "q_tpch_q17", "q_tpch_q19", "q_tpch_q11",
+        "q_revenue_share", "q_time_weighted_avg",
+        "q_tpch_q1", "q_agg_group", "q_fn_math", "q_cte",
+    )},
 }
 
 
@@ -228,7 +233,7 @@ def _ordered_keys() -> list[str]:
 
     def sort_key(name: str) -> tuple[int, int, int]:
         rnd = latest.get(name)
-        if rnd is None or name in _RECHECK:
+        if rnd is None or rnd < _RECHECK.get(name, 0):
             group, age = 0, 0
         elif rnd < _TESTDATA_REGEN_ROUND:
             group, age = 1, rnd

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_test_spark.functions.exact import finite
+from kinesis_test_spark.functions.exact import cents, finite
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t
 
@@ -41,7 +41,7 @@ SELECT 'y=' || CAST(year(ts) AS VARCHAR) || '/m=' || CAST(month(ts) AS VARCHAR)
        event_type,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
-       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 AS sum_value
 FROM deduped
 GROUP BY hour_key, event_type
 ORDER BY n_events DESC, (hour_key IS NOT NULL) ASC, COALESCE(hour_key, '') ASC,
@@ -76,7 +76,10 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(finite("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            (
+                F.sum(cents(finite("value"), 6).cast("decimal(18,0)")).cast("double")
+                / F.lit(1000000.0)
+            ).alias("sum_value"),
         )
         .orderBy(F.col("n_events").desc(), "hour_key", "event_type")
         .limit(500)

@@ -7,29 +7,50 @@ scheduling changes. Routing through decimal makes the aggregate exact and
 order-independent, which is also what you want at 100 TB: results must not
 depend on partition count.
 
-Pattern (mirrored verbatim in the DuckDB oracle SQL; r13 cents form):
-    Spark :  F.sum(F.round(col * 10^s).cast("decimal(p,0)")).cast("double") / 10^s
-    oracle:  CAST(SUM(CAST(ROUND(x * 10^s.0) AS DECIMAL(p,0))) AS DOUBLE) / 10^s.0
+Pattern (mirrored verbatim in the DuckDB oracle SQL; r14 floor-LONG form):
+    Spark :  F.sum(cents(x, s).cast("decimal(p,0)")).cast("double") / 10^s
+    oracle:  CAST(SUM(CAST({sql_cents(x, s)} AS DECIMAL(p,0))) AS DOUBLE) / 10^s
 
-WHY the quantization is an explicit ROUND(x · 10^s) rather than the direct
-CAST(x AS DECIMAL(p,s)) the route used through round 12: the direct cast's
-double→decimal conversion is ALGORITHMICALLY DIFFERENT between the engines
-— Spark goes through Java's BigDecimal.valueOf (HALF_UP on the double's
-SHORTEST decimal repr) while DuckDB scales the BINARY value — and the two
-disagree on schema-legal inputs within an ULP of the  .{s}5  boundary
-(probed r13: CAST(1048576.005 AS DECIMAL(18,2)) → 1048576.01 Spark /
-1048576.00 DuckDB, and 7.5649999999999995 splits the OTHER way; a scan of
-n.xx5-shaped doubles found the class dense near power-of-two magnitudes).
-The cents form is unambiguous by construction: x·10^s is ONE IEEE multiply
-(bit-identical cross-engine), ROUND to integer of a double has no
-repr-vs-binary gap (a shortest repr of exactly k.5 round-trips only when
-the double IS exactly k.5) and both engines round that tie away from zero
-(probed incl. negatives), the integer-valued double converts to
-DECIMAL(p,0) exactly, and the final /10^s is one more shared IEEE op. On
-inputs that are exact s-decimals (every clean fixture) the two forms are
-bit-identical; they differ only on sub-grain inputs, where the old form
-was engine-ambiguous. Inline CAST(… AS DECIMAL(18,2)) oracle copies carry
-the same rule site-by-site.
+WHY quantization is sign·FLOOR(|x·10^s| + 0.5) through BIGINT rather than
+either earlier form:
+
+- The r1-r12 direct CAST(x AS DECIMAL(p,s)) is engine-ambiguous within an
+  ULP of the .{s}5 boundary: Spark converts via BigDecimal.valueOf (HALF_UP
+  on the double's SHORTEST decimal repr) while DuckDB scales the BINARY
+  value (probed r13: 1048576.005 and 7.5649999999999995 split in opposite
+  directions; the class is dense near power-of-two magnitudes).
+- The r13 ROUND(x·10^s) → DECIMAL(p,0) form fixed that at the .5 boundary
+  (ROUND of a double to integer has no repr-vs-binary gap) but left the
+  SAME repr-vs-binary ambiguity in the final double→DECIMAL(p,0) cast once
+  |cents| exceeds 2^53: Spark's decimal is built from the shortest repr,
+  DuckDB's from the binary value (probed r14, the ADVICE case: cents
+  1.0000000000000003e17 → Spark 100000000000000030, DuckDB
+  100000000000000048 — a single-row dsum diverges). Spark's Round on
+  doubles is also BigDecimal-backed (~+17%/aggregate, BASELINE.md r13).
+
+The floor-LONG form has neither problem: x·10^s is ONE IEEE multiply
+(bit-identical cross-engine), ABS/+0.5/FLOOR are IEEE ops with no decimal
+repr anywhere, and the double→BIGINT conversion is BINARY in both engines
+(exact on integer-valued doubles; guards keep |cents| < 1e18 < 2^63, so
+the ANSI overflow path is unreachable). BIGINT→DECIMAL(p,0) is exact
+integer widening. The sign decomposition reproduces ROUND's away-from-zero
+tie rule. On inputs that are exact s-decimals below 2^52 cents (every
+clean fixture) the form is bit-identical to both earlier routes.
+
+Known deterministic deviation from ROUND semantics: for |cents| in
+[2^52, 2^53) landing exactly on an ODD integer, |v| + 0.5 is an IEEE tie
+and rounds half-EVEN to the next integer, so the form quantizes one cent
+above ROUND. Both engines compute the identical IEEE sequence, so the
+deviation is cross-engine-invisible; it is a sub-ULP effect relative to
+the value (16th significant digit of a ≥4.5e13 input) and unreachable on
+exact-cent inputs below 2^52.
+
+Guard rule (re-derived for this route per the r12 rule — a validity bound
+must match the tightest route its values travel): decimal-adjacent guards
+bound at 10^min(p - s, DOUBLE_SAFE_EXP, CENTS_SAFE_EXP - s). The last term
+is new in r14: it keeps |cents| < 1e18 so the BIGINT hop cannot overflow.
+Only (p>=21, s=6)-class routes narrow (1e15 → 1e12); every other route's
+bound is unchanged.
 """
 
 from __future__ import annotations
@@ -42,12 +63,12 @@ from pyspark.sql import functions as F
 # FALSE for NaN in BOTH engines: NaN compares greater than everything) AND
 # finite out-of-range magnitudes, where the engines split exactly like
 # they do on NaN (Spark CAST(1e20 AS DECIMAL(18,2)) silently NULLs, DuckDB
-# raises even through TRY_CAST). Guards adjacent to a DECIMAL(p,s) cast
-# bound at min(10^(p-s), 10^DOUBLE_SAFE_EXP) — what the route can
-# represent AND hand back through DOUBLE deterministically — so wide
-# routes don't quarantine legitimate values (a time-weighted product
-# legitimately nears 1e12); statistics, rendering, and non-decimal
-# guards use this default domain.
+# raises even through TRY_CAST). Guards adjacent to a cents quantization
+# bound at min(10^(p-s), 10^DOUBLE_SAFE_EXP, 10^(CENTS_SAFE_EXP-s)) — what
+# the route can represent, hand back through DOUBLE deterministically, AND
+# quantize inside BIGINT — so wide routes don't quarantine legitimate
+# values (a time-weighted product legitimately nears 1e12); statistics,
+# rendering, and non-decimal guards use this default domain.
 EXACT_MAX = 1e12
 
 
@@ -59,14 +80,25 @@ EXACT_MAX = 1e12
 # (observed: TPC-H Q1 accepting a planted 1e20 diverged in the 17th digit).
 DOUBLE_SAFE_EXP = 15
 
+# |cents| = |x|·10^s must stay below 10^CENTS_SAFE_EXP = 1e18 < 2^63 so the
+# floor-form's double→BIGINT hop is exact and overflow-free in both engines
+# (Spark ANSI would raise, DuckDB would saturate — neither is reachable).
+CENTS_SAFE_EXP = 18
+
+
+def route_exp(prec: int, scale: int) -> int:
+    """The guard exponent for a DECIMAL(prec,0)-summed cents route at the
+    given scale (module docstring guard rule)."""
+    return min(prec - scale, DOUBLE_SAFE_EXP, CENTS_SAFE_EXP - scale)
+
 
 def finite(col: Column | str, exp: int = 12) -> Column:
     """NULL out doubles outside the quarantine bound 10**exp (defaults to
     EXACT_MAX's 1e12) — NaN/±Inf always excluded (they compare greater
     than any bound in both engines), NULL stays NULL. Guards adjacent to
-    a DECIMAL(p,s) cast pass exp = p - s (capped at DOUBLE_SAFE_EXP) so
-    the bound is what the route can represent AND still hand back through
-    DOUBLE deterministically (mirror: ``sql_finite``);
+    a cents quantization pass ``route_exp(p, s)`` so the bound is what the
+    route can represent, hand back through DOUBLE deterministically, and
+    quantize inside BIGINT (mirror: ``sql_finite``);
     statistics/rendering guards keep the default domain."""
     c = F.col(col) if isinstance(col, str) else col
     return F.when(F.abs(c) < F.lit(10.0 ** min(exp, DOUBLE_SAFE_EXP)), c)
@@ -80,23 +112,37 @@ def sql_finite(expr: str, exp: int = 12) -> str:
     return f"(CASE WHEN abs({expr}) < 1.0e{min(exp, DOUBLE_SAFE_EXP)} THEN {expr} END)"
 
 
-def _cents(c: Column, scale: int) -> Column:
-    """Deterministic quantization to the scale grain (module docstring):
-    ONE shared IEEE multiply + an integer ROUND with agreeing tie rule —
-    never the engine-ambiguous direct double→DECIMAL(p,s) cast."""
-    return F.round(c * F.lit(float(10**scale)))
+def cents(c: Column, scale: int) -> Column:
+    """Deterministic quantization to the scale grain as a LONG cents count
+    (module docstring): sign · FLOOR(|x·10^s| + 0.5). Pure IEEE ops plus a
+    binary double→LONG conversion — never a decimal repr on either engine.
+    The input must already be guarded to |x| < 10^(CENTS_SAFE_EXP - scale)
+    (see ``finite``/``route_exp``) so the LONG cannot overflow."""
+    v = c * F.lit(float(10**scale))
+    mag = F.floor(F.abs(v) + F.lit(0.5))  # LONG in Spark
+    return F.when(v >= 0, mag).otherwise(-mag)
+
+
+def sql_cents(expr: str, scale: int) -> str:
+    """SQL mirror of ``cents`` — engine-portable: Spark's FLOOR(double)
+    returns BIGINT (the CAST is a no-op), DuckDB's returns an
+    integer-valued DOUBLE whose BIGINT cast is the exact binary value."""
+    m = f"1.0e{scale}"
+    mag = f"CAST(FLOOR(ABS(({expr}) * {m}) + 0.5) AS BIGINT)"
+    return f"(CASE WHEN ({expr}) * {m} >= 0 THEN {mag} ELSE -{mag} END)"
 
 
 def dsum(col: Column | str, alias: str, prec: int = 18, scale: int = 2) -> Column:
     """Order-independent SUM over a double column, returned as double.
 
     Inputs the route cannot represent are excluded explicitly (see
-    ``finite``; bound 10^(prec-scale)). Quantization via the cents form
-    (module docstring) — the direct DECIMAL(p,s) cast is engine-ambiguous
-    within an ULP of the .{s}5 boundary."""
-    c = finite(col, prec - scale)
+    ``finite``; bound ``route_exp(prec, scale)``). Quantization via the
+    floor-LONG cents form (module docstring) — both the direct
+    DECIMAL(p,s) cast and a double→DECIMAL(p,0) cast of the cents are
+    engine-ambiguous (at the .{s}5 boundary / above 2^53 respectively)."""
+    c = finite(col, route_exp(prec, scale))
     return (
-        F.sum(_cents(c, scale).cast(f"decimal({prec},0)")).cast("double")
+        F.sum(cents(c, scale).cast(f"decimal({prec},0)")).cast("double")
         / F.lit(float(10**scale))
     ).alias(alias)
 
@@ -106,27 +152,27 @@ def davg(col: Column | str, alias: str, prec: int = 18, scale: int = 2) -> Colum
 
     The count is over the SAME finite-guarded value as the sum — counting
     raw non-NULLs would divide a non-finite-excluded sum by a larger n."""
-    c = finite(col, prec - scale)
+    c = finite(col, route_exp(prec, scale))
     return (
-        F.sum(_cents(c, scale).cast(f"decimal({prec},0)")).cast("double")
+        F.sum(cents(c, scale).cast(f"decimal({prec},0)")).cast("double")
         / F.lit(float(10**scale))
         / F.count(c)
     ).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str, prec: int = 18, scale: int = 2) -> str:
-    g = sql_finite(expr, prec - scale)
+    g = sql_finite(expr, route_exp(prec, scale))
     m = f"1.0e{scale}"
     return (
-        f"CAST(SUM(CAST(ROUND(({g}) * {m}) AS DECIMAL({prec},0))) AS DOUBLE)"
+        f"CAST(SUM(CAST({sql_cents(g, scale)} AS DECIMAL({prec},0))) AS DOUBLE)"
         f" / {m} AS {alias}"
     )
 
 
 def sql_davg(expr: str, alias: str, prec: int = 18, scale: int = 2) -> str:
-    g = sql_finite(expr, prec - scale)
+    g = sql_finite(expr, route_exp(prec, scale))
     m = f"1.0e{scale}"
     return (
-        f"CAST(SUM(CAST(ROUND(({g}) * {m}) AS DECIMAL({prec},0))) AS DOUBLE)"
+        f"CAST(SUM(CAST({sql_cents(g, scale)} AS DECIMAL({prec},0))) AS DOUBLE)"
         f" / {m} / COUNT({g}) AS {alias}"
     )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_test_spark.functions.exact import finite
+from kinesis_test_spark.functions.exact import cents, finite
 from kinesis_test_spark.functions.porthash import ascii_lower, sql_ascii_lower
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t
@@ -179,8 +179,8 @@ SELECT l_orderkey, l_linenumber,
        l_orderkey % 7 AS key_mod,
        greatest(l_discount, l_tax) AS max_rate,
        least(l_discount, l_tax) AS min_rate,
-       CAST(CAST(ROUND(fprice * 1.0e2) AS DECIMAL(18,0))
-            * CAST(ROUND(fqty * 1.0e2) AS DECIMAL(18,0)) AS DOUBLE) / 1.0e4
+       CAST(CAST((CASE WHEN fprice * 1.0e2 >= 0 THEN CAST(FLOOR(ABS(fprice * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS(fprice * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))
+            * CAST((CASE WHEN fqty * 1.0e2 >= 0 THEN CAST(FLOOR(ABS(fqty * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS(fqty * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0)) AS DOUBLE) / 1.0e4
          AS exact_product
 FROM (SELECT *,
              -- the decimal/int routes are range-guarded NULL on non-finite
@@ -222,8 +222,8 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("l_discount", "l_tax").alias("min_rate"),
         (
             (
-                F.round(finite("l_extendedprice") * F.lit(100.0)).cast("decimal(18,0)")
-                * F.round(finite("l_quantity") * F.lit(100.0)).cast("decimal(18,0)")
+                cents(finite("l_extendedprice"), 2).cast("decimal(18,0)")
+                * cents(finite("l_quantity"), 2).cast("decimal(18,0)")
             ).cast("double")
             / F.lit(10000.0)
         ).alias("exact_product"),

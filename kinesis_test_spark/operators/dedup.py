@@ -39,6 +39,7 @@ from kinesis_test_spark.functions.porthash import (
 )
 from kinesis_test_spark.iterate import truncate_lineage
 from kinesis_test_spark.operators.similarity import _SQL_VEC_VALID, _dot, vec_valid
+from kinesis_test_spark.functions.exact import cents
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import SQL_UNIQUE_DOCS, t, unique_docs
 
@@ -2045,7 +2046,10 @@ r0 AS (SELECT node, d, 1.0 / nn.n AS r FROM deg, nn)"""
 r{next} AS (
   SELECT tgt.node, tgt.d,
          {tele} / nn.n + {damp} *
-         CAST(SUM(CAST(src.r / src.d AS DECIMAL(28,18))) AS DOUBLE) AS r
+         CAST(SUM(CAST((CASE WHEN (src.r / src.d) * 1.0e18 >= 0
+                        THEN CAST(FLOOR(ABS((src.r / src.d) * 1.0e18) + 0.5) AS BIGINT)
+                        ELSE -CAST(FLOOR(ABS((src.r / src.d) * 1.0e18) + 0.5) AS BIGINT) END)
+                       AS DECIMAL(28,0))) AS DOUBLE) / 1.0e18 AS r
   FROM edges e
   JOIN r{cur} src ON src.node = e.u
   JOIN deg tgt ON tgt.node = e.v, nn
@@ -2099,9 +2103,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = edges.join(
             ranks.select(F.col("node").alias("src"), "d", "r"),
             F.col("u") == F.col("src"),
-        ).select("v", (F.col("r") / F.col("d")).cast("decimal(28,18)").alias("term"))
+        ).select("v", cents(F.col("r") / F.col("d"), 18).cast("decimal(28,0)").alias("term"))
         summed = contrib.groupBy(F.col("v").alias("node")).agg(
-            F.sum("term").cast("double").alias("nbr_sum")
+            (F.sum("term").cast("double") / F.lit(1.0e18)).alias("nbr_sum")
         )
         ranks = (
             deg.join(summed, "node")

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_test_spark.functions.exact import finite
+from kinesis_test_spark.functions.exact import cents, finite
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t
 from kinesis_test_spark.sources.tables import events_until
@@ -87,11 +87,19 @@ SELECT user_id,
        CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_clicks,
        CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchases,
        CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_errors,
-       CAST(SUM(CAST(CASE WHEN event_type = 'purchase'
+       CAST(SUM(CAST((CASE WHEN (CASE WHEN event_type = 'purchase'
                           THEN (CASE WHEN abs(value) < 1.0e12
                                 THEN value END)
-                          ELSE 0 END
-                AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value,
+                          ELSE 0 END) * 1.0e6 >= 0
+                THEN CAST(FLOOR(ABS((CASE WHEN event_type = 'purchase'
+                          THEN (CASE WHEN abs(value) < 1.0e12
+                                THEN value END)
+                          ELSE 0 END) * 1.0e6) + 0.5) AS BIGINT)
+                ELSE -CAST(FLOOR(ABS((CASE WHEN event_type = 'purchase'
+                          THEN (CASE WHEN abs(value) < 1.0e12
+                                THEN value END)
+                          ELSE 0 END) * 1.0e6) + 0.5) AS BIGINT) END)
+                AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 AS purchase_value,
        strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen
 FROM events
 WHERE ts <= TIMESTAMP '{FEATURE_CUTOFF}'
@@ -115,13 +123,16 @@ def q_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(is_type("click")).alias("n_clicks"),
         F.count(is_type("purchase")).alias("n_purchases"),
         F.count(is_type("error")).alias("n_errors"),
-        F.sum(
-            F.when(F.col("event_type") == "purchase", finite(F.col("value")))
-            .otherwise(F.lit(0.0))
-            .cast("decimal(18,6)")
-        )
-        .cast("double")
-        .alias("purchase_value"),
+        (
+            F.sum(
+                cents(
+                    F.when(F.col("event_type") == "purchase", finite(F.col("value")))
+                    .otherwise(F.lit(0.0)),
+                    6,
+                ).cast("decimal(18,0)")
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("purchase_value"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_seen"),
     )
 
@@ -223,14 +234,14 @@ CDC_NEW_START, CDC_NEW_END = "2024-01-22", "2024-01-29"
     oracle=f"""
 WITH a AS (
   SELECT user_id, event_type,
-         CAST(SUM(CAST(ROUND((CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 AS val,
+         CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 AS val,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM events
   WHERE ts >= TIMESTAMP '{CDC_OLD_START}' AND ts < TIMESTAMP '{CDC_OLD_END}'
   GROUP BY user_id, event_type),
 b AS (
   SELECT user_id, event_type,
-         CAST(SUM(CAST(ROUND((CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 AS val,
+         CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 AS val,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM events
   WHERE ts >= TIMESTAMP '{CDC_NEW_START}' AND ts < TIMESTAMP '{CDC_NEW_END}'
@@ -266,7 +277,7 @@ def q_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
             .groupBy("user_id", "event_type")
             .agg(
-                (F.sum(F.round(finite("value", 16) * F.lit(100.0)).cast("decimal(18,0)"))
+                (F.sum(cents(finite("value", 16), 2).cast("decimal(18,0)"))
                 .cast("double") / F.lit(100.0))
                 .alias(vk),
                 F.count(F.lit(1)).cast("bigint").alias(nk),

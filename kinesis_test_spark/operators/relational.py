@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_test_spark.functions.exact import davg, dsum, finite, sql_davg, sql_dsum
+from kinesis_test_spark.functions.exact import cents, davg, dsum, finite, sql_davg, sql_dsum
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t, views
 
@@ -750,7 +750,7 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
        CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
        COUNT(*) AS n,
-       CAST(SUM(CAST(ROUND((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 AS sum_value
+       CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 AS sum_value
 FROM events
 GROUP BY GROUPING SETS ((y, m, d, h), (y, m, d), (y, m), (y))
 """,
@@ -767,7 +767,7 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
                CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
                COUNT(*) AS n,
-               CAST(SUM(CAST(ROUND((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 AS sum_value
+               CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 AS sum_value
         FROM events
         GROUP BY GROUPING SETS ((y, m, d, h), (y, m, d), (y, m), (y))
         """
@@ -1016,7 +1016,7 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
        COUNT(*) AS n,
-       CAST(SUM(CAST(ROUND((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 AS sum_value
+       CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 AS sum_value
 FROM events GROUP BY 1, 2
 """,
 )
@@ -1035,11 +1035,11 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("ts").cast("int").alias("d"),
     ).agg(
         F.count("*").alias("pn"),
-        F.sum(finite("value").cast("decimal(18,6)")).alias("psum"),
+        F.sum(cents(finite("value"), 6).cast("decimal(18,0)")).alias("psum"),
     )
     return daily.groupBy("y", "m").agg(
         F.sum("pn").alias("n"),
-        F.sum("psum").cast("double").alias("sum_value"),
+        (F.sum("psum").cast("double") / F.lit(1000000.0)).alias("sum_value"),
     )
 
 
@@ -1125,7 +1125,7 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH stats AS (
   SELECT event_type,
-         CAST(SUM(CAST(ROUND((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 / COUNT(*) AS mu,
+         CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 / COUNT(*) AS mu,
          ROUND(stddev_samp(CASE WHEN abs(value) < 1.0e12
                             THEN value END), 6) AS sigma
   FROM events GROUP BY event_type)
@@ -1145,7 +1145,7 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
         (
-            F.sum(F.round(finite("value") * F.lit(1000000.0)).cast("decimal(18,0)")).cast("double") / F.lit(1000000.0) / F.count("*")
+            F.sum(cents(finite("value"), 6).cast("decimal(18,0)")).cast("double") / F.lit(1000000.0) / F.count("*")
         ).alias("mu"),
         F.round(F.stddev_samp(finite(F.col("value"))), 6).alias("sigma"),
     )
@@ -1208,7 +1208,7 @@ def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH seg AS (
   SELECT c.c_mktsegment,
-         CAST(SUM(CAST(ROUND((CASE WHEN abs(o.o_totalprice) < 1.0e15 THEN o.o_totalprice END) * 1.0e6) AS DECIMAL(25,0))) AS DOUBLE) / 1.0e6 AS seg_rev
+         CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(o.o_totalprice) < 1.0e12 THEN o.o_totalprice END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(o.o_totalprice) < 1.0e12 THEN o.o_totalprice END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(o.o_totalprice) < 1.0e12 THEN o.o_totalprice END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(25,0))) AS DOUBLE) / 1.0e6 AS seg_rev
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
   GROUP BY c.c_mktsegment)
 SELECT c_mktsegment, seg_rev,
@@ -1230,7 +1230,7 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            (F.sum(F.round(finite("o_totalprice", 19) * F.lit(1000000.0)).cast("decimal(25,0)"))
+            (F.sum(cents(finite("o_totalprice", 12), 6).cast("decimal(25,0)"))
             .cast("double") / F.lit(1000000.0))
             .alias("seg_rev")
         )
@@ -1336,7 +1336,7 @@ WITH assigned AS (
 stats AS (
   SELECT variant,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(ROUND((CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 / COUNT(*) AS mean_v,
+         CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 / COUNT(*) AS mean_v,
          ROUND(VAR_SAMP(CASE WHEN abs(value) < 1.0e12
                          THEN value END), 6) AS var_v
   FROM assigned GROUP BY variant),
@@ -1379,7 +1379,7 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = assigned.groupBy("variant").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         (
-            F.sum(F.round(finite("value", 16) * F.lit(100.0)).cast("decimal(18,0)"))
+            F.sum(cents(finite("value", 16), 2).cast("decimal(18,0)"))
             .cast("double")
             / F.lit(100.0)
             / F.count(F.lit(1))
@@ -1423,7 +1423,7 @@ WITH base AS (
   SELECT user_id,
          MAX(ts) AS last_seen,
          CAST(COUNT(*) AS BIGINT) AS freq,
-         CAST(SUM(CAST(ROUND((CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 AS monetary
+         CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 AS monetary
   FROM events WHERE event_type = 'purchase' GROUP BY user_id),
 scored AS (
   SELECT user_id,
@@ -1456,7 +1456,7 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.groupBy("user_id").agg(
         F.max("ts").alias("last_seen"),
         F.count(F.lit(1)).cast("bigint").alias("freq"),
-        (F.sum(F.round(finite("value", 16) * F.lit(100.0)).cast("decimal(18,0)")).cast("double") / F.lit(100.0)).alias("monetary"),
+        (F.sum(cents(finite("value", 16), 2).cast("decimal(18,0)")).cast("double") / F.lit(100.0)).alias("monetary"),
     )
     scored = base.select(
         "user_id",
@@ -1618,7 +1618,7 @@ revenue AS (
          CAST(floor(((epoch_us(time_bucket(INTERVAL '1 millisecond', time_bucket(INTERVAL '1 week', e.ts))) // 1000)
                      - (epoch_us(time_bucket(INTERVAL '1 millisecond', f.cohort)) // 1000)) / 604800000.0) AS BIGINT)
            AS week_offset,
-         CAST(ROUND((CASE WHEN abs(e.value) < 1.0e15 THEN e.value END) * 1.0e2) AS DECIMAL(18,0)) AS v
+         CAST((CASE WHEN (CASE WHEN abs(e.value) < 1.0e15 THEN e.value END) * 1.0e2 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(e.value) < 1.0e15 THEN e.value END) * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(e.value) < 1.0e15 THEN e.value END) * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0)) AS v
   FROM events e JOIN first_seen f ON f.user_id = e.user_id
   WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL),
 weekly AS (
@@ -1626,7 +1626,7 @@ weekly AS (
          CAST(SUM(v) AS DOUBLE) / 1.0e2 AS revenue
   FROM revenue GROUP BY 1, 2)
 SELECT cohort_week, week_offset, revenue,
-       CAST(SUM(CAST(ROUND(revenue * 1.0e2) AS DECIMAL(18,0))) OVER (
+       CAST(SUM(CAST((CASE WHEN revenue * 1.0e2 >= 0 THEN CAST(FLOOR(ABS(revenue * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS(revenue * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) OVER (
          PARTITION BY cohort_week ORDER BY week_offset NULLS FIRST
          ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1.0e2 AS cumulative_ltv
 FROM weekly ORDER BY cohort_week, week_offset
@@ -1668,7 +1668,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("week_offset"),
         )
         .agg(
-            (F.sum(F.round(finite("value", 16) * F.lit(100.0)).cast("decimal(18,0)")).cast("double") / F.lit(100.0)).alias("revenue")
+            (F.sum(cents(finite("value", 16), 2).cast("decimal(18,0)")).cast("double") / F.lit(100.0)).alias("revenue")
         )
     )
     w = (
@@ -1678,7 +1678,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return weekly.withColumn(
         "cumulative_ltv",
-        F.sum(F.round(F.col("revenue") * F.lit(100.0)).cast("decimal(18,0)"))
+        F.sum(cents(F.col("revenue"), 2).cast("decimal(18,0)"))
         .over(w)
         .cast("double")
         / F.lit(100.0),
@@ -1775,12 +1775,12 @@ rs AS (
                ((strpos('0123456789abcdef', substr(md5('bs|' || CAST(b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('bs|' || CAST(b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 2, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('bs|' || CAST(b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('bs|' || CAST(b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)), 4, 1)) - 1)) AS h
         FROM p, (SELECT unnest(generate_series(0, 19)) AS b))),
 means AS (
-  SELECT b, CAST(SUM(CAST(ROUND((CASE WHEN abs(value * w) < 1.0e15 THEN value * w END) * 1.0e2) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2
+  SELECT b, CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value * w) < 1.0e15 THEN value * w END) * 1.0e2 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value * w) < 1.0e15 THEN value * w END) * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value * w) < 1.0e15 THEN value * w END) * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2
             / NULLIF(SUM(w), 0) AS m
   FROM rs GROUP BY b),
 base AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(ROUND((CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 / COUNT(*) AS mv
+         CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 / COUNT(*) AS mv
   FROM p),
 se AS (SELECT ROUND(stddev_samp(m), 6) AS se_boot FROM means)
 SELECT base.n, ROUND(base.mv, 6) AS mean_value, se.se_boot,
@@ -1825,8 +1825,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.try_divide(
                 F.sum(
-                    F.round(finite(F.col("value") * F.col("w"), 16) * F.lit(100.0))
-                    .cast("decimal(18,0)")
+                    cents(finite(F.col("value") * F.col("w"), 16), 2).cast("decimal(18,0)")
                 ).cast("double")
                 / F.lit(100.0),
                 F.sum("w"),
@@ -1836,7 +1835,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = p.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         (
-            F.sum(F.round(finite("value", 16) * F.lit(100.0)).cast("decimal(18,0)"))
+            F.sum(cents(finite("value", 16), 2).cast("decimal(18,0)"))
             .cast("double")
             / F.lit(100.0)
             / F.count(F.lit(1))

@@ -14,7 +14,7 @@ from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import views
 
 # scalar subquery threshold computed exactly (decimal) so both engines agree
-_AVG = "CAST(SUM(CAST(ROUND((CASE WHEN abs(o_totalprice) < 1.0e15 THEN o_totalprice END) * 1.0e2) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 / COUNT(*)"
+_AVG = "CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(o_totalprice) < 1.0e15 THEN o_totalprice END) * 1.0e2 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(o_totalprice) < 1.0e15 THEN o_totalprice END) * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(o_totalprice) < 1.0e15 THEN o_totalprice END) * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 / COUNT(*)"
 
 _SCALAR_SQL = f"""
 SELECT o_orderkey, o_custkey, o_totalprice
@@ -62,14 +62,14 @@ def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CTE_SQL = """
 WITH cust_orders AS (
   SELECT o_custkey, COUNT(*) AS n_orders,
-         CAST(SUM(CAST(ROUND((CASE WHEN abs(o_totalprice) < 1.0e15 THEN o_totalprice END) * 1.0e2) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 AS total_spent
+         CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(o_totalprice) < 1.0e15 THEN o_totalprice END) * 1.0e2 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(o_totalprice) < 1.0e15 THEN o_totalprice END) * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(o_totalprice) < 1.0e15 THEN o_totalprice END) * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 AS total_spent
   FROM orders GROUP BY o_custkey
 ), segments AS (
   SELECT c_custkey, c_mktsegment FROM customer
 )
 SELECT s.c_mktsegment,
        COUNT(*) AS n_customers,
-       CAST(SUM(CAST(ROUND(co.total_spent * 1.0e2) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 AS segment_revenue,
+       CAST(SUM(CAST((CASE WHEN co.total_spent * 1.0e2 >= 0 THEN CAST(FLOOR(ABS(co.total_spent * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS(co.total_spent * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 AS segment_revenue,
        CAST(SUM(co.n_orders) AS BIGINT) AS segment_orders
 FROM segments s JOIN cust_orders co ON co.o_custkey = s.c_custkey
 GROUP BY s.c_mktsegment

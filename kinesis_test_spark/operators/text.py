@@ -24,6 +24,7 @@ from kinesis_test_spark.functions.porthash import (
     sql_ascii_lower,
     sql_hex16,
 )
+from kinesis_test_spark.functions.exact import cents
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t, unique_docs
 
@@ -810,7 +811,7 @@ WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM document
 freq AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
 tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM freq)
 SELECT doc_id,
-       CAST(SUM(CAST(ln(freq.c / tot.t) AS DECIMAL(18,8))) AS DOUBLE) AS logprob,
+       CAST(SUM(CAST((CASE WHEN ln(freq.c / tot.t) * 1.0e8 >= 0 THEN CAST(FLOOR(ABS(ln(freq.c / tot.t) * 1.0e8) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS(ln(freq.c / tot.t) * 1.0e8) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e8 AS logprob,
        COUNT(*) AS n_tokens
 FROM words JOIN freq USING (w) CROSS JOIN tot
 GROUP BY doc_id
@@ -837,7 +838,10 @@ def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.log(F.col("c") / F.col("t")).alias("lp"))
         .groupBy("doc_id")
         .agg(
-            F.sum(F.col("lp").cast("decimal(18,8)")).cast("double").alias("logprob"),
+            (
+                F.sum(cents(F.col("lp"), 8).cast("decimal(18,0)")).cast("double")
+                / F.lit(1.0e8)
+            ).alias("logprob"),
             F.count("*").alias("n_tokens"),
         )
     )
@@ -1524,9 +1528,13 @@ WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
 cnt AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word),
 tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id)
 SELECT c.doc_id, t.n AS n_tokens,
-       ROUND(CAST(SUM(CAST(-(CAST(c.c AS DOUBLE) / t.n)
-                           * log2(CAST(c.c AS DOUBLE) / t.n)
-                           AS DECIMAL(18,12))) AS DOUBLE), 6) AS entropy
+       ROUND(CAST(SUM(CAST((CASE WHEN (-(CAST(c.c AS DOUBLE) / t.n)
+                                       * log2(CAST(c.c AS DOUBLE) / t.n)) * 1.0e12 >= 0
+                            THEN CAST(FLOOR(ABS((-(CAST(c.c AS DOUBLE) / t.n)
+                                                 * log2(CAST(c.c AS DOUBLE) / t.n)) * 1.0e12) + 0.5) AS BIGINT)
+                            ELSE -CAST(FLOOR(ABS((-(CAST(c.c AS DOUBLE) / t.n)
+                                                  * log2(CAST(c.c AS DOUBLE) / t.n)) * 1.0e12) + 0.5) AS BIGINT) END)
+                           AS DECIMAL(18,0))) AS DOUBLE) / 1.0e12, 6) AS entropy
 FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
 GROUP BY c.doc_id, t.n
 ORDER BY c.doc_id
@@ -1551,9 +1559,13 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.col("c").cast("double") / F.col("n")
     return (
         cnt.withColumn("n", F.sum("c").over(win).cast("bigint"))
-        .withColumn("term", (-p * F.log2(p)).cast("decimal(18,12)"))
+        .withColumn("term", cents(-p * F.log2(p), 12).cast("decimal(18,0)"))
         .groupBy("doc_id", F.col("n").alias("n_tokens"))
-        .agg(F.round(F.sum("term").cast("double"), 6).alias("entropy"))
+        .agg(
+            F.round(
+                F.sum("term").cast("double") / F.lit(1.0e12), 6
+            ).alias("entropy")
+        )
         .orderBy("doc_id")
     )
 
@@ -1836,8 +1848,10 @@ c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c FROM c12 GROUP BY w1),
 vocab AS (SELECT CAST(COUNT(DISTINCT w1) AS BIGINT) AS v FROM c1)
 SELECT bg.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       ROUND(CAST(SUM(CAST(-ln((c12.c + 1.0) / (c1.c + vocab.v))
-                           AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6)
+       ROUND(CAST(SUM(CAST((CASE WHEN -ln((c12.c + 1.0) / (c1.c + vocab.v)) * 1.0e8 >= 0
+                            THEN CAST(FLOOR(ABS(-ln((c12.c + 1.0) / (c1.c + vocab.v)) * 1.0e8) + 0.5) AS BIGINT)
+                            ELSE -CAST(FLOOR(ABS(-ln((c12.c + 1.0) / (c1.c + vocab.v)) * 1.0e8) + 0.5) AS BIGINT) END)
+                           AS DECIMAL(18,0))) AS DOUBLE) / 1.0e8 / COUNT(*), 6)
          AS avg_nll
 FROM bg
 JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
@@ -1880,9 +1894,9 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
     vocab = c1.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
-    term = (
-        -F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
-    ).cast("decimal(18,8)")
+    term = cents(
+        -F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))), 8
+    ).cast("decimal(18,0)")
     return (
         bg.join(c12, ["w1", "w2"])
         .join(c1, "w1")
@@ -1890,9 +1904,9 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.round(F.sum(term).cast("double") / F.count(F.lit(1)), 6).alias(
-                "avg_nll"
-            ),
+            F.round(
+                F.sum(term).cast("double") / F.lit(1.0e8) / F.count(F.lit(1)), 6
+            ).alias("avg_nll"),
         )
         .orderBy("doc_id")
     )

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_test_spark.functions.exact import davg, dsum, finite, sql_davg, sql_dsum
+from kinesis_test_spark.functions.exact import cents, davg, dsum, finite, sql_davg, sql_dsum
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t
 
@@ -128,7 +128,7 @@ Q18_QTY_THRESHOLD = 300
 WITH big AS (
   SELECT l_orderkey
   FROM lineitem GROUP BY l_orderkey
-  HAVING CAST(SUM(CAST(ROUND((CASE WHEN abs(l_quantity) < 1.0e15 THEN l_quantity END) * 1.0e2) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 > {Q18_QTY_THRESHOLD})
+  HAVING CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(l_quantity) < 1.0e15 THEN l_quantity END) * 1.0e2 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(l_quantity) < 1.0e15 THEN l_quantity END) * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(l_quantity) < 1.0e15 THEN l_quantity END) * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 > {Q18_QTY_THRESHOLD})
 SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
        {sql_dsum("l.l_quantity", "sum_qty")}
 FROM customer c
@@ -332,10 +332,14 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q14",
     oracle="""
 SELECT ROUND(
-  (100.0 * (CAST(SUM(CAST(ROUND((CASE WHEN p.p_type = 'PROMO'
-                 THEN (CASE WHEN abs(l.l_extendedprice * (1 - l.l_discount)) < 1.0e15 THEN l.l_extendedprice * (1 - l.l_discount) END)
-                 ELSE 0 END) * 1.0e6) AS DECIMAL(25,0))) AS DOUBLE) / 1.0e6))
-        / (CAST(SUM(CAST(ROUND((CASE WHEN abs(l.l_extendedprice * (1 - l.l_discount)) < 1.0e15 THEN l.l_extendedprice * (1 - l.l_discount) END) * 1.0e6) AS DECIMAL(25,0))) AS DOUBLE) / 1.0e6), 6) AS promo_revenue_pct
+  (100.0 * (CAST(SUM(CAST((CASE WHEN (CASE WHEN p.p_type = 'PROMO'
+                 THEN (CASE WHEN abs(l.l_extendedprice * (1 - l.l_discount)) < 1.0e12 THEN l.l_extendedprice * (1 - l.l_discount) END)
+                 ELSE 0 END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN p.p_type = 'PROMO'
+                 THEN (CASE WHEN abs(l.l_extendedprice * (1 - l.l_discount)) < 1.0e12 THEN l.l_extendedprice * (1 - l.l_discount) END)
+                 ELSE 0 END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN p.p_type = 'PROMO'
+                 THEN (CASE WHEN abs(l.l_extendedprice * (1 - l.l_discount)) < 1.0e12 THEN l.l_extendedprice * (1 - l.l_discount) END)
+                 ELSE 0 END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(25,0))) AS DOUBLE) / 1.0e6))
+        / (CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(l.l_extendedprice * (1 - l.l_discount)) < 1.0e12 THEN l.l_extendedprice * (1 - l.l_discount) END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(l.l_extendedprice * (1 - l.l_discount)) < 1.0e12 THEN l.l_extendedprice * (1 - l.l_discount) END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(l.l_extendedprice * (1 - l.l_discount)) < 1.0e12 THEN l.l_extendedprice * (1 - l.l_discount) END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(25,0))) AS DOUBLE) / 1.0e6), 6) AS promo_revenue_pct
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
@@ -449,9 +453,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q8",
     oracle="""
 SELECT o_year,
-       ROUND((CAST(SUM(CAST(ROUND((CASE WHEN nation = 'NATION_3' THEN (CASE WHEN abs(volume) < 1.0e15 THEN volume END) ELSE 0 END) * 1.0e6)
-                 AS DECIMAL(25,0))) AS DOUBLE) / 1.0e6)
-           / (CAST(SUM(CAST(ROUND((CASE WHEN abs(volume) < 1.0e15 THEN volume END) * 1.0e6) AS DECIMAL(25,0))) AS DOUBLE) / 1.0e6), 6) AS mkt_share
+       ROUND((CAST(SUM(CAST((CASE WHEN (CASE WHEN nation = 'NATION_3' THEN (CASE WHEN abs(volume) < 1.0e12 THEN volume END) ELSE 0 END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN nation = 'NATION_3' THEN (CASE WHEN abs(volume) < 1.0e12 THEN volume END) ELSE 0 END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN nation = 'NATION_3' THEN (CASE WHEN abs(volume) < 1.0e12 THEN volume END) ELSE 0 END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(25,0))) AS DOUBLE) / 1.0e6)
+           / (CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(volume) < 1.0e12 THEN volume END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(volume) < 1.0e12 THEN volume END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(volume) < 1.0e12 THEN volume END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(25,0))) AS DOUBLE) / 1.0e6), 6) AS mkt_share
 FROM (
   SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
          l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -586,11 +589,11 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q22",
     oracle="""
 SELECT n_grp, CAST(COUNT(*) AS BIGINT) AS numcust,
-       CAST(SUM(CAST(ROUND((CASE WHEN abs(c_acctbal) < 1.0e15 THEN c_acctbal END) * 1.0e2) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 AS totacctbal
+       CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(c_acctbal) < 1.0e15 THEN c_acctbal END) * 1.0e2 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(c_acctbal) < 1.0e15 THEN c_acctbal END) * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(c_acctbal) < 1.0e15 THEN c_acctbal END) * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 AS totacctbal
 FROM (
   SELECT CAST(c.c_nationkey % 5 AS BIGINT) AS n_grp, c.c_acctbal
   FROM customer c
-  WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(ROUND((CASE WHEN abs(c_acctbal) < 1.0e15 THEN c_acctbal END) * 1.0e2) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2
+  WHERE c.c_acctbal > (SELECT CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(c_acctbal) < 1.0e15 THEN c_acctbal END) * 1.0e2 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(c_acctbal) < 1.0e15 THEN c_acctbal END) * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(c_acctbal) < 1.0e15 THEN c_acctbal END) * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2
                               / COUNT(c_acctbal)
                        FROM customer WHERE c_acctbal > 0.0)
     AND NOT EXISTS (SELECT 1 FROM orders o
@@ -626,7 +629,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_grp")
         .agg(
             F.count("*").alias("numcust"),
-            (F.sum(F.round(finite("c_acctbal", 16) * F.lit(100.0)).cast("decimal(18,0)")).cast("double") / F.lit(100.0)).alias("totacctbal"),
+            (F.sum(cents(finite("c_acctbal", 16), 2).cast("decimal(18,0)")).cast("double") / F.lit(100.0)).alias("totacctbal"),
         )
         .orderBy("n_grp")
     )
@@ -752,14 +755,16 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q17",
     oracle="""
-SELECT ROUND(CAST(SUM(CAST(ROUND((CASE WHEN abs(l.l_extendedprice) < 1.0e15 THEN l.l_extendedprice END) * 1.0e6) AS DECIMAL(25,0))) AS DOUBLE) / 1.0e6
+SELECT ROUND(CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(l.l_extendedprice) < 1.0e12 THEN l.l_extendedprice END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(l.l_extendedprice) < 1.0e12 THEN l.l_extendedprice END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(l.l_extendedprice) < 1.0e12 THEN l.l_extendedprice END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(25,0))) AS DOUBLE) / 1.0e6
              / 7.0, 6) AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#3'
   AND l.l_quantity < 0.2 * (
-    SELECT CAST(SUM(CAST(ROUND((CASE WHEN abs(l2.l_quantity) < 1.0e15
-                          THEN l2.l_quantity END) * 1.0e2) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2
+    SELECT CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(l2.l_quantity) < 1.0e15
+                          THEN l2.l_quantity END) * 1.0e2 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(l2.l_quantity) < 1.0e15
+                          THEN l2.l_quantity END) * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(l2.l_quantity) < 1.0e15
+                          THEN l2.l_quantity END) * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2
            / COUNT(l2.l_quantity)
     FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
 """,
@@ -787,12 +792,12 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_partkey")
     joined = li.join(p, li.l_partkey == p.p_partkey).withColumn(
         "avg_qty",
-        F.sum(F.round(finite("l_quantity", 16) * F.lit(100.0)).cast("decimal(18,0)")).over(w).cast("double") / F.lit(100.0)
+        F.sum(cents(finite("l_quantity", 16), 2).cast("decimal(18,0)")).over(w).cast("double") / F.lit(100.0)
         / F.count("l_quantity").over(w),
     )
     return joined.filter(F.col("l_quantity") < 0.2 * F.col("avg_qty")).agg(
         F.round(
-            F.sum(F.round(finite("l_extendedprice", 19) * F.lit(1000000.0)).cast("decimal(25,0)")).cast("double") / F.lit(1000000.0) / 7.0,
+            F.sum(cents(finite("l_extendedprice", 12), 6).cast("decimal(25,0)")).cast("double") / F.lit(1000000.0) / 7.0,
             6,
         ).alias("avg_yearly")
     )
@@ -801,7 +806,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q19",
     oracle="""
-SELECT CAST(SUM(CAST(ROUND((CASE WHEN abs(l.l_extendedprice * (1 - l.l_discount)) < 1.0e15 THEN l.l_extendedprice * (1 - l.l_discount) END) * 1.0e6) AS DECIMAL(25,0))) AS DOUBLE) / 1.0e6 AS revenue
+SELECT CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(l.l_extendedprice * (1 - l.l_discount)) < 1.0e12 THEN l.l_extendedprice * (1 - l.l_discount) END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(l.l_extendedprice * (1 - l.l_discount)) < 1.0e12 THEN l.l_extendedprice * (1 - l.l_discount) END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(l.l_extendedprice * (1 - l.l_discount)) < 1.0e12 THEN l.l_extendedprice * (1 - l.l_discount) END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(25,0))) AS DOUBLE) / 1.0e6 AS revenue
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
@@ -952,7 +957,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PS_CTE = """
 ps AS (
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         CAST(SUM(CAST(ROUND((CASE WHEN abs(l_quantity) < 1.0e15 THEN l_quantity END) * 1.0e2) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 AS ps_availqty,
+         CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(l_quantity) < 1.0e15 THEN l_quantity END) * 1.0e2 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(l_quantity) < 1.0e15 THEN l_quantity END) * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(l_quantity) < 1.0e15 THEN l_quantity END) * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 AS ps_availqty,
          MIN(l_extendedprice) AS ps_supplycost
   FROM lineitem
   GROUP BY l_partkey, l_suppkey
@@ -971,7 +976,7 @@ def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
     ).agg(
-        (F.sum(F.round(finite("l_quantity", 16) * F.lit(100.0)).cast("decimal(18,0)"))
+        (F.sum(cents(finite("l_quantity", 16), 2).cast("decimal(18,0)"))
         .cast("double") / F.lit(100.0))
         .alias("ps_availqty"),
         F.min("l_extendedprice").alias("ps_supplycost"),
@@ -1047,7 +1052,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_PS_CTE},
 agg AS (
   SELECT ps.ps_partkey,
-         CAST(SUM(CAST(ROUND((CASE WHEN abs(ps.ps_supplycost * ps.ps_availqty) < 1.0e15 THEN ps.ps_supplycost * ps.ps_availqty END) * 1.0e6) AS DECIMAL(25,0)))
+         CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(ps.ps_supplycost * ps.ps_availqty) < 1.0e12 THEN ps.ps_supplycost * ps.ps_availqty END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(ps.ps_supplycost * ps.ps_availqty) < 1.0e12 THEN ps.ps_supplycost * ps.ps_availqty END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(ps.ps_supplycost * ps.ps_availqty) < 1.0e12 THEN ps.ps_supplycost * ps.ps_availqty END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(25,0)))
               AS DOUBLE) / 1.0e6 AS part_value
   FROM ps
   JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
@@ -1057,7 +1062,7 @@ agg AS (
 ),
 win AS (
   SELECT ps_partkey, part_value,
-         CAST(SUM(CAST(ROUND(part_value * 1.0e6) AS DECIMAL(25,0))) OVER () AS DOUBLE) / 1.0e6 AS total,
+         CAST(SUM(CAST((CASE WHEN part_value * 1.0e6 >= 0 THEN CAST(FLOOR(ABS(part_value * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS(part_value * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(25,0))) OVER () AS DOUBLE) / 1.0e6 AS total,
          COUNT(*) OVER () AS n_parts
   FROM agg
 )
@@ -1091,10 +1096,8 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.sum(
-                    F.round(
-                        finite(F.col("ps_supplycost") * F.col("ps_availqty"), 19)
-                        * F.lit(1000000.0)
-                    ).cast("decimal(25,0)")
+                    cents(
+                        finite(F.col("ps_supplycost") * F.col("ps_availqty"), 12), 6).cast("decimal(25,0)")
                 ).cast("double")
                 / F.lit(1000000.0)
             ).alias("part_value")
@@ -1103,7 +1106,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy()
     win = agg.withColumn(
         "total",
-        F.sum(F.round(F.col("part_value") * F.lit(1000000.0)).cast("decimal(25,0)"))
+        F.sum(cents(F.col("part_value"), 6).cast("decimal(25,0)"))
         .over(w)
         .cast("double")
         / F.lit(1000000.0),
@@ -1168,11 +1171,14 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH ps AS (
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         CAST(SUM(CAST(ROUND((CASE WHEN abs(l_quantity) < 1.0e15 THEN l_quantity END) * 1.0e2) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 AS ps_availqty,
-         CAST(SUM(CAST(ROUND((CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+         CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(l_quantity) < 1.0e15 THEN l_quantity END) * 1.0e2 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(l_quantity) < 1.0e15 THEN l_quantity END) * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(l_quantity) < 1.0e15 THEN l_quantity END) * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 AS ps_availqty,
+         CAST(SUM(CAST((CASE WHEN (CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
                              AND l_shipdate <  TIMESTAMP '1997-01-01'
-                            THEN (CASE WHEN abs(l_quantity) < 1.0e15 THEN l_quantity END) ELSE 0.0 END) * 1.0e2)
-                       AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 AS qty_1996
+                            THEN (CASE WHEN abs(l_quantity) < 1.0e15 THEN l_quantity END) ELSE 0.0 END) * 1.0e2 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                             AND l_shipdate <  TIMESTAMP '1997-01-01'
+                            THEN (CASE WHEN abs(l_quantity) < 1.0e15 THEN l_quantity END) ELSE 0.0 END) * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                             AND l_shipdate <  TIMESTAMP '1997-01-01'
+                            THEN (CASE WHEN abs(l_quantity) < 1.0e15 THEN l_quantity END) ELSE 0.0 END) * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e2 AS qty_1996
   FROM lineitem
   GROUP BY l_partkey, l_suppkey
 )
@@ -1206,15 +1212,13 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
     ).agg(
-        (F.sum(F.round(finite("l_quantity", 16) * F.lit(100.0)).cast("decimal(18,0)"))
+        (F.sum(cents(finite("l_quantity", 16), 2).cast("decimal(18,0)"))
         .cast("double") / F.lit(100.0))
         .alias("ps_availqty"),
         (
             F.sum(
-                F.round(
-                    F.when(in_96, finite("l_quantity", 16)).otherwise(F.lit(0.0))
-                    * F.lit(100.0)
-                ).cast("decimal(18,0)")
+                cents(
+                    F.when(in_96, finite("l_quantity", 16)).otherwise(F.lit(0.0)), 2).cast("decimal(18,0)")
             ).cast("double")
             / F.lit(100.0)
         ).alias("qty_1996"),

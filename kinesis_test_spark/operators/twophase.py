@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis_test_spark.functions.exact import finite
+from kinesis_test_spark.functions.exact import cents, finite
 from kinesis_test_spark.operators.sessionize import GAP_MS, SESSIONIZE_ORACLE
 from kinesis_test_spark.operators.windows import TRANSITIONS_ORACLE
 from kinesis_test_spark.registry import query
@@ -191,8 +191,8 @@ def q_event_transitions_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # named). Placement-independent NULLS FIRST encoding per q_window_lag.
 _CUMSUM_ORACLE = """
 SELECT event_id, user_id, ts,
-       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) OVER w
-            AS DOUBLE) AS running_value
+       CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) OVER w
+            AS DOUBLE) / 1.0e6 AS running_value
 FROM events
 WINDOW w AS (PARTITION BY user_id
              ORDER BY (ts IS NOT NULL) ASC, COALESCE(ts, TIMESTAMP '1970-01-01') ASC,
@@ -222,12 +222,12 @@ def q_window_cumsum_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "chunk",
-        F.sum(finite("value").cast("decimal(18,6)"))
+        F.sum(cents(finite("value"), 6).cast("decimal(18,0)"))
         .over(w1.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("local_sum"),
     )
     totals = ev.groupBy("user_id", "chunk").agg(
-        F.sum(finite("value").cast("decimal(18,6)")).alias("chunk_total")
+        F.sum(cents(finite("value"), 6).cast("decimal(18,0)")).alias("chunk_total")
     )
     w2 = Window.partitionBy("user_id").orderBy("chunk")
     # EXCLUSIVE prefix, left nullable: SUM skips NULL chunk totals (a chunk
@@ -242,7 +242,7 @@ def q_window_cumsum_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w2.rowsBetween(Window.unboundedPreceding, -1))
         .alias("offset"),
     )
-    zero = F.lit(0).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,0)")
     # NULL-SAFE join keys: PARTITION BY user_id puts every NULL user in ONE
     # window partition, so the offset join must match them too — a plain
     # equi-join drops NULL-user rows entirely (caught by the nulls corpus).
@@ -259,10 +259,11 @@ def q_window_cumsum_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.when(
-            F.col("local_sum").isNotNull() | F.col("offset").isNotNull(),
-            F.coalesce(F.col("local_sum"), zero) + F.coalesce(F.col("offset"), zero),
-        )
-        .cast("double")
-        .alias("running_value"),
+        (
+            F.when(
+                F.col("local_sum").isNotNull() | F.col("offset").isNotNull(),
+                F.coalesce(F.col("local_sum"), zero) + F.coalesce(F.col("offset"), zero),
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("running_value"),
     )

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis_test_spark.functions.exact import finite
+from kinesis_test_spark.functions.exact import cents, finite
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t
 
@@ -87,8 +87,8 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, user_id, ts,
        -- placement-independent NULLS FIRST encoding (see q_window_lag)
-       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) OVER w
-            AS DOUBLE) AS running_value,
+       CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) OVER w
+            AS DOUBLE) / 1.0e6 AS running_value,
        COUNT(*) OVER
             (PARTITION BY user_id
              ORDER BY (ts IS NOT NULL) ASC, COALESCE(ts, TIMESTAMP '1970-01-01') ASC,
@@ -111,10 +111,12 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.sum(finite("value").cast("decimal(18,6)"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("double")
-        .alias("running_value"),
+        (
+            F.sum(cents(finite("value"), 6).cast("decimal(18,0)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double")
+            / F.lit(1000000.0)
+        ).alias("running_value"),
         F.count("*").over(w.rowsBetween(-2, Window.currentRow)).alias("n_last3"),
     )
 
@@ -182,9 +184,9 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_range_frame",
     oracle="""
 SELECT event_id, user_id, ts,
-       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) OVER
+       CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) OVER
             (PARTITION BY user_id ORDER BY (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000)
-             RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1.0e6
          AS trailing_5m_value,
        COUNT(*) OVER
             (PARTITION BY user_id ORDER BY (epoch_us(time_bucket(INTERVAL '1 millisecond', ts)) // 1000)
@@ -207,10 +209,12 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.sum(finite("value").cast("decimal(18,6)"))
-        .over(w)
-        .cast("double")
-        .alias("trailing_5m_value"),
+        (
+            F.sum(cents(finite("value"), 6).cast("decimal(18,0)"))
+            .over(w)
+            .cast("double")
+            / F.lit(1000000.0)
+        ).alias("trailing_5m_value"),
         F.count("*").over(w).alias("trailing_5m_events"),
     )
 
@@ -507,7 +511,7 @@ held AS (
   SELECT user_id, value, t1 - t0 AS dur_ms FROM seg WHERE t1 IS NOT NULL)
 SELECT user_id,
        CAST(SUM(dur_ms) AS BIGINT) AS span_ms,
-       ROUND(CAST(SUM(CAST(ROUND((CASE WHEN abs(value * dur_ms) < 1.0e15 THEN value * dur_ms END) * 1.0e6) AS DECIMAL(28,0))) AS DOUBLE) / 1.0e6
+       ROUND(CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value * dur_ms) < 1.0e12 THEN value * dur_ms END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value * dur_ms) < 1.0e12 THEN value * dur_ms END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value * dur_ms) < 1.0e12 THEN value * dur_ms END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(28,0))) AS DOUBLE) / 1.0e6
              / NULLIF(SUM(dur_ms), 0), 6) AS twa_value,
        CAST(COUNT(*) AS BIGINT) AS n_segments
 FROM held GROUP BY user_id ORDER BY user_id
@@ -540,7 +544,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dur_ms").cast("bigint").alias("span_ms"),
             F.round(
                 F.try_divide(
-                    F.sum(F.round(finite(F.col("value") * F.col("dur_ms"), 22) * F.lit(1000000.0)).cast("decimal(28,0)")).cast("double") / F.lit(1000000.0),
+                    F.sum(cents(finite(F.col("value") * F.col("dur_ms"), 12), 6).cast("decimal(28,0)")).cast("double") / F.lit(1000000.0),
                     F.sum("dur_ms"),
                 ),
                 6,

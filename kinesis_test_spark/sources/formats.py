@@ -13,13 +13,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kinesis_test_spark.functions.exact import finite
+from kinesis_test_spark.functions.exact import cents, finite
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t
 
 _ORACLE = """
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 AS sum_value,
        CAST(SUM(user_id) AS BIGINT) AS sum_users
 FROM events GROUP BY event_type
 """
@@ -41,7 +41,10 @@ def _land_single(df: DataFrame, dest) -> None:
 def _agg(df: DataFrame) -> DataFrame:
     return df.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(finite("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        (
+            F.sum(cents(finite("value"), 6).cast("decimal(18,0)")).cast("double")
+            / F.lit(1000000.0)
+        ).alias("sum_value"),
         F.sum("user_id").alias("sum_users"),
     )
 
@@ -424,7 +427,7 @@ def _stage_logged_table(spark: SparkSession, sf_dir: str):
     "q_table_snapshot",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 AS sum_value,
        CAST(SUM(user_id) AS BIGINT) AS sum_users
 FROM events WHERE user_id % 7 <> 0 OR user_id IS NULL GROUP BY event_type
 """,
@@ -447,7 +450,7 @@ def q_table_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_table_time_travel",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 AS sum_value,
        CAST(SUM(user_id) AS BIGINT) AS sum_users
 FROM events GROUP BY event_type
 """,
@@ -575,7 +578,7 @@ GDPR_TARGET_USER = 7
     "q_table_gdpr",
     oracle=f"""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 AS sum_value,
        CAST(SUM(user_id) AS BIGINT) AS sum_users
 FROM events WHERE user_id <> {GDPR_TARGET_USER} OR user_id IS NULL
 GROUP BY event_type
@@ -693,7 +696,7 @@ COMPACT_EXEC_TARGET = 3  # target: ~3 source files per compacted output
     "q_table_compact",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 AS sum_value,
        CAST(SUM(user_id) AS BIGINT) AS sum_users
 FROM events GROUP BY event_type
 """,
@@ -757,7 +760,7 @@ def q_table_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_table_evolve",
     oracle="""
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST((CASE WHEN abs(value) < 1.0e12 THEN value END) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 AS sum_value
 FROM (SELECT CASE WHEN ((user_id % 2) + 2) % 2 = 1 THEN 'backfill_v1' END AS source,
              value
       FROM events)
@@ -811,5 +814,8 @@ def q_table_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     evolved = spark.read.schema(schema_ddl(d)).parquet(*live_files(d))
     return evolved.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(finite("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        (
+            F.sum(cents(finite("value"), 6).cast("decimal(18,0)")).cast("double")
+            / F.lit(1000000.0)
+        ).alias("sum_value"),
     )

@@ -22,7 +22,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_test_spark.functions.exact import finite
+from kinesis_test_spark.functions.exact import cents, finite
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources.tables import normalize_ts
 from kinesis_test_spark.streaming.pipeline import (
@@ -349,7 +349,7 @@ def s_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_json_ingest",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(ROUND((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 AS sum_value
+       CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 AS sum_value
 FROM events GROUP BY event_type
 """,
 )
@@ -389,7 +389,7 @@ def s_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = _mem_name("json_ingest")
     agg = stream.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        (F.sum(F.round(finite("value") * F.lit(1000000.0)).cast("decimal(18,0)")).cast("double") / F.lit(1000000.0)).alias("sum_value"),
+        (F.sum(cents(finite("value"), 6).cast("decimal(18,0)")).cast("double") / F.lit(1000000.0)).alias("sum_value"),
     )
     run_to_memory(agg, name, d / "cp", output_mode="complete")
     return spark.table(name)
@@ -471,7 +471,7 @@ def s_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_static_join",
     oracle="""
 SELECT n.n_name, COUNT(*) AS n_events,
-       CAST(SUM(CAST(ROUND((CASE WHEN abs(e.value) < 1.0e12 THEN e.value END) * 1.0e6) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 AS sum_value
+       CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(e.value) < 1.0e12 THEN e.value END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(e.value) < 1.0e12 THEN e.value END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(e.value) < 1.0e12 THEN e.value END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 AS sum_value
 FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
 GROUP BY n.n_name
 """,
@@ -488,7 +488,7 @@ def s_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream.join(nation, stream.user_id % 25 == nation.n_nationkey)
     agg = joined.groupBy("n_name").agg(
         F.count("*").alias("n_events"),
-        (F.sum(F.round(finite("value") * F.lit(1000000.0)).cast("decimal(18,0)")).cast("double") / F.lit(1000000.0)).alias("sum_value"),
+        (F.sum(cents(finite("value"), 6).cast("decimal(18,0)")).cast("double") / F.lit(1000000.0)).alias("sum_value"),
     )
     run_to_memory(agg, name, d / "cp", output_mode="complete")
     return spark.table(name)
@@ -1128,7 +1128,7 @@ def s_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(COUNT(DISTINCT CASE WHEN user_id IS NULL THEN 0
                  ELSE ((user_id % 4) + 4) % 4 END) AS BIGINT) AS n_batches,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(COALESCE(SUM(CAST(ROUND((CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2) AS DECIMAL(18,0))), 0) AS DOUBLE) / 1.0e2
+       CAST(COALESCE(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e15 THEN value END) * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))), 0) AS DOUBLE) / 1.0e2
          AS total_value
 FROM events
 """,
@@ -1157,7 +1157,7 @@ def s_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).observe(
         "metrics",
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.round(finite("value", 16) * F.lit(100.0)).cast("decimal(18,0)")).alias("v"),
+        F.sum(cents(finite("value", 16), 2).cast("decimal(18,0)")).alias("v"),
     )
     q = (
         observed.select("event_id")
@@ -1189,7 +1189,7 @@ def s_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_table_stream",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(ROUND((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 AS sum_value
+       CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 AS sum_value
 FROM events GROUP BY event_type
 """,
 )
@@ -1256,7 +1256,7 @@ def s_table_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(*live_files(table))
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        (F.sum(F.round(finite("value") * F.lit(1000000.0)).cast("decimal(18,0)")).cast("double") / F.lit(1000000.0)).alias("sum_value"),
+        (F.sum(cents(finite("value"), 6).cast("decimal(18,0)")).cast("double") / F.lit(1000000.0)).alias("sum_value"),
     )
 
 
@@ -1264,7 +1264,7 @@ def s_table_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_avro_ingest",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(ROUND((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 AS sum_value
+       CAST(SUM(CAST((CASE WHEN (CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6 >= 0 THEN CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS((CASE WHEN abs(value) < 1.0e12 THEN value END) * 1.0e6) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))) AS DOUBLE) / 1.0e6 AS sum_value
 FROM events GROUP BY event_type
 """,
 )
@@ -1324,7 +1324,7 @@ def s_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            (F.sum(F.round(finite("value") * F.lit(1000000.0)).cast("decimal(18,0)"))
+            (F.sum(cents(finite("value"), 6).cast("decimal(18,0)"))
             .cast("double") / F.lit(1000000.0))
             .alias("sum_value"),
         )
