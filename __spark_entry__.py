@@ -36,7 +36,9 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 # checked, so the next round's window samples the remaining tail.
 
 _PRIORITY = [
-    # Round-13 keys: new registrations first.
+    # Round-14 keys: new registrations first.
+    "s_dedup_near", "q_index_versioned",
+    # Round-13 keys.
     "q_dedup_phash", "q_dedup_substring_incremental", "q_sim_search_ivfpq",
     "s_heavy_hitters",
     # Round-12 keys.
@@ -175,6 +177,15 @@ _RECHECK: dict[str, int] = {
         "q_tpch_q14", "q_tpch_q8", "q_tpch_q17", "q_tpch_q19", "q_tpch_q11",
         "q_revenue_share", "q_time_weighted_avg",
         "q_tpch_q1", "q_agg_group", "q_fn_math", "q_cte",
+        # r14 class-24 campaign: the higher-scale routes' direct casts
+        # became cents/split forms — representatives per changed family
+        # (entropy 18,12; logprob 18,8; centroid 28,16 incl. products;
+        # the (18,6) window/table sites the r13 campaign missed).
+        "q_text_entropy", "q_text_logprob", "q_kmeans_step", "q_emb_drift",
+        "q_window_frame", "q_table_snapshot",
+        # r14 rendering rewrite (exact-cents rendering; de-ROUNDed
+        # selections) + the ADC LUT saturation.
+        "q_fn_cast", "q_explode_dq", "q_stats_profile", "q_sim_search_ivfpq",
     )},
 }
 

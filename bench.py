@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "q_bpe_train",       # 8-round greedy merge learning over the word vocab (round 11)
     "q_dedup_phash",     # image perceptual hash + Hamming pigeonhole band (round 13)
     "q_dedup_substring_incremental",  # new batch vs standing window-hash index (round 13)
+    "q_index_versioned", # SQ8 index: 2 tablelog generations + dual search (round 14)
+    "s_dedup_near",      # streaming MinHash band gate + verdict join (round 14)
     "s_ingest",          # streaming drain throughput
     "s_sink_partitioned",# partitioned JSON sink end-to-end
 ]

@@ -169,6 +169,44 @@ def sql_dsum(expr: str, alias: str, prec: int = 18, scale: int = 2) -> str:
     )
 
 
+def split_sum16(c: Column) -> Column:
+    """Order-independent SUM of doubles at the 1e-16 grain (the centroid
+    route) via an integer/fraction split: FLOOR(c) sums as exact integers
+    and the fractional part [0,1) quantizes to LONG sixteenths-cents
+    (fp·1e16 < 1e18 always fits).  The LONG cents form cannot serve this
+    route directly — the vector-component domain |c| < 1e6 puts c·1e16 at
+    1e22, past BIGINT — but c - FLOOR(c) is IEEE-EXACT (the difference is
+    a multiple of ULP(c) below 1, representable, and IEEE subtraction of
+    a representable difference is exact), so the split loses nothing.
+    Replaces the direct double→DECIMAL(28,16) cast, which is
+    engine-ambiguous on ~1/30k of uniform float32 components (probed r14:
+    0.39339181780815125 and the exact-tie 2^-17 split Spark/DuckDB).
+    Input must be guarded finite with |c| < 2^52 — ULP(c) ≤ 1 is what
+    makes the split exact (vector components are < 1e6 via
+    similarity.vec_valid; centroid products are < 1e12 by construction).
+    Mirror: ``sql_split_sum16``."""
+    ip = F.floor(c)  # LONG in Spark
+    fp = c - ip.cast("double")
+    return (
+        F.sum(ip.cast("decimal(28,0)")).cast("double")
+        + F.sum(
+            F.floor(fp * F.lit(1.0e16) + F.lit(0.5)).cast("decimal(28,0)")
+        ).cast("double")
+        / F.lit(1.0e16)
+    )
+
+
+def sql_split_sum16(expr: str) -> str:
+    """SQL mirror of ``split_sum16`` — engine-portable (Spark FLOOR(double)
+    is already BIGINT, DuckDB's integer-valued DOUBLE casts exactly)."""
+    fp = f"(({expr}) - FLOOR({expr}))"
+    return (
+        f"(CAST(SUM(CAST(FLOOR({expr}) AS DECIMAL(28,0))) AS DOUBLE)"
+        f" + CAST(SUM(CAST(CAST(FLOOR({fp} * 1.0e16 + 0.5) AS BIGINT)"
+        f" AS DECIMAL(28,0))) AS DOUBLE) / 1.0e16)"
+    )
+
+
 def sql_davg(expr: str, alias: str, prec: int = 18, scale: int = 2) -> str:
     g = sql_finite(expr, route_exp(prec, scale))
     m = f"1.0e{scale}"

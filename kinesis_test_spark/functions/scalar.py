@@ -261,19 +261,47 @@ def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_fn_cast",
-    oracle="""
-SELECT event_id,
-       -- doubles render via %.6f on BOTH engines: raw CAST-to-string is
-       -- formatter-defined (Spark picks the SHORTER of plain/scientific
-       -- per value — '1.25E7' — where DuckDB stays plain to 1e16), so no
-       -- magnitude domain makes the casts agree; printf does, for every
-       -- finite double. Non-finite spells Spark-style (NaN/Infinity).
-       CASE WHEN isnan(value) THEN 'NaN'
+# Cross-engine 6-decimal rendering (r14, EDGES class 24): even
+# printf('%.6f') is engine-ambiguous — Spark's format_string rounds the
+# double's SHORTEST repr (Java FloatingDecimal digits, zero-padded) while
+# DuckDB's printf rounds the EXACT binary expansion (fmt), so they split
+# wherever the two disagree at the 7th fractional digit (probed:
+# 1024.7775725 → .777573/.777572, 1e10+0.05 → .050000/.049999, and 1e30's
+# binary junk digits vs repr zeros — the r8 "printf agrees for every
+# finite double" claim only held on round corpus values). The agreeing
+# form renders from the exact floor-LONG cents integer: sign + a div 1e6
+# + '.' + %06d(a mod 1e6) — pure integer formatting on both engines.
+# Domain |v| < 1e12 (cents-safe); outside it no agreeing rendering of an
+# arbitrary double exists, so the value quarantines to NULL. Non-finite
+# spells Spark-style; a -0.0 renders unsigned (computed-zero rule).
+_RENDER6_SQL = """CASE WHEN isnan(value) THEN 'NaN'
             WHEN value = CAST('Infinity' AS DOUBLE) THEN 'Infinity'
             WHEN value = CAST('-Infinity' AS DOUBLE) THEN '-Infinity'
-            ELSE printf('%.6f', value) END AS value_str,
+            WHEN abs(value) < 1.0e12 THEN
+              (CASE WHEN value < 0 THEN '-' ELSE '' END)
+              || CAST(CAST(FLOOR(ABS(value * 1.0e6) + 0.5) AS BIGINT) // 1000000 AS VARCHAR)
+              || '.'
+              || printf('%06d', CAST(FLOOR(ABS(value * 1.0e6) + 0.5) AS BIGINT) % 1000000)
+            END"""
+
+_RENDER6_PY = (
+    "CASE WHEN isnan(value) THEN 'NaN' "
+    "WHEN value = double('Infinity') THEN 'Infinity' "
+    "WHEN value = double('-Infinity') THEN '-Infinity' "
+    "WHEN abs(value) < 1.0e12 THEN "
+    "concat(CASE WHEN value < 0 THEN '-' ELSE '' END, "
+    "CAST(FLOOR(ABS(value * 1.0e6) + 0.5) div 1000000 AS STRING), '.', "
+    "format_string('%06d', FLOOR(ABS(value * 1.0e6) + 0.5) % 1000000)) "
+    "END"
+)
+
+
+@query(
+    "q_fn_cast",
+    oracle=f"""
+SELECT event_id,
+       -- exact-cents rendering (see _RENDER6_SQL rationale above)
+       {_RENDER6_SQL} AS value_str,
        -- Spark CAST truncates; DuckDB rounds — and the int route is
        -- range-guarded NULL outside int32 (Spark's CAST(double AS INT)
        -- ANSI-raises past 2^31 where TRUNC->BIGINT would still fit)
@@ -295,9 +323,7 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.when(
-            F.col("value").isNotNull(), F.format_string("%.6f", F.col("value"))
-        ).alias("value_str"),  # format_string(NULL) is the literal 'null'
+        F.expr(_RENDER6_PY).alias("value_str"),  # exact-cents rendering (r14)
         F.when(F.abs("value") < F.lit(2147483648.0), F.col("value"))
         .cast("int")
         .cast("bigint")
@@ -460,17 +486,15 @@ def q_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_explode_dq",
-    oracle="""
+    oracle=f"""
 SELECT event_id, issue_name, issue_value FROM (
-  -- vstr renders via %.6f (q_fn_cast's rendering rule: raw casts are
-  -- formatter-defined), non-finite spells Spark-style; NaN > 250 is TRUE
+  -- vstr renders via the exact-cents form (q_fn_cast's _RENDER6_SQL
+  -- rationale: even printf('%.6f') splits the engines on repr-vs-binary
+  -- boundary values), non-finite spells Spark-style; NaN > 250 is TRUE
   -- on both engines, so NaN/+Inf land in value_high
   WITH vs AS (
     SELECT event_id, user_id, value,
-           CASE WHEN isnan(value) THEN 'NaN'
-                WHEN value = CAST('Infinity' AS DOUBLE) THEN 'Infinity'
-                WHEN value = CAST('-Infinity' AS DOUBLE) THEN '-Infinity'
-                ELSE printf('%.6f', value) END AS vstr
+           {_RENDER6_SQL} AS vstr
     FROM events)
   SELECT event_id, 'value_high' AS issue_name, vstr AS issue_value
   FROM vs WHERE value > 250
@@ -495,9 +519,9 @@ def q_explode_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     issue = lambda name, val: F.struct(  # noqa: E731
         F.lit(name).alias("issue_name"), val.cast("string").alias("issue_value")
     )
-    # doubles render via %.6f (the rendering rule — see the oracle comment);
-    # format_string spells non-finite Spark-style (NaN/Infinity) natively
-    vstr = F.format_string("%.6f", F.col("value"))
+    # doubles render via the exact-cents form (the r14 rendering rule —
+    # see _RENDER6_SQL; raw %.6f is repr-vs-binary ambiguous)
+    vstr = F.expr(_RENDER6_PY)
     dq = (
         F.when(
             F.col("value") > 250,

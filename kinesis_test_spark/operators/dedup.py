@@ -209,6 +209,75 @@ def minhash_bands(
     ).select("doc_id", "sig", F.col("band.b").alias("b"), F.col("band.bkey").alias("bkey"))
 
 
+# --- row-local MinHash (the streaming-safe form) -------------------------
+#
+# minhash_signatures computes each seed's minimum with a groupBy over the
+# exploded shingle relation — the right shape for a 100 TB batch corpus
+# (map-side combine collapses |shingles| to |docs| before the exchange),
+# but an AGGREGATION, which a streaming query cannot chain under another
+# stateful operator.  The row-local form computes the identical signature
+# inside array expressions (split → transform → array_min), so a stream
+# can derive band keys with zero state and spend its one stateful stage
+# on the gate itself (s_dedup_near).  Shingle strings match
+# _build_shingles exactly (word 3-grams over the literal-space split).
+
+_ROWLOCAL_SH = (
+    "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), "
+    "i -> concat(element_at(split(text, ' '), i), ' ', "
+    "element_at(split(text, ' '), i + 1), ' ', "
+    "element_at(split(text, ' '), i + 2)))) "
+    "ELSE array() END"
+)
+
+
+def rowlocal_minhash_bands(df: DataFrame, carry: list[str] | None = None) -> DataFrame:
+    """(carry..., doc_id, b, bkey): LSH band keys computed ROW-LOCALLY from
+    a (doc_id, text, ...) relation — no aggregation anywhere, so the
+    result is streaming-composable.  Docs with < 3 words have no shingles
+    and are dropped here (no signature ⇒ no near-dup evidence; consumers
+    treat them as unconditionally kept).  Oracle mirror:
+    ``rowlocal_bands_sql``."""
+    carry = carry or []
+    d2 = df.withColumn("sh", F.expr(_ROWLOCAL_SH)).filter(F.size("sh") > 0)
+    for s in range(N_SEEDS):
+        d2 = d2.withColumn(
+            f"m{s}", F.expr(f"array_min(transform(sh, x -> md5(concat('{s}|', x))))")
+        )
+    rpb = N_SEEDS // N_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("b"),
+            F.concat(*[F.col(f"m{rpb * b + j}") for j in range(rpb)]).alias("bkey"),
+        )
+        for b in range(N_BANDS)
+    ]
+    return d2.select(
+        *carry, "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select(*carry, "doc_id", F.col("band.b").alias("b"), F.col("band.bkey").alias("bkey"))
+
+
+def rowlocal_bands_sql() -> str:
+    """DuckDB CTE chain ``u → bands`` mirroring ``rowlocal_minhash_bands``
+    over the unique-docs grain (same shingles, seeds, and band layout as
+    MINHASH_ORACLE)."""
+    rpb = N_SEEDS // N_BANDS
+    sig_elems = ", ".join(
+        f"list_min(list_transform(sh, x -> md5('{s}|' || x)))" for s in range(N_SEEDS)
+    )
+    bands = ", ".join(str(b) for b in range(N_BANDS))
+    return f"""u AS (SELECT DISTINCT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
+ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM u),
+shr AS (SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+              generate_series(1, len(w) - 2),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         ELSE [] END AS sh FROM ws),
+sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM shr WHERE len(sh) > 0),
+bands AS (SELECT doc_id, b, {" || ".join(f"sig[{rpb}*b + {j + 1}]" for j in range(rpb))} AS bkey
+          FROM sig, (SELECT unnest([{bands}]) AS b))"""
+
+
 def minhash_pairs(
     sh: DataFrame,
     n_seeds: int = N_SEEDS,

@@ -939,7 +939,13 @@ FROM events
 UNION ALL
 SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
        COUNT(DISTINCT value),
-       ROUND(CAST(MIN(value) AS DOUBLE), 6), ROUND(CAST(MAX(value) AS DOUBLE), 6)
+       -- min/max are SELECTIONS of identically-computed doubles — raw
+       -- values are bit-identical cross-engine and ROUND(x, 6) is ITSELF
+       -- repr-vs-binary ambiguous on .{6}5-boundary values (r14 class-24
+       -- finding: 1024.7775725 → Spark .777573 / DuckDB .777572), so the
+       -- r10 rule applies: never ROUND a selection. + 0.0 normalizes a
+       -- selected -0.0 (negzero rule).
+       CAST(MIN(value) AS DOUBLE) + 0.0, CAST(MAX(value) AS DOUBLE) + 0.0
 FROM events
 """,
 )
@@ -958,8 +964,8 @@ def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             (F.count("*") - F.count(col)).alias("n_null"),
             F.countDistinct(col).alias("n_distinct"),
-            F.round(F.min(col).cast("double"), 6).alias("min_val"),
-            F.round(F.max(col).cast("double"), 6).alias("max_val"),
+            (F.min(col).cast("double") + F.lit(0.0)).alias("min_val"),
+            (F.max(col).cast("double") + F.lit(0.0)).alias("max_val"),
         )
 
     return profile("event_id").unionByName(profile("user_id")).unionByName(

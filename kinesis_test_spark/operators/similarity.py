@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_test_spark.iterate import truncate_lineage
+from kinesis_test_spark.functions.exact import split_sum16
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t
 
@@ -90,19 +91,23 @@ DIM = 64
 # A vector is VALID iff present, EXACTLY DIM-long, and every component
 # sits inside the EMBEDDING ROUTE DOMAIN |x| < 1e6 (VEC_COMPONENT_MAX —
 # tightened from the generic 1e12 in round 12, degenvec class finding):
-# the centroid family sums components through DECIMAL(28,16) and hands
-# the sum back as DOUBLE, and the two engines' decimal->double
+# the centroid family sums components at the 1e-16 grain
+# (exact.split_sum16 since r14 — FLOOR(c) as exact integers + the
+# IEEE-exact fraction as LONG cents; the old direct DECIMAL(28,16) cast
+# was engine-ambiguous on ~1/30k of float32 components, EDGES class 24)
+# and hands the sum back as DOUBLE, where the engines' decimal->double
 # conversions drift one ULP apart once the value is large (exact.py
 # DOUBLE_SAFE_EXP note); a per-dim MEAN of magnitude m carries that
 # drift as ~ULP(m), so ROUND(...,9) oracles stay deterministic only for
 # m ≲ 2.25e6 (0.5·10⁻⁹·2⁵²). |x| < 1e6 keeps every downstream route —
-# centroid means (ROUND 9), drift dot-products (< 1e12, inside the
-# (28,16) integer capacity), norms/cosines (doubles + ROUND 6) — in the
-# engine-agreeing regime, and is still orders of magnitude above any
-# real embedding's components. NaN poisons similarity rankings
-# asymmetrically (Spark sorts a NaN cosine to the TOP of a DESC order;
-# DuckDB windowed aggs NULL or raise), a finite-but-huge component
-# overflows the DECIMAL(28,16) centroid route, and a WRONG-LENGTH vector
+# centroid means (ROUND 9), drift dot-products (< 1e12, inside
+# split_sum16's |c| < 2^52 exactness domain), norms/cosines (doubles +
+# ROUND 6) — in the engine-agreeing regime, and is still orders of
+# magnitude above any real embedding's components. NaN poisons
+# similarity rankings asymmetrically (Spark sorts a NaN cosine to the
+# TOP of a DESC order; DuckDB windowed aggs NULL or raise), a
+# finite-but-huge component escapes the split form's exactness domain
+# (and FLOOR→LONG would ANSI-overflow), and a WRONG-LENGTH vector
 # splits the engines outright: Spark zip_with NULL-pads the shorter side
 # (dot -> NULL -> -1.0 sentinel) while DuckDB list_cosine_similarity
 # RAISES on mismatched lengths — and an un-quarantined EMPTY list hits a
@@ -376,7 +381,7 @@ dims AS (SELECT unnest(generate_series(1, {DIM})) AS dim),
 comp AS (SELECT cid, dim, e[dim] AS val FROM assigned, dims),
 sizes AS (SELECT cid, COUNT(DISTINCT vec_id) AS n_members FROM assigned GROUP BY cid)
 SELECT c.cid, CAST(c.dim AS INT) AS dim,
-       ROUND(CAST(SUM(CAST(c.val AS DECIMAL(28,16))) AS DOUBLE) / COUNT(*), 9)
+       ROUND((CAST(SUM(CAST(FLOOR(c.val) AS DECIMAL(28,0))) AS DOUBLE) + CAST(SUM(CAST(CAST(FLOOR(((c.val) - FLOOR(c.val)) * 1.0e16 + 0.5) AS BIGINT) AS DECIMAL(28,0))) AS DOUBLE) / 1.0e16) / COUNT(*), 9)
          AS centroid_val,
        s.n_members
 FROM comp c JOIN sizes s ON s.cid = c.cid
@@ -387,9 +392,9 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd iteration of k-means over the embeddings (the refinement
     step that turns the fixed IVF codebook into a trained one): broadcast
     argmax assignment (as q_sim_search_ivf), then per-(cluster, dimension)
-    mean — component sums go through DECIMAL(28,16) so the partial-agg
-    order can't move the sum at all (exact at these magnitudes: |val| < 1,
-    16 fractional digits ≈ double's full precision for them), then one
+    mean — component sums go through split_sum16's 1e-16-grain split form
+    so the partial-agg order can't move the sum at all (exact at these
+    magnitudes: |val| < 1e6, integer part exact, fraction as LONG), then one
     double division + ROUND(..., 9) identical on both engines. The driver
     loop of a full k-means is this query iterated; each step is one
     broadcast join + one partial+final aggregate. NULL vectors are
@@ -410,7 +415,7 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("cid", (F.col("dim0") + 1).alias("dim"), "val")
     means = comp.groupBy("cid", "dim").agg(
         F.round(
-            F.sum(F.col("val").cast("decimal(28,16)")).cast("double") / F.count("*"), 9
+            split_sum16(F.col("val")) / F.count("*"), 9
         ).alias("centroid_val")
     )
     return means.join(sizes, "cid").select("cid", "dim", "centroid_val", "n_members")
@@ -529,7 +534,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp = assigned.select("cid", F.posexplode("e").alias("dim0", "val"))
         means = comp.groupBy("cid", "dim0").agg(
             F.round(
-                F.sum(F.col("val").cast("decimal(28,16)")).cast("double") / F.count("*"),
+                split_sum16(F.col("val")) / F.count("*"),
                 9,
             ).alias("cv")
         )
@@ -547,7 +552,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid", "dim0"
     ).agg(
         F.round(
-            F.sum(F.col("val").cast("decimal(28,16)")).cast("double") / F.count("*"), 9
+            split_sum16(F.col("val")) / F.count("*"), 9
         ).alias("centroid_val")
     )
     return (
@@ -606,7 +611,7 @@ comp AS (
   SELECT label, dim, e[dim] AS val
   FROM v, (SELECT unnest(generate_series(1, {DIM})) AS dim))
 SELECT label, CAST(dim AS INT) AS dim,
-       ROUND(CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE) / COUNT(*), 9)
+       ROUND((CAST(SUM(CAST(FLOOR(val) AS DECIMAL(28,0))) AS DOUBLE) + CAST(SUM(CAST(CAST(FLOOR(((val) - FLOOR(val)) * 1.0e16 + 0.5) AS BIGINT) AS DECIMAL(28,0))) AS DOUBLE) / 1.0e16) / COUNT(*), 9)
          AS centroid_val,
        COUNT(*) AS n_vectors
 FROM comp GROUP BY label, dim
@@ -616,8 +621,8 @@ def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (class centroids — the seed for IVF
     codebooks, probing-set selection, and drift monitoring): posexplode to
     (label, dim, val), one partial+final hash aggregate over (label, dim).
-    Component sums go through DECIMAL(28,16) so partial-agg order can't
-    move the mean (same rule as q_kmeans_step). Shuffle is |labels|×DIM
+    Component sums go through split_sum16's 1e-16-grain split form so
+    partial-agg order can't move the mean (same rule as q_kmeans_step). Shuffle is |labels|×DIM
     rows after map-side combine — constant in corpus size. NULL vectors
     are excluded on both sides (a centroid over absent vectors is
     undefined; probe_nulls class 4)."""
@@ -627,7 +632,7 @@ def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.groupBy("label", (F.col("dim0") + 1).cast("int").alias("dim"))
         .agg(
             F.round(
-                F.sum(F.col("val").cast("decimal(28,16)")).cast("double") / F.count("*"),
+                split_sum16(F.col("val")) / F.count("*"),
                 9,
             ).alias("centroid_val"),
             F.count("*").alias("n_vectors"),
@@ -798,7 +803,7 @@ codes AS (SELECT vec_id, cid, m, code FROM coded WHERE rn = 1),
 qsub AS (SELECT cid AS qcid, m, rs AS qrs FROM sub WHERE vec_id = {QUERY_VEC_ID}),
 lut AS (
   SELECT q.qcid, q.m, cb.code,
-         ROUND({_sql_l2('q.qrs', 'cb.cce', PQ_SUBDIM)}, 6) AS qd2
+         LEAST(ROUND({_sql_l2('q.qrs', 'cb.cce', PQ_SUBDIM)}, 6), 1.0e9) AS qd2
   FROM qsub q JOIN cb ON q.m = cb.m),
 adc AS (
   SELECT c.vec_id, c.cid,
@@ -904,12 +909,20 @@ def q_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     qsub = sub.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("cid").alias("qcid"), F.col("m").alias("qm"), F.col("rs").alias("qrs")
     )
+    # LUT entries saturate at 1e9: the pre-rounded-6-decimal → DECIMAL(28,6)
+    # ADC sum is engine-agreeing only while d·1e6 round-trips the IEEE
+    # multiply (|d| ≲ 4.5e9 — above it DuckDB's scaled-binary conversion
+    # can land one grain off Spark's repr-based cast, r14 class-24
+    # re-derivation of this route's domain).  In-domain components
+    # (|x| < 1e6) can legally push a residual term to 3.2e13, but a
+    # candidate that far never contests the top-k, so saturation is
+    # ranking-neutral where it matters and keeps the route deterministic.
     lut = F.broadcast(
         qsub.join(cb, F.col("qm") == F.col("m_cb")).select(
             "qcid",
             F.col("qm"),
             F.col("code").alias("qcode"),
-            sq("qrs", "cce").alias("qd2"),
+            F.least(sq("qrs", "cce"), F.lit(1.0e9)).alias("qd2"),
         )
     )
     adc = (
@@ -1082,7 +1095,7 @@ WITH v AS (SELECT vec_id % 2 AS grp, (CASE WHEN (embedding IS NOT NULL AND len(e
            FROM (SELECT DISTINCT vec_id, label, embedding FROM embeddings WHERE vec_id IS NOT NULL) WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
 comp AS (
   SELECT grp, dim,
-         ROUND(CAST(SUM(CAST(e[dim] AS DECIMAL(28,16))) AS DOUBLE)
+         ROUND((CAST(SUM(CAST(FLOOR(e[dim]) AS DECIMAL(28,0))) AS DOUBLE) + CAST(SUM(CAST(CAST(FLOOR(((e[dim]) - FLOOR(e[dim])) * 1.0e16 + 0.5) AS BIGINT) AS DECIMAL(28,0))) AS DOUBLE) / 1.0e16)
                / COUNT(*), 9) AS c
   FROM v, (SELECT unnest(generate_series(1, {DIM})) AS dim)
   GROUP BY grp, dim),
@@ -1090,9 +1103,9 @@ paired AS (
   SELECT a.dim, a.c AS ca, b.c AS cb
   FROM comp a JOIN comp b ON a.dim = b.dim AND a.grp = 0 AND b.grp = 1),
 sums AS (
-  SELECT CAST(SUM(CAST(ca * cb AS DECIMAL(28,16))) AS DOUBLE) AS dot,
-         CAST(SUM(CAST(ca * ca AS DECIMAL(28,16))) AS DOUBLE) AS na,
-         CAST(SUM(CAST(cb * cb AS DECIMAL(28,16))) AS DOUBLE) AS nb
+  SELECT (CAST(SUM(CAST(FLOOR(ca * cb) AS DECIMAL(28,0))) AS DOUBLE) + CAST(SUM(CAST(CAST(FLOOR(((ca * cb) - FLOOR(ca * cb)) * 1.0e16 + 0.5) AS BIGINT) AS DECIMAL(28,0))) AS DOUBLE) / 1.0e16) AS dot,
+         (CAST(SUM(CAST(FLOOR(ca * ca) AS DECIMAL(28,0))) AS DOUBLE) + CAST(SUM(CAST(CAST(FLOOR(((ca * ca) - FLOOR(ca * ca)) * 1.0e16 + 0.5) AS BIGINT) AS DECIMAL(28,0))) AS DOUBLE) / 1.0e16) AS na,
+         (CAST(SUM(CAST(FLOOR(cb * cb) AS DECIMAL(28,0))) AS DOUBLE) + CAST(SUM(CAST(CAST(FLOOR(((cb * cb) - FLOOR(cb * cb)) * 1.0e16 + 0.5) AS BIGINT) AS DECIMAL(28,0))) AS DOUBLE) / 1.0e16) AS nb
   FROM paired)
 SELECT ROUND(dot / NULLIF(sqrt(na) * sqrt(nb), 0), 6) AS centroid_cosine,
        ROUND(sqrt(na), 6) AS ref_norm,
@@ -1123,7 +1136,7 @@ def q_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp", (F.col("dim0") + 1).alias("dim"))
         .agg(
             F.round(
-                F.sum(F.col("val").cast("decimal(28,16)")).cast("double")
+                split_sum16(F.col("val"))
                 / F.count(F.lit(1)),
                 9,
             ).alias("c")
@@ -1135,14 +1148,11 @@ def q_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     paired = a.join(F.broadcast(b), F.col("dim") == F.col("dim_b"))
     sums = paired.agg(
-        F.sum((F.col("ca") * F.col("cb")).cast("decimal(28,16)"))
-        .cast("double")
+        split_sum16((F.col("ca") * F.col("cb")))
         .alias("dot"),
-        F.sum((F.col("ca") * F.col("ca")).cast("decimal(28,16)"))
-        .cast("double")
+        split_sum16((F.col("ca") * F.col("ca")))
         .alias("na"),
-        F.sum((F.col("cb") * F.col("cb")).cast("decimal(28,16)"))
-        .cast("double")
+        split_sum16((F.col("cb") * F.col("cb")))
         .alias("nb"),
     )
     return sums.select(
@@ -1360,4 +1370,148 @@ def q_emb_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_abs_err",
         )
         .orderBy(F.col("cos_sq8").desc(), "vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# persisted, VERSIONED vector index (tablelog × SQ8)
+# ---------------------------------------------------------------------------
+
+
+def _sq8_codes(v: DataFrame) -> DataFrame:
+    """(vec_id, codes ARRAY<INT>, s): the persistable SQ8 index relation
+    for one index GENERATION — scale s = the generation corpus's max
+    |component| (denormalized onto every row so a file is
+    self-describing), codes = floor(x/s·127 + 0.5) as INT (int8 domain;
+    parquet stores them dictionary-/bitpack-encoded, so the on-disk
+    footprint is the int8 promise even through the INT logical type)."""
+    val = v.filter(F.col("e").isNotNull())
+    s_df = F.broadcast(
+        val.agg(F.max(F.array_max(F.transform("e", F.abs))).alias("s"))
+    )
+    return val.crossJoin(s_df).select(
+        "vec_id",
+        F.transform(
+            "e", lambda x: _sq8_quant(x, F.col("s")).cast("int")
+        ).alias("codes"),
+        "s",
+    )
+
+
+def _index_versioned_gen_sql(src: str, alias: str) -> str:
+    """One generation's reconstruct + top-k rank CTEs (gen relation
+    ``src`` must expose (vec_id, e)); emits CTEs ``s_{alias}``,
+    ``r_{alias}``, ``t_{alias}``."""
+    return f"""s_{alias} AS (SELECT max(list_max(list_transform(e, x -> abs(x)))) AS s FROM {src}),
+r_{alias} AS (
+  SELECT vec_id,
+         list_transform(e, x ->
+           (CASE WHEN s_{alias}.s > 0 THEN floor(x / s_{alias}.s * {SQ8_LEVELS}.0 + 0.5)
+                 ELSE 0.0 END) * s_{alias}.s / {SQ8_LEVELS}.0) AS r
+  FROM {src}, s_{alias}),
+t_{alias} AS (
+  SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank,
+         vec_id, cos
+  FROM (SELECT rr.vec_id,
+               COALESCE(ROUND(list_cosine_similarity(rr.r, q.qe), 6), -1.0) AS cos
+        FROM r_{alias} rr, q WHERE rr.vec_id <> {QUERY_VEC_ID})
+  ORDER BY cos DESC, vec_id LIMIT {TOP_K})"""
+
+
+@query(
+    "q_index_versioned",
+    oracle=f"""
+WITH v AS (SELECT vec_id, (CASE WHEN {_SQL_VEC_VALID} THEN CAST(embedding AS DOUBLE[]) END) AS e
+           FROM {_SQL_VECTORS}),
+vv AS (SELECT vec_id, e FROM v WHERE e IS NOT NULL),
+q AS (SELECT e AS qe FROM v WHERE vec_id = {QUERY_VEC_ID}),
+g1 AS (SELECT vec_id, e FROM vv WHERE vec_id % 2 = 0),
+{_index_versioned_gen_sql("vv", "g2")},
+{_index_versioned_gen_sql("g1", "g1")}
+SELECT COALESCE(t_g2.rank, t_g1.rank) AS rank,
+       t_g2.vec_id AS vec_id_latest, t_g2.cos AS cos_latest,
+       t_g1.vec_id AS vec_id_v0, t_g1.cos AS cos_v0,
+       (t_g2.vec_id IS NOT DISTINCT FROM t_g1.vec_id) AS same_hit
+FROM t_g2 FULL JOIN t_g1 ON t_g1.rank = t_g2.rank
+""",
+)
+def q_index_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted VERSIONED vector index — the tablelog commit protocol
+    (sources/tablelog.py: CAS-claimed commits, snapshot isolation, time
+    travel) carrying the SQ8 index family (q_emb_sq8): index generation 1
+    (the even-vec_id half of the corpus — a backfill-in-progress build)
+    lands as data file + commit 0; the full-corpus REBUILD lands as
+    commit 1, a rewrite that removes generation 1's file — exactly how a
+    production store versions an ANN index so serving can pin a
+    generation, a rebuild is atomic, and an index regression can be
+    diffed against the prior generation (the VERDICT r13 ask: join the
+    table-format and vector subsystems).  Search reads the LATEST
+    snapshot through live_files() and the v0 generation through
+    time-travel, reconstructs each from its own persisted (codes, s),
+    and reports both top-k rankings side by side with a per-rank
+    same_hit diff.  The ORACLE recomputes both generations analytically
+    from the embeddings table, so parity proves the persisted
+    round-trip (quantize → parquet → commit → snapshot/time-travel read
+    → reconstruct) byte-preserving end to end.  Scale: codes are int8 ×
+    DIM per vector (the 10^9-vector index fits per-worker memory), the
+    commit log is metadata-sized, and each generation's search is the
+    sim-search family's broadcast + TakeOrderedAndProject shape.
+    Identity grain via _vectors; evenness via % 2 = 0, which Spark and
+    DuckDB agree on for negative ids (both yield 0 for even negatives —
+    no pmod needed for an evenness test)."""
+    from pyspark.sql import Window
+
+    from kinesis_test_spark.sources.formats import _land_single
+    from kinesis_test_spark.sources.tablelog import commit, live_files, schema_ddl
+    from kinesis_test_spark.streaming.pipeline import scratch_dir
+
+    tdir = scratch_dir("q_index_versioned") / "index"
+    tdir.mkdir(parents=True, exist_ok=True)
+    v = _vectors(spark, sf_dir).select("vec_id", "e")
+
+    _land_single(_sq8_codes(v.filter(F.expr("vec_id % 2 = 0"))), tdir / "codes_g1.parquet")
+    commit(
+        tdir,
+        adds=["codes_g1.parquet"],
+        removes=[],
+        schema=[["vec_id", "BIGINT"], ["codes", "ARRAY<INT>"], ["s", "DOUBLE"]],
+        meta={"generation": 1, "scope": "even-vec_id backfill"},
+    )
+    _land_single(_sq8_codes(v), tdir / "codes_g2.parquet")
+    commit(
+        tdir,
+        adds=["codes_g2.parquet"],
+        removes=["codes_g1.parquet"],
+        meta={"generation": 2, "scope": "full-corpus rebuild"},
+    )
+
+    q = F.broadcast(
+        v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
+    )
+
+    def search(version: int | None) -> DataFrame:
+        codes = spark.read.schema(schema_ddl(tdir, version)).parquet(
+            *live_files(tdir, version)
+        )
+        rec = codes.select(
+            "vec_id",
+            F.expr(f"transform(codes, c -> c * s / {SQ8_LEVELS}.0)").alias("r"),
+        )
+        scored = (
+            rec.filter(F.col("vec_id") != QUERY_VEC_ID)
+            .crossJoin(q)
+            .select("vec_id", cosine(F.col("r"), F.col("qe")).alias("cos"))
+        )
+        top = scored.orderBy(F.col("cos").desc(), "vec_id").limit(TOP_K)
+        w = Window.orderBy(F.col("cos").desc(), "vec_id")
+        return top.select(F.row_number().over(w).alias("rank"), "vec_id", "cos")
+
+    cur, old = search(None).alias("c"), search(0).alias("o")
+    return cur.join(old, "rank", "full").select(
+        "rank",
+        F.col("c.vec_id").alias("vec_id_latest"),
+        F.col("c.cos").alias("cos_latest"),
+        F.col("o.vec_id").alias("vec_id_v0"),
+        F.col("o.cos").alias("cos_v0"),
+        F.col("c.vec_id").eqNullSafe(F.col("o.vec_id")).alias("same_hit"),
     )

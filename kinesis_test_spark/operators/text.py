@@ -821,9 +821,10 @@ def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram log-likelihood per document under the corpus's own unigram
     LM (the cheap perplexity-style quality signal: templated/repetitive
     docs score high, lexically odd docs score low). Corpus frequencies are
-    one wordcount aggregate; the per-word log-probs go through
-    DECIMAL(18,8) before summation so the doc score is independent of
-    addition order (same rule as every float aggregate here). The freq
+    one wordcount aggregate; the per-word log-probs quantize to LONG
+    cents at the 1e-8 grain before summation so the doc score is
+    independent of addition order (same rule as every float aggregate
+    here, in the r14 floor-LONG form). The freq
     join is a shuffle on word — or a broadcast when the vocab is bounded,
     as with q_text_tokenize_ids."""
     d = t(spark, sf_dir, "documents").repartition(
@@ -1544,10 +1545,12 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document unigram entropy — low entropy flags degenerate or
     boilerplate text (a standard pre-training filter signal next to the
     Gopher repetition rules in q_text_repetition). Each -p·log2(p) term is
-    computed identically on both engines, then summed through
-    decimal(18,12) so the per-doc reduction is order-independent (double
-    addition isn't associative; at 100 TB partial-agg order is
-    scheduler-dependent). Shuffles on (doc_id, word) then doc_id — both
+    computed identically on both engines, then quantized to LONG cents at
+    the 1e-12 grain and summed as DECIMAL(18,0) so the per-doc reduction
+    is order-independent (double addition isn't associative; at 100 TB
+    partial-agg order is scheduler-dependent) and the quantization has
+    no repr-vs-binary cast gap (a (44,703) word count produces a term the
+    old direct cast split across engines — EDGES class 24). Shuffles on (doc_id, word) then doc_id — both
     key-hashed, no global ordering anywhere except the presentation sort."""
     # identity-less docs quarantined (a doc-grain report keyed by doc_id
     # cannot key rows without one — edge_dupkeys identity-NULL rows; the
@@ -1868,10 +1871,11 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike the corpus score high even when their vocabulary looks normal).
     The model is two count relations derived from one bigram explode;
     scoring joins each doc's bigrams back against them — all hash
-    shuffles on bounded keys. Each ln() term truncates through
-    decimal(18,8) before the sum (the logprob rule: libm ulp differences
-    between engines vanish below the truncation), and the per-doc mean
-    rounds at 6."""
+    shuffles on bounded keys. Each ln() term quantizes to
+    LONG cents at the 1e-8 grain before the sum (the logprob rule: libm
+    ulp differences between engines vanish below the grain, and the
+    floor-LONG form has no repr-vs-binary cast gap — EDGES class 24),
+    and the per-doc mean rounds at 6."""
     from pyspark.sql import Window  # noqa: F401  (parallel structure w/ siblings)
 
     # docs with <2 words produce no bigram: DuckDB's generate_series(1,0)

@@ -886,6 +886,108 @@ def s_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _near_gate_oracle() -> str:
+    from kinesis_test_spark.operators.dedup import rowlocal_bands_sql
+
+    return f"""
+WITH {rowlocal_bands_sql()},
+winners AS (SELECT b, bkey, MIN(doc_id) AS winner_id FROM bands GROUP BY b, bkey),
+verdict AS (SELECT bd.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bands,
+                   CAST(SUM(CASE WHEN wi.winner_id <> bd.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_lost
+            FROM bands bd JOIN winners wi ON wi.b = bd.b AND wi.bkey = bd.bkey
+            GROUP BY bd.doc_id)
+SELECT u.doc_id,
+       COALESCE(v.n_lost = 0, TRUE) AS kept,
+       CAST(COALESCE(v.n_bands, 0) AS BIGINT) AS n_bands,
+       CAST(COALESCE(v.n_lost, 0) AS BIGINT) AS n_lost
+FROM u LEFT JOIN verdict v ON v.doc_id = u.doc_id
+"""
+
+
+@query("s_dedup_near", oracle=_near_gate_oracle())
+def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-duplicate gate: the reference's at-least-once dedup
+    predicate (consumer.py:292-303, sequence-number identity) upgraded to
+    CONTENT identity — MinHash band keys as the dedup key, so a document
+    is dropped when ANY of its LSH bands was already claimed by an
+    earlier-arriving document (the standard banded near-dup rule, the
+    streaming sibling of q_dedup_minhash's pair semantics).
+
+    Shape: the MinHash signature is computed ROW-LOCALLY inside the
+    stream (dedup.rowlocal_minhash_bands — array expressions, no
+    aggregation), so the query's single stateful stage is the per-band
+    first-claimant aggregate: groupBy(window, band) . min(struct(ts,
+    doc_id)) under a 1-hour watermark — per-band state is ONE struct,
+    evicted when its window finalizes, so an unbounded stream holds
+    bounded state (the dropDuplicatesWithinWatermark argument, s_dedup
+    vs s_dedup_watermarked).  Arrival time is synthesized monotone in
+    doc_id at staging (1 s per doc, strictly post-epoch), which makes the
+    winner deterministic and batch-expressible: first-arriving ==
+    smallest doc_id.  A far-future sentinel doc (nonce words — its
+    shingles collide with nothing; its ts makes it no band's min) closes
+    the window so the append-mode aggregate emits.  The kept verdict is
+    read off the serving sink in batch (the s_heavy_hitters pattern):
+    a doc is kept iff it lost NO band; sig-less docs (< 3 words) carry no
+    near-dup evidence and are kept unconditionally.  Identity dedup
+    (byte-identical redeliveries) happens at ingestion via unique_docs —
+    the same two-stage exact-then-near layout a production gate runs."""
+    from datetime import datetime, timezone
+
+    from kinesis_test_spark.operators.dedup import rowlocal_minhash_bands
+    from kinesis_test_spark.sources import unique_docs
+    from pyspark.sql import Window
+
+    d = scratch_dir("s_dedup_near")
+    stage, cp = d / "src", d / "cp"
+    name = _mem_name("near_gate")
+
+    u = unique_docs(spark, sf_dir, cols=["doc_id", "text"])
+    staged = u.select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(
+            F.row_number().over(Window.orderBy("doc_id"))
+        ).alias("ts"),
+    )
+    sentinel = spark.createDataFrame(
+        [(-(1 << 60), "wmsentinelxa wmsentinelxb wmsentinelxc",
+          datetime(2200, 1, 1, tzinfo=timezone.utc))],
+        schema="doc_id bigint, text string, ts timestamp",
+    )
+    staged.unionByName(sentinel).write.mode("overwrite").parquet(str(stage))
+
+    src = spark.readStream.schema("doc_id bigint, text string, ts timestamp").parquet(
+        str(stage)
+    )
+    bands = rowlocal_minhash_bands(src.withWatermark("ts", "1 hour"), carry=["ts"])
+    winners = (
+        bands.groupBy(F.window("ts", "3650 days"), "b", "bkey")
+        .agg(F.min(F.struct("ts", "doc_id")).alias("w"))
+        .select("b", "bkey", F.col("w.doc_id").alias("winner_id"))
+    )
+    run_to_memory(winners, name, cp, output_mode="append")
+
+    won = spark.table(name)
+    batch_bands = rowlocal_minhash_bands(u)
+    verdict = (
+        batch_bands.join(won, ["b", "bkey"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bands"),
+            F.sum(
+                F.when(F.col("winner_id") != F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_lost"),
+        )
+    )
+    return u.select("doc_id").join(verdict, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_lost") == 0, F.lit(True)).alias("kept"),
+        F.coalesce(F.col("n_bands"), F.lit(0)).cast("bigint").alias("n_bands"),
+        F.coalesce(F.col("n_lost"), F.lit(0)).cast("bigint").alias("n_lost"),
+    )
+
+
 @query(
     "s_rate_limited",
     oracle="""

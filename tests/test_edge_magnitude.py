@@ -118,7 +118,9 @@ MAGNITUDE_EDGE_KEYS = [
     "q_emb_drift",
     # rendering: raw CAST(double AS VARCHAR) is formatter-defined (Spark
     # picks the SHORTER of plain/scientific per value, DuckDB stays plain
-    # to 1e16 — even 1.25e7 diverges) — both keys now render via %.6f
+    # to 1e16 — even 1.25e7 diverges) — and %.6f is repr-vs-binary
+    # ambiguous too (r14 class 24), so both keys render exact cents
+    # within |v| < 1e12 and quarantine outside (scalar._RENDER6_SQL)
     "q_explode_dq",
     "q_fn_cast",  # + the int route is range-guarded at 2^31, not 1e12
     "q_feature_snapshot",

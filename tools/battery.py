@@ -41,6 +41,7 @@ def plant_classes():
     from test_edge_nullts import plant_nullts
     from test_edge_ragged import plant_ragged
     from test_edge_singleton import plant_singleton
+    from test_edge_subgrain import plant_subgrain
     from test_edge_ts_extremes import plant_ts_extremes
     from test_edge_unicode import plant_unicode
     from test_edge_whitespace import plant_whitespace
@@ -63,6 +64,7 @@ def plant_classes():
         ("nullts", plant_nullts),
         ("ragged", plant_ragged),
         ("singleton", plant_singleton),
+        ("subgrain", plant_subgrain),
         ("ts_extremes", plant_ts_extremes),
         ("unicode", plant_unicode),
         ("whitespace", plant_whitespace),
