@@ -579,3 +579,27 @@ def test_ivfpq_search_is_lut_priced_with_topk_heap(spark, sf_dir):
     bnlj = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
     assert len(bnlj) == 1, plan
     assert "qcode" in plan  # the LUT equi-key reached the join
+
+
+def test_index_versioned_search_is_broadcast_topk(spark, sf_dir):
+    """q_index_versioned: both generation searches must be the sim-search
+    shape — the 1-row query vector is the only nested-loop (broadcast),
+    the top-k is a heap (TakeOrderedAndProject), and the final per-rank
+    diff joins two k-row relations (SortMergeJoin/BHJ on rank is fine,
+    a CartesianProduct is not)."""
+    df = q("q_index_versioned", spark, sf_dir)
+    plan = plans.formatted(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_near_verdict_join_is_equi_keyed(spark, sf_dir):
+    """s_dedup_near's batch verdict: the band join must be an EQUI join
+    on the band key (bkey reaches the join), with no cartesian/
+    nested-loop fallback — the winners relation is keyed exactly like
+    the band relation."""
+    df = q("s_dedup_near", spark, sf_dir)
+    plan = plans.formatted(df)
+    assert "bkey" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
