@@ -179,9 +179,14 @@ SELECT l_orderkey, l_linenumber,
        l_orderkey % 7 AS key_mod,
        greatest(l_discount, l_tax) AS max_rate,
        least(l_discount, l_tax) AS min_rate,
+       -- product route domain (r14 self-review): the DECIMAL product
+       -- leaves as DOUBLE, and that conversion is engine-agreeing only
+       -- below 2^53 — so the PRODUCT (not just each factor) is guarded:
+       -- |p·q| < 1e11 keeps product cents < ~1e15 with 9x margin.
+       CASE WHEN abs(fprice * fqty) < 1.0e11 THEN
        CAST(CAST((CASE WHEN fprice * 1.0e2 >= 0 THEN CAST(FLOOR(ABS(fprice * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS(fprice * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0))
             * CAST((CASE WHEN fqty * 1.0e2 >= 0 THEN CAST(FLOOR(ABS(fqty * 1.0e2) + 0.5) AS BIGINT) ELSE -CAST(FLOOR(ABS(fqty * 1.0e2) + 0.5) AS BIGINT) END) AS DECIMAL(18,0)) AS DOUBLE) / 1.0e4
-         AS exact_product
+       END AS exact_product
 FROM (SELECT *,
              -- the decimal/int routes are range-guarded NULL on non-finite
              -- input (edge_nonfinite); ln/sqrt/greatest/least propagate
@@ -220,12 +225,15 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") % 7).alias("key_mod"),
         F.greatest("l_discount", "l_tax").alias("max_rate"),
         F.least("l_discount", "l_tax").alias("min_rate"),
-        (
+        F.when(
+            # product-route guard (see the oracle comment): the decimal
+            # product's DOUBLE conversion is deterministic only < 2^53
+            F.abs(finite("l_extendedprice") * finite("l_quantity")) < F.lit(1.0e11),
             (
                 cents(finite("l_extendedprice"), 2).cast("decimal(18,0)")
                 * cents(finite("l_quantity"), 2).cast("decimal(18,0)")
             ).cast("double")
-            / F.lit(10000.0)
+            / F.lit(10000.0),
         ).alias("exact_product"),
     )
 

@@ -928,13 +928,13 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT 'event_id' AS col, COUNT(*) AS n, COUNT(*) - COUNT(event_id) AS n_null,
        COUNT(DISTINCT event_id) AS n_distinct,
-       ROUND(CAST(MIN(event_id) AS DOUBLE), 6) AS min_val,
-       ROUND(CAST(MAX(event_id) AS DOUBLE), 6) AS max_val
+       CAST(MIN(event_id) AS DOUBLE) + 0.0 AS min_val,
+       CAST(MAX(event_id) AS DOUBLE) + 0.0 AS max_val
 FROM events
 UNION ALL
 SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
        COUNT(DISTINCT user_id),
-       ROUND(CAST(MIN(user_id) AS DOUBLE), 6), ROUND(CAST(MAX(user_id) AS DOUBLE), 6)
+       CAST(MIN(user_id) AS DOUBLE) + 0.0, CAST(MAX(user_id) AS DOUBLE) + 0.0
 FROM events
 UNION ALL
 SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),

@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_test_spark.iterate import truncate_lineage
-from kinesis_test_spark.functions.exact import split_sum16
+from kinesis_test_spark.functions.exact import split_sum16, sql_split_sum16
 from kinesis_test_spark.registry import query
 from kinesis_test_spark.sources import t
 
@@ -381,7 +381,7 @@ dims AS (SELECT unnest(generate_series(1, {DIM})) AS dim),
 comp AS (SELECT cid, dim, e[dim] AS val FROM assigned, dims),
 sizes AS (SELECT cid, COUNT(DISTINCT vec_id) AS n_members FROM assigned GROUP BY cid)
 SELECT c.cid, CAST(c.dim AS INT) AS dim,
-       ROUND((CAST(SUM(CAST(FLOOR(c.val) AS DECIMAL(28,0))) AS DOUBLE) + CAST(SUM(CAST(CAST(FLOOR(((c.val) - FLOOR(c.val)) * 1.0e16 + 0.5) AS BIGINT) AS DECIMAL(28,0))) AS DOUBLE) / 1.0e16) / COUNT(*), 9)
+       ROUND({sql_split_sum16('c.val')} / COUNT(*), 9)
          AS centroid_val,
        s.n_members
 FROM comp c JOIN sizes s ON s.cid = c.cid
@@ -611,7 +611,7 @@ comp AS (
   SELECT label, dim, e[dim] AS val
   FROM v, (SELECT unnest(generate_series(1, {DIM})) AS dim))
 SELECT label, CAST(dim AS INT) AS dim,
-       ROUND((CAST(SUM(CAST(FLOOR(val) AS DECIMAL(28,0))) AS DOUBLE) + CAST(SUM(CAST(CAST(FLOOR(((val) - FLOOR(val)) * 1.0e16 + 0.5) AS BIGINT) AS DECIMAL(28,0))) AS DOUBLE) / 1.0e16) / COUNT(*), 9)
+       ROUND({sql_split_sum16('val')} / COUNT(*), 9)
          AS centroid_val,
        COUNT(*) AS n_vectors
 FROM comp GROUP BY label, dim
@@ -1095,7 +1095,7 @@ WITH v AS (SELECT vec_id % 2 AS grp, (CASE WHEN (embedding IS NOT NULL AND len(e
            FROM (SELECT DISTINCT vec_id, label, embedding FROM embeddings WHERE vec_id IS NOT NULL) WHERE (embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(CAST(x AS DOUBLE)) < 1.0e6))) = 0)),
 comp AS (
   SELECT grp, dim,
-         ROUND((CAST(SUM(CAST(FLOOR(e[dim]) AS DECIMAL(28,0))) AS DOUBLE) + CAST(SUM(CAST(CAST(FLOOR(((e[dim]) - FLOOR(e[dim])) * 1.0e16 + 0.5) AS BIGINT) AS DECIMAL(28,0))) AS DOUBLE) / 1.0e16)
+         ROUND({sql_split_sum16('e[dim]')}
                / COUNT(*), 9) AS c
   FROM v, (SELECT unnest(generate_series(1, {DIM})) AS dim)
   GROUP BY grp, dim),
@@ -1103,9 +1103,9 @@ paired AS (
   SELECT a.dim, a.c AS ca, b.c AS cb
   FROM comp a JOIN comp b ON a.dim = b.dim AND a.grp = 0 AND b.grp = 1),
 sums AS (
-  SELECT (CAST(SUM(CAST(FLOOR(ca * cb) AS DECIMAL(28,0))) AS DOUBLE) + CAST(SUM(CAST(CAST(FLOOR(((ca * cb) - FLOOR(ca * cb)) * 1.0e16 + 0.5) AS BIGINT) AS DECIMAL(28,0))) AS DOUBLE) / 1.0e16) AS dot,
-         (CAST(SUM(CAST(FLOOR(ca * ca) AS DECIMAL(28,0))) AS DOUBLE) + CAST(SUM(CAST(CAST(FLOOR(((ca * ca) - FLOOR(ca * ca)) * 1.0e16 + 0.5) AS BIGINT) AS DECIMAL(28,0))) AS DOUBLE) / 1.0e16) AS na,
-         (CAST(SUM(CAST(FLOOR(cb * cb) AS DECIMAL(28,0))) AS DOUBLE) + CAST(SUM(CAST(CAST(FLOOR(((cb * cb) - FLOOR(cb * cb)) * 1.0e16 + 0.5) AS BIGINT) AS DECIMAL(28,0))) AS DOUBLE) / 1.0e16) AS nb
+  SELECT {sql_split_sum16('ca * cb')} AS dot,
+         {sql_split_sum16('ca * ca')} AS na,
+         {sql_split_sum16('cb * cb')} AS nb
   FROM paired)
 SELECT ROUND(dot / NULLIF(sqrt(na) * sqrt(nb), 0), 6) AS centroid_cosine,
        ROUND(sqrt(na), 6) AS ref_norm,
@@ -1467,7 +1467,14 @@ def q_index_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tdir = scratch_dir("q_index_versioned") / "index"
     tdir.mkdir(parents=True, exist_ok=True)
-    v = _vectors(spark, sf_dir).select("vec_id", "e")
+    # materialize the identity-grain relation ONCE: each _sq8_codes call
+    # executes its input twice (scale aggregate + crossJoin side) and the
+    # function runs for g1, g2, and the query vector — without the
+    # checkpoint that is ~5 executions of the dedup pipeline (the
+    # r12 keeper-build fan-out class, caught again by the r14 review).
+    from kinesis_test_spark.iterate import truncate_lineage
+
+    v = truncate_lineage(_vectors(spark, sf_dir).select("vec_id", "e"))
 
     _land_single(_sq8_codes(v.filter(F.expr("vec_id % 2 = 0"))), tdir / "codes_g1.parquet")
     commit(

@@ -932,7 +932,7 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup evidence and are kept unconditionally.  Identity dedup
     (byte-identical redeliveries) happens at ingestion via unique_docs —
     the same two-stage exact-then-near layout a production gate runs."""
-    from datetime import datetime, timezone
+    from datetime import datetime, timedelta, timezone
 
     from kinesis_test_spark.operators.dedup import rowlocal_minhash_bands
     from kinesis_test_spark.sources import unique_docs
@@ -943,6 +943,13 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = _mem_name("near_gate")
 
     u = unique_docs(spark, sf_dir, cols=["doc_id", "text"])
+    # the epoch-anchored gate window must COVER the whole synthetic
+    # timeline (1 s per doc): a fixed duration would silently strand docs
+    # past its end in a second, never-finalized window (kept with no
+    # verdict — the r14 review's ~315M-doc cliff), so the duration is
+    # sized from the corpus and the sentinel placed just past it.
+    n_docs = u.count()
+    horizon_days = max(3650, n_docs // 86400 + 2)
     staged = u.select(
         "doc_id",
         "text",
@@ -952,7 +959,8 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sentinel = spark.createDataFrame(
         [(-(1 << 60), "wmsentinelxa wmsentinelxb wmsentinelxc",
-          datetime(2200, 1, 1, tzinfo=timezone.utc))],
+          datetime(1970, 1, 1, tzinfo=timezone.utc)
+          + timedelta(days=horizon_days + 2))],
         schema="doc_id bigint, text string, ts timestamp",
     )
     staged.unionByName(sentinel).write.mode("overwrite").parquet(str(stage))
@@ -962,7 +970,7 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bands = rowlocal_minhash_bands(src.withWatermark("ts", "1 hour"), carry=["ts"])
     winners = (
-        bands.groupBy(F.window("ts", "3650 days"), "b", "bkey")
+        bands.groupBy(F.window("ts", f"{horizon_days} days"), "b", "bkey")
         .agg(F.min(F.struct("ts", "doc_id")).alias("w"))
         .select("b", "bkey", F.col("w.doc_id").alias("winner_id"))
     )
