@@ -221,16 +221,6 @@ def minhash_bands(
 # on the gate itself (s_dedup_near).  Shingle strings match
 # _build_shingles exactly (word 3-grams over the literal-space split).
 
-_ROWLOCAL_SH = (
-    "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), "
-    "i -> concat(element_at(split(text, ' '), i), ' ', "
-    "element_at(split(text, ' '), i + 1), ' ', "
-    "element_at(split(text, ' '), i + 2)))) "
-    "ELSE array() END"
-)
-
-
 def rowlocal_minhash_bands(df: DataFrame, carry: list[str] | None = None) -> DataFrame:
     """(carry..., doc_id, b, bkey): LSH band keys computed ROW-LOCALLY from
     a (doc_id, text, ...) relation — no aggregation anywhere, so the
@@ -239,7 +229,25 @@ def rowlocal_minhash_bands(df: DataFrame, carry: list[str] | None = None) -> Dat
     treat them as unconditionally kept).  Oracle mirror:
     ``rowlocal_bands_sql``."""
     carry = carry or []
-    d2 = df.withColumn("sh", F.expr(_ROWLOCAL_SH)).filter(F.size("sh") > 0)
+    # split() hoisted into a real column — the same rule _build_shingles
+    # records: Spark does no CSE inside higher-order-function lambdas, so
+    # referencing split(text) from the shingle lambda re-tokenizes the
+    # full text per element, O(words²) per row.  slice/zip_with over the
+    # hoisted array is the identical shingle list (empty for < 3 words).
+    w = F.col("w")
+    k = F.greatest(F.size(w) - 2, F.lit(0))
+    sh = F.zip_with(
+        F.slice(w, 1, k),
+        F.zip_with(
+            F.slice(w, 2, k), F.slice(w, 3, k), lambda a, b: F.concat_ws(" ", a, b)
+        ),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    d2 = (
+        df.withColumn("w", F.split("text", " "))
+        .withColumn("sh", F.array_distinct(sh))
+        .filter(F.size("sh") > 0)
+    )
     for s in range(N_SEEDS):
         d2 = d2.withColumn(
             f"m{s}", F.expr(f"array_min(transform(sh, x -> md5(concat('{s}|', x))))")

@@ -934,6 +934,7 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same two-stage exact-then-near layout a production gate runs."""
     from datetime import datetime, timedelta, timezone
 
+    from kinesis_test_spark.iterate import truncate_lineage
     from kinesis_test_spark.operators.dedup import rowlocal_minhash_bands
     from kinesis_test_spark.sources import unique_docs
     from pyspark.sql import Window
@@ -942,7 +943,10 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage, cp = d / "src", d / "cp"
     name = _mem_name("near_gate")
 
-    u = unique_docs(spark, sf_dir, cols=["doc_id", "text"])
+    # materialized once: u feeds the count, the staged write, the batch
+    # band relation AND the final verdict join — without the checkpoint
+    # the doc-dedup aggregate executes four times.
+    u = truncate_lineage(unique_docs(spark, sf_dir, cols=["doc_id", "text"]))
     # the epoch-anchored gate window must COVER the whole synthetic
     # timeline (1 s per doc): a fixed duration would silently strand docs
     # past its end in a second, never-finalized window (kept with no
@@ -956,7 +960,11 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_seconds(
             F.row_number().over(Window.orderBy("doc_id"))
         ).alias("ts"),
-    )
+        # staged as one file per core, not the single file the global
+        # row_number window leaves behind: the micro-batch scan's split
+        # count IS the band-compute parallelism (the md5-heavy signature
+        # work otherwise serializes onto one task — guide §2.5 input skew)
+    ).repartition(spark.sparkContext.defaultParallelism)
     sentinel = spark.createDataFrame(
         [(-(1 << 60), "wmsentinelxa wmsentinelxb wmsentinelxc",
           datetime(1970, 1, 1, tzinfo=timezone.utc)
@@ -974,7 +982,26 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("ts", "doc_id")).alias("w"))
         .select("b", "bkey", F.col("w.doc_id").alias("winner_id"))
     )
-    run_to_memory(winners, name, cp, output_mode="append")
+    # State partitions sized to the STATE (≈ n_docs × N_BANDS one-struct
+    # entries; ~500k keys per store keeps an instance tens of MB), not to
+    # the session's core-count default: every state partition is a live
+    # RocksDB instance paying open/commit/changelog per micro-batch
+    # (measured ~1-1.7 s commit per instance per batch on this corpus, the
+    # dominant cost of the whole query), and the count is locked in at the
+    # first batch forever.  The derivation scales UP with the corpus —
+    # a 100 TB stream gets thousands of partitions — while a small stream
+    # stops paying fixed machinery for empty stores.  Band compute is
+    # unaffected: it runs in the scan stage, whose parallelism is the
+    # staged file count above.
+    from kinesis_test_spark.operators.dedup import N_BANDS
+
+    n_state = max(1, -(-(n_docs * N_BANDS) // 500_000))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
+    try:
+        run_to_memory(winners, name, cp, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     won = spark.table(name)
     batch_bands = rowlocal_minhash_bands(u)
