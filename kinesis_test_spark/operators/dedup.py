@@ -1643,11 +1643,70 @@ def _sem_pair_cos():
     )
 
 
+def _pair_cos_batched(cand: DataFrame, keep: list[str]) -> DataFrame:
+    """(keep..., cos): the candidate pair cosine evaluated as Arrow
+    batches through numpy instead of the JVM higher-order aggregate —
+    Spark never codegens lambda functions, so ``_sem_pair_cos`` evaluates
+    interpreted at ~15 µs/pair, three times the cost of the band join
+    that produced the pair (measured; guide §4.2: hand whole batches to
+    vectorized native code). Only the four pair columns plus ``keep``
+    cross the Python boundary, and only (keep..., cos) come back. The
+    raw dot/denominator come back UNROUNDED and the shared ROUND(…,4) +
+    -1.0 zero-norm sentinel are applied in Spark, so the rounding
+    semantics are exactly ``_sem_pair_cos``'s; einsum's pairwise
+    summation differs from the sequential fold by ≲1 ULP, inside the
+    ROUND(4) tolerance this family's oracle already grants cosines
+    (values the engines compute via different internal algorithms)."""
+    from kinesis_test_spark.operators.similarity import DIM
+
+    fields = {f.name: f.dataType.simpleString() for f in cand.schema.fields}
+    out_schema = ", ".join(
+        [f"{k} {fields[k]}" for k in keep] + ["cos_raw double"]
+    )
+
+    def cos_batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            a = np.asarray(
+                batch.column("ea").flatten(), dtype=np.float64
+            ).reshape(n, DIM)
+            b = np.asarray(
+                batch.column("eb").flatten(), dtype=np.float64
+            ).reshape(n, DIM)
+            dots = np.einsum("ij,ij->i", a, b)
+            na = batch.column("na").to_numpy(zero_copy_only=False)
+            nb = batch.column("nb").to_numpy(zero_copy_only=False)
+            denom = na * nb
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / denom
+            # try_divide semantics: a zero denominator is NULL (the Spark
+            # side coalesces it to the -1.0 zero-norm sentinel)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(k) for k in keep]
+                + [pa.array(cos, type=pa.float64(), mask=denom == 0.0)],
+                keep + ["cos_raw"],
+            )
+
+    return (
+        cand.select(*keep, "ea", "eb", "na", "nb")
+        .mapInArrow(cos_batches, out_schema)
+        .select(
+            *keep,
+            F.round(F.coalesce(F.col("cos_raw"), F.lit(-1.0)), 4).alias("cos"),
+        )
+    )
+
+
 def _sem_dropped(ranked: DataFrame) -> DataFrame:
     """vec_ids dropped by the banded more-keepable-near-dup rule."""
     return (
-        _sem_candidates(ranked)
-        .filter(_sem_pair_cos() >= SEM_DUP_THRESHOLD)
+        _pair_cos_batched(_sem_candidates(ranked), ["vec_id"])
+        .filter(F.col("cos") >= SEM_DUP_THRESHOLD)
         .select("vec_id")
         .distinct()
     )
@@ -1905,13 +1964,16 @@ def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the verdict join (same discipline as the base operator)
     uni_ranked = truncate_lineage(uni.withColumn("rn", F.row_number().over(w)))
     dropped = (
-        _sem_candidates(
-            uni_ranked,
-            a_side=uni_ranked.filter(F.col("is_new")),
-            b_side=uni_ranked.filter(~F.col("is_new")),
-            bidirectional=True,
+        _pair_cos_batched(
+            _sem_candidates(
+                uni_ranked,
+                a_side=uni_ranked.filter(F.col("is_new")),
+                b_side=uni_ranked.filter(~F.col("is_new")),
+                bidirectional=True,
+            ),
+            ["vec_id"],
         )
-        .filter(_sem_pair_cos() >= SEM_DUP_THRESHOLD)
+        .filter(F.col("cos") >= SEM_DUP_THRESHOLD)
         .select("vec_id")
         .distinct()
         .withColumn("is_dropped", F.lit(True))
@@ -2007,10 +2069,14 @@ def q_dedup_semantic_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    pairs_all = t_a.join(
-        t_b, (F.col("cid") == F.col("cid_b")) & (F.col("vec_id") < F.col("vec_b"))
-    ).select(_sem_pair_cos().alias("cos"))
-    pairs_band = _sem_candidates(ranked).select(_sem_pair_cos().alias("cos"))
+    pairs_all = _pair_cos_batched(
+        t_a.join(
+            t_b,
+            (F.col("cid") == F.col("cid_b")) & (F.col("vec_id") < F.col("vec_b")),
+        ),
+        [],
+    ).select("cos")
+    pairs_band = _pair_cos_batched(_sem_candidates(ranked), []).select("cos")
 
     def dial(label: str, thr: float) -> DataFrame:
         pred = pairs_band.filter(F.col("cos") >= thr).agg(
