@@ -292,6 +292,7 @@ def minhash_pairs(
     n_bands: int = N_BANDS,
     threshold: float = MINHASH_THRESHOLD,
     bucket_cap: int | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs over a (doc_id, s) shingle frame.
 
@@ -325,7 +326,15 @@ def minhash_pairs(
     collapsed by the map-side combine to |docs| rows before the exchange.
     The only other shuffle is the band-key self-join; no pairwise work
     outside colliding buckets."""
-    bands = minhash_bands(minhash_signatures(sh, n_seeds), n_seeds, n_bands)
+    # ``sig`` lets a caller that derives SEVERAL band layouts from one
+    # signature relation (q_dedup_eval's two dials) pass a materialized
+    # copy: the signature aggregate is dial-independent AND feeds both
+    # legs of the bucket self-join, which Spark does not recognize as a
+    # reusable exchange — without materialization it executes once per
+    # leg per dial (4× in the eval; measured 2× end-to-end).
+    bands = minhash_bands(
+        minhash_signatures(sh, n_seeds) if sig is None else sig, n_seeds, n_bands
+    )
     matches = F.size(
         F.filter(
             F.sequence(F.lit(1), F.lit(n_seeds)),
@@ -1273,7 +1282,11 @@ def q_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set (threshold 0 — every collision) with the inverted-index
     intersection via a left join (candidates sharing no post-cap shingle
     verify to 0)."""
-    est = minhash_pairs(_spark_shingles(spark, sf_dir), threshold=0.0)
+    sh = _spark_shingles(spark, sf_dir)
+    # signature materialized once — it feeds both legs of the bucket
+    # self-join, which Spark does not recognize as a reusable exchange
+    # (see minhash_pairs' sig parameter)
+    est = minhash_pairs(sh, threshold=0.0, sig=truncate_lineage(minhash_signatures(sh)))
     kept = _kept_shingles(spark, sf_dir)
     exact = _jaccard_from_kept(kept).select("doc_a", "doc_b", "jaccard")
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -2174,6 +2187,31 @@ PR_DAMPING = 0.85
 PR_ITERATIONS = 3
 
 
+def order_item_pairs(li: DataFrame) -> DataFrame:
+    """(l_orderkey, pa, pb): within-order distinct item pairs (pa < pb),
+    one row per (order, pair) — the co-purchase edge generator shared by
+    q_graph_pagerank / q_graph_triangles / q_basket_rules. Computed
+    GROUP-LOCALLY: one shuffle on the order key, collect_set per order,
+    k² pair explode in-row (k = lines per order, spec-bounded) — the
+    equivalent lineitem self-join shuffles the relation a second time
+    and materializes the join, measured 1.5× slower at sf0.1 with
+    identical output. NULL l_partkey never pairs in either form
+    (collect_set drops NULLs; the join's < predicate rejects them)."""
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, x -> filter(transform(ps, "
+                "y -> IF(x < y, struct(x AS pa, y AS pb), null)), "
+                "p -> p IS NOT NULL)))"
+            )
+        ).alias("p"),
+    ).select("l_orderkey", F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+
+
 def _pagerank_oracle() -> str:
     base = f"""
 WITH pairs AS (
@@ -2223,19 +2261,21 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit. N joins in as a broadcast 1-row aggregate (no driver
     collect). Nodes are pair endpoints — degree ≥ 1, no dangling mass."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    b = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb")
+    pairs = order_item_pairs(li).select("pa", "pb").distinct()
+    # materialized ONCE: the pair-generator edge build otherwise
+    # re-executes inside every iteration's contrib join (3×) and the
+    # degree/N subtrees (the r11/r12 fan-out class, which this operator
+    # had never received). deg likewise feeds every iteration's rank
+    # join plus the N aggregate.
+    edges = truncate_lineage(
+        pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+            pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+        )
     )
-    pairs = (
-        li.join(b, (li.l_orderkey == b.o2) & (li.l_partkey < b.pb))
-        .select(F.col("l_partkey").alias("pa"), "pb")
-        .distinct()
-    )
-    edges = pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
-        pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
-    )
-    deg = edges.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
+    deg = truncate_lineage(
+        edges.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("d")
+        )
     )
     nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     ranks = deg.crossJoin(F.broadcast(nn)).select(
@@ -2334,14 +2374,11 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") >= TRI_MIN_QTY)
         .select("l_orderkey", "l_partkey")
     )
-    b = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb"))
     # Materialize the distinct edge list: it feeds the orientation join's
     # left leg plus both degree lookups (and deg itself reads it twice) —
-    # without the cut the lineitem self-join would run five times.
+    # without the cut the pair generator would run five times.
     pairs = truncate_lineage(
-        li.join(b, (li.l_orderkey == b.o2) & (li.l_partkey < b.pb))
-        .select(F.col("l_partkey").alias("pa"), "pb")
-        .distinct()
+        order_item_pairs(li).select("pa", "pb").distinct()
     )
     deg = (
         pairs.select(F.col("pa").alias("node"))
@@ -2570,9 +2607,14 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("t_a"), F.col("doc_b").alias("t_b")
     )
     n_truth_df = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    # the signature relation is dial-independent — materialized once and
+    # shared by both dials' band layouts instead of executing the
+    # 8-seed-min aggregate once per join leg per dial (measured 2×
+    # end-to-end; see minhash_pairs' sig parameter)
+    sig = truncate_lineage(minhash_signatures(sh))
 
     def dial(name: str, n_bands: int) -> DataFrame:
-        pred = minhash_pairs(sh, n_bands=n_bands).select("doc_a", "doc_b")
+        pred = minhash_pairs(sh, n_bands=n_bands, sig=sig).select("doc_a", "doc_b")
         joined = pred.join(
             truth,
             (pred.doc_a == F.col("t_a")) & (pred.doc_b == F.col("t_b")),

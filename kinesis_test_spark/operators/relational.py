@@ -1739,10 +1739,11 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").cast("bigint").alias("n")
     )
     item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
-    b = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2"))
+    from kinesis_test_spark.operators.dedup import order_item_pairs
+
     pair = (
-        li.join(b, (li.l_orderkey == b.o2) & (li.l_partkey < b.p2))
-        .groupBy(F.col("l_partkey").alias("p1"), "p2")
+        order_item_pairs(li)
+        .groupBy(F.col("pa").alias("p1"), F.col("pb").alias("p2"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
         .filter(F.col("n_pair") >= BASKET_MIN_SUPPORT)
     )

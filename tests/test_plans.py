@@ -515,7 +515,16 @@ def test_graph_triangles_oriented_materialized_no_cartesian(spark, sf_dir):
     plan = plans.formatted(q("q_graph_triangles", spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") == 0
-    assert plan.count("SortMergeJoin Inner") >= 1
+    # the wedge/closing joins must be EQUI joins; the strategy is the
+    # planner's call from the materialized edge stats (sort-merge on a
+    # big edge list, broadcast-hash when the oriented relation fits —
+    # the r14 group-local pair build shrank the estimate at gate scale)
+    assert (
+        plan.count("SortMergeJoin Inner")
+        + plan.count("ShuffledHashJoin Inner")
+        + plan.count("BroadcastHashJoin Inner")
+        >= 1
+    )
 
 
 def test_sample_importance_broadcast_max_no_fact_shuffle(spark, sf_dir):
