@@ -1062,22 +1062,21 @@ def min_label_components(edges: DataFrame, roster: DataFrame) -> DataFrame:
             .groupBy(F.col("u").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # the changed flag rides the checkpointed relation itself (labels
+        # only ever decrease, so changed ⟺ a neighbor min undercuts the
+        # own label) — detecting convergence by re-joining new vs old
+        # labels cost one extra shuffle join per round
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("chg"),
             )
         )
         new_labels = truncate_lineage(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             break
     if changed != 0:
@@ -2742,11 +2741,17 @@ def _substring_wins(spark: SparkSession, sf_dir: str, pred=None) -> DataFrame:
     batch — O(new) per run; the standing-index build windows only the
     standing corpus)."""
     d = (
-        # partitions=32: the explode+md5 is the CPU-heavy hot map and the
-        # single-row-group test fixture would hand it ONE scan task
-        # (CLAUDE.md gotcha); at scale the repartition is the same
-        # doc_id exchange the identity dedup needs anyway
-        unique_docs(spark, sf_dir, cols=["doc_id", "text"], partitions=32)
+        # repartition to the session parallelism: the explode+md5 is the
+        # CPU-heavy hot map and the single-row-group test fixture would
+        # hand it ONE scan task (CLAUDE.md gotcha); at scale the
+        # repartition is the same doc_id exchange the identity dedup
+        # needs anyway
+        unique_docs(
+            spark,
+            sf_dir,
+            cols=["doc_id", "text"],
+            partitions=spark.sparkContext.defaultParallelism,
+        )
         .select("doc_id", F.split("text", " ").alias("w"))
         .where(F.size("w") >= SUBSTR_W)
     )

@@ -471,7 +471,12 @@ def q_mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kinesis_test_spark.operators.png_py import decode_png, encode_png
 
-    d = unique_docs(spark, sf_dir, cols=["doc_id"], partitions=8)
+    d = unique_docs(
+        spark,
+        sf_dir,
+        cols=["doc_id"],
+        partitions=spark.sparkContext.defaultParallelism,
+    )
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -543,7 +548,12 @@ def q_mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kinesis_test_spark.operators.wav_py import decode_wav, encode_wav
 
-    d = unique_docs(spark, sf_dir, cols=["doc_id"], partitions=8)
+    d = unique_docs(
+        spark,
+        sf_dir,
+        cols=["doc_id"],
+        partitions=spark.sparkContext.defaultParallelism,
+    )
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -608,7 +618,12 @@ def q_mm_framepack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kinesis_test_spark.operators.png_py import decode_png, encode_png
 
-    d = unique_docs(spark, sf_dir, cols=["doc_id"], partitions=8)
+    d = unique_docs(
+        spark,
+        sf_dir,
+        cols=["doc_id"],
+        partitions=spark.sparkContext.defaultParallelism,
+    )
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

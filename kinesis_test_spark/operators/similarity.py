@@ -62,8 +62,23 @@ def assign_cells(v, cent, cols: list[str]):
     `sim DESC, cid ASC` exactly. ``cols`` are the per-vector payload
     columns carried through (always includes ``e``); the argmax'd ``cid``
     and its ``sim`` are appended."""
-    scored = v.crossJoin(cent).select(
-        "vec_id", *cols, "cid", cosine(F.col("e"), F.col("ce")).alias("sim")
+    # norms precomputed once per vector / per centroid before the n×k
+    # score join (the q_dedup_embedding rule): cosine() inline would
+    # re-fold sqrt(dot(u,u)) and sqrt(dot(v,v)) per PAIR — higher-order
+    # folds are interpreted, so that triples the per-pair cost. The
+    # assembled expression is bit-identical (same values, same multiply
+    # order as cosine()).
+    vn = v.withColumn("_nu", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    cn = cent.withColumn("_nc", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+    sim = F.round(
+        F.coalesce(
+            F.try_divide(_dot(F.col("e"), F.col("ce")), F.col("_nu") * F.col("_nc")),
+            F.lit(-1.0),
+        ),
+        6,
+    )
+    scored = vn.crossJoin(cn).select(
+        "vec_id", *cols, "cid", sim.alias("sim")
     )
     payload = F.struct(*[F.col(c) for c in cols], "cid", "sim")
     return (
@@ -1318,7 +1333,12 @@ def q_emb_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors quarantine through the shared NULL→-1.0 sentinel; an
     all-zero reconstruction hits DuckDB's native -1.0 zero-norm return,
     which Spark's cosine() mirrors."""
-    v = _vectors(spark, sf_dir).select("vec_id", "e")
+    # materialized once: v fans out to the scale aggregate, the
+    # reconstruction, the query-vector broadcast, and (via rec) the error
+    # bound and both rankings — the same fan-out its q_index_versioned
+    # sibling checkpoints (r14 review); ~5 executions of the identity-
+    # grain dedup pipeline without it.
+    v = truncate_lineage(_vectors(spark, sf_dir).select("vec_id", "e"))
     s_df = F.broadcast(
         v.filter(F.col("e").isNotNull()).agg(
             F.max(F.array_max(F.transform("e", F.abs))).alias("s")
