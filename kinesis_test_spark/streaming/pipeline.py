@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import shutil
 import uuid
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -194,6 +195,39 @@ def stage_far_future_sentinels(
         stage,
         name,
     )
+
+
+def state_partitions_for(path: Path | str, bytes_per_partition: int = 64 << 20) -> int:
+    """State-store partition count derived from the INPUT VOLUME a
+    stateful stream will consume — every state partition is a live store
+    instance (RocksDB here) paying open/commit/changelog per micro-batch,
+    and the count locks in at the first batch forever. Sizing it to the
+    data instead of the session's core count is the difference between a
+    6 MB fixture paying 32 idle RocksDB instances (measured 3-5 s/batch
+    of pure commit machinery on s_ingest — 5 state rows!) and a 100 TB
+    stream deriving the thousands of partitions its state actually
+    needs. ``path`` may be a file or a directory of part files."""
+    p = Path(path)
+    if p.is_dir():
+        total = sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+    elif p.exists():
+        total = p.stat().st_size
+    else:
+        total = 0
+    return max(1, -(-total // bytes_per_partition))
+
+
+@contextmanager
+def sized_state(spark: SparkSession, n_partitions: int):
+    """Set spark.sql.shuffle.partitions around a streaming START (the
+    stateful operator reads it once, at first-batch planning) and restore
+    it for the rest of the session."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def run_to_memory(df: DataFrame, name: str, checkpoint: Path, output_mode: str = "append") -> None:

@@ -53,7 +53,16 @@ def s_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = scratch_dir("s_ingest")
     name = _mem_name("ingest")
     counts = read_events_stream(spark, sf_dir).groupBy("event_type").agg(F.count("*").alias("n"))
-    run_to_memory(counts, name, d / "cp", output_mode="complete")
+    # state partitions sized to the input volume, not the core count —
+    # every state partition is a live RocksDB instance per micro-batch
+    # (see pipeline.state_partitions_for; measured 3-5 s of commit
+    # machinery for 5 state rows at the session default)
+    from pathlib import Path as _P
+
+    from kinesis_test_spark.streaming.pipeline import sized_state, state_partitions_for
+
+    with sized_state(spark, state_partitions_for(_P(sf_dir) / "events.parquet")):
+        run_to_memory(counts, name, d / "cp", output_mode="complete")
     return spark.table(name)
 
 
@@ -994,14 +1003,11 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unaffected: it runs in the scan stage, whose parallelism is the
     # staged file count above.
     from kinesis_test_spark.operators.dedup import N_BANDS
+    from kinesis_test_spark.streaming.pipeline import sized_state
 
     n_state = max(1, -(-(n_docs * N_BANDS) // 500_000))
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
-    try:
+    with sized_state(spark, n_state):
         run_to_memory(winners, name, cp, output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     won = spark.table(name)
     batch_bands = rowlocal_minhash_bands(u)
