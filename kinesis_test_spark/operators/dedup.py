@@ -216,7 +216,7 @@ def minhash_bands(
 # (map-side combine collapses |shingles| to |docs| before the exchange),
 # but an AGGREGATION, which a streaming query cannot chain under another
 # stateful operator.  The row-local form computes the identical signature
-# inside array expressions (split → transform → array_min), so a stream
+# inside array expressions (split → slice/zip_with → array_min), so a stream
 # can derive band keys with zero state and spend its one stateful stage
 # on the gate itself (s_dedup_near).  Shingle strings match
 # _build_shingles exactly (word 3-grams over the literal-space split).
