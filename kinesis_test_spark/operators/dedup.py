@@ -183,6 +183,21 @@ def minhash_signatures(sh: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
     )
 
 
+def _spark_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig): the default-dial MinHash signature relation over the
+    session shingles — session-cached (r14 VERDICT #5): the signature
+    aggregate is dial- and leg-independent but feeds BOTH legs of every
+    band-bucket self-join (an exchange Spark does not recognize as
+    reusable), so q_dedup_minhash / q_dedup_verify / q_dedup_eval share
+    ONE materialization per (session, sf_dir) instead of each executing
+    (or re-checkpointing) the 8-seed aggregate themselves."""
+    return _session_cached(
+        spark,
+        ("minhash_sig", str(sf_dir), N_SEEDS),
+        lambda: minhash_signatures(_spark_shingles(spark, sf_dir)),
+    )
+
+
 def minhash_bands(
     sig: DataFrame, n_seeds: int = N_SEEDS, n_bands: int = N_BANDS
 ) -> DataFrame:
@@ -332,6 +347,22 @@ def minhash_pairs(
     # legs of the bucket self-join, which Spark does not recognize as a
     # reusable exchange — without materialization it executes once per
     # leg per dial (4× in the eval; measured 2× end-to-end).
+    if sig is not None:
+        # a pre-built signature must carry exactly this call's n_seeds —
+        # a longer array would mis-band/mis-match SILENTLY (banding and
+        # the matches expression slice the first n_seeds positions), a
+        # shorter one would error far from the cause (r14 ADVICE). One
+        # int comparison per row in codegen; raises loudly on mismatch.
+        sig = sig.withColumn(
+            "sig",
+            F.when(F.size("sig") == n_seeds, F.col("sig")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"minhash_pairs: pre-built sig length != n_seeds={n_seeds}"
+                    )
+                )
+            ),
+        )
     bands = minhash_bands(
         minhash_signatures(sh, n_seeds) if sig is None else sig, n_seeds, n_bands
     )
@@ -392,8 +423,12 @@ def minhash_pairs(
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs at the default dial (8 seeds, 4 bands of
     2 rows, threshold 0.5) — see minhash_pairs for the plan shape and the
-    bands/rows recall-vs-cost tradeoff."""
-    return minhash_pairs(_spark_shingles(spark, sf_dir))
+    bands/rows recall-vs-cost tradeoff. The signature relation comes from
+    the session cache (_spark_signatures), so the aggregate runs once per
+    session and the bucket self-join's two legs read the persisted copy."""
+    return minhash_pairs(
+        _spark_shingles(spark, sf_dir), sig=_spark_signatures(spark, sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1282,10 +1317,11 @@ def q_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection via a left join (candidates sharing no post-cap shingle
     verify to 0)."""
     sh = _spark_shingles(spark, sf_dir)
-    # signature materialized once — it feeds both legs of the bucket
+    # signature from the session cache — it feeds both legs of the bucket
     # self-join, which Spark does not recognize as a reusable exchange
-    # (see minhash_pairs' sig parameter)
-    est = minhash_pairs(sh, threshold=0.0, sig=truncate_lineage(minhash_signatures(sh)))
+    # (see minhash_pairs' sig parameter), and the relation itself is
+    # shared with q_dedup_minhash / q_dedup_eval
+    est = minhash_pairs(sh, threshold=0.0, sig=_spark_signatures(spark, sf_dir))
     kept = _kept_shingles(spark, sf_dir)
     exact = _jaccard_from_kept(kept).select("doc_a", "doc_b", "jaccard")
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -2195,9 +2231,16 @@ def order_item_pairs(li: DataFrame) -> DataFrame:
     equivalent lineitem self-join shuffles the relation a second time
     and materializes the join, measured 1.5× slower at sf0.1 with
     identical output. NULL l_partkey never pairs in either form
-    (collect_set drops NULLs; the join's < predicate rejects them)."""
-    per_order = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
+    (collect_set drops NULLs; the join's < predicate rejects them), and
+    NULL l_orderkey rows are quarantined explicitly: groupBy keeps NULL
+    keys as ONE group, so identity-less lines would otherwise collapse
+    into a single pseudo-order and pair with each other — edges the
+    self-join form (and every consumer's oracle) never emits (r14
+    ADVICE; the identity-grain NULL-key class)."""
+    per_order = (
+        li.filter(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
     )
     return per_order.select(
         "l_orderkey",
@@ -2260,32 +2303,57 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit. N joins in as a broadcast 1-row aggregate (no driver
     collect). Nodes are pair endpoints — degree ≥ 1, no dangling mass."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = order_item_pairs(li).select("pa", "pb").distinct()
-    # materialized ONCE: the pair-generator edge build otherwise
-    # re-executes inside every iteration's contrib join (3×) and the
-    # degree/N subtrees (the r11/r12 fan-out class, which this operator
-    # had never received). deg likewise feeds every iteration's rank
-    # join plus the N aggregate.
-    edges = truncate_lineage(
-        pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
-            pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
-        )
+    # materialized ONCE, at the PAIR grain: the pair-generator edge build
+    # otherwise re-executes inside every iteration's contrib join (3×)
+    # and the degree/N subtrees (the r11/r12 fan-out class, which this
+    # operator had never received). Checkpointing BEFORE the
+    # both-directions union matters: a union of the pair subtree with
+    # itself puts that subtree in the plan twice, so the
+    # checkpoint-the-union form executed the collect_set + explode +
+    # distinct pipeline TWICE inside one job (measured ~0.5-2 s at
+    # sf0.1); the union of two checkpoint READS is map-side free. deg
+    # likewise feeds every iteration's rank join; nn is checkpointed so
+    # the per-iteration broadcast reads one tiny file instead of
+    # re-aggregating deg.
+    pairs = truncate_lineage(order_item_pairs(li).select("pa", "pb").distinct())
+    edges = pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+        pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
     deg = truncate_lineage(
         edges.groupBy(F.col("u").alias("node")).agg(
             F.count(F.lit(1)).cast("bigint").alias("d")
         )
     )
-    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    nn = truncate_lineage(deg.agg(F.count(F.lit(1)).cast("bigint").alias("n")))
     ranks = deg.crossJoin(F.broadcast(nn)).select(
         "node", "d", "n", (F.lit(1.0) / F.col("n")).alias("r")
     )
     tele = round(1 - PR_DAMPING, 6)
     for _ in range(PR_ITERATIONS):
+        # contribution PRE-DIVIDED per source node before the edge join
+        # (guide §2.3: shuffle fewer bytes / compute once): the quantized
+        # r/d term is a per-NODE value, so evaluating it on the |nodes|
+        # rank relation instead of inside the |edges| join projection
+        # computes it once per node (not once per edge) and the join
+        # carries one decimal instead of (d, r) — value-identical, the
+        # decimal sum is order-independent either way. Join strategy
+        # chosen deliberately (guide §3): the rank side's crossJoin-
+        # with-nn wrecks its size estimate (crossJoin stats multiply raw
+        # byte counts), so the planner was BROADCASTING THE EDGES —
+        # a |E|-row driver-side hash build per iteration, the wrong side
+        # at every scale where |E| > |V| (always, for co-purchase
+        # graphs). SHUFFLE_HASH on the rank side hash-shuffles both
+        # legs and builds from |V|/P rows per partition — no giant
+        # broadcast locally (measured 4.9 s → 2.2 s for the 3-iteration
+        # tail at sf0.1) and memory-safe at 100 TB where |V| outgrows
+        # any broadcast threshold.
         contrib = edges.join(
-            ranks.select(F.col("node").alias("src"), "d", "r"),
+            ranks.select(
+                F.col("node").alias("src"),
+                cents(F.col("r") / F.col("d"), 18).cast("decimal(28,0)").alias("term"),
+            ).hint("shuffle_hash"),
             F.col("u") == F.col("src"),
-        ).select("v", cents(F.col("r") / F.col("d"), 18).cast("decimal(28,0)").alias("term"))
+        ).select("v", "term")
         summed = contrib.groupBy(F.col("v").alias("node")).agg(
             (F.sum("term").cast("double") / F.lit(1.0e18)).alias("nbr_sum")
         )
@@ -2606,11 +2674,12 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("t_a"), F.col("doc_b").alias("t_b")
     )
     n_truth_df = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
-    # the signature relation is dial-independent — materialized once and
-    # shared by both dials' band layouts instead of executing the
-    # 8-seed-min aggregate once per join leg per dial (measured 2×
-    # end-to-end; see minhash_pairs' sig parameter)
-    sig = truncate_lineage(minhash_signatures(sh))
+    # the signature relation is dial-independent — the SESSION-cached copy
+    # is shared by both dials' band layouts (and by q_dedup_minhash /
+    # q_dedup_verify) instead of executing the 8-seed-min aggregate once
+    # per join leg per dial (measured 2× end-to-end; see minhash_pairs'
+    # sig parameter)
+    sig = _spark_signatures(spark, sf_dir)
 
     def dial(name: str, n_bands: int) -> DataFrame:
         pred = minhash_pairs(sh, n_bands=n_bands, sig=sig).select("doc_a", "doc_b")

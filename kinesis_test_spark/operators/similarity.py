@@ -1418,6 +1418,26 @@ def _sq8_codes(v: DataFrame) -> DataFrame:
     )
 
 
+def _sq8_codes_from_scale(
+    rows: DataFrame, scales: DataFrame, s_col: str
+) -> DataFrame:
+    """``_sq8_codes`` with the scale supplied as a pre-aggregated 1-row
+    relation instead of re-aggregated per call — q_index_versioned
+    computes BOTH generations' scales in one aggregate and lands the
+    generations concurrently (r14 VERDICT #6). The quantize expression is
+    byte-identical to ``_sq8_codes``'s (pinned in
+    tests/test_dedup_near.py)."""
+    return rows.crossJoin(
+        F.broadcast(scales.select(F.col(s_col).alias("s")))
+    ).select(
+        "vec_id",
+        F.transform(
+            "e", lambda x: _sq8_quant(x, F.col("s")).cast("int")
+        ).alias("codes"),
+        "s",
+    )
+
+
 def _index_versioned_gen_sql(src: str, alias: str) -> str:
     """One generation's reconstruct + top-k rank CTEs (gen relation
     ``src`` must expose (vec_id, e)); emits CTEs ``s_{alias}``,
@@ -1496,7 +1516,43 @@ def q_index_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = truncate_lineage(_vectors(spark, sf_dir).select("vec_id", "e"))
 
-    _land_single(_sq8_codes(v.filter(F.expr("vec_id % 2 = 0"))), tdir / "codes_g1.parquet")
+    # ONE aggregate computes BOTH generations' scales (they differ only
+    # in scope: g1 = the even-vec_id backfill, g2 = the full corpus) and
+    # is checkpointed so each generation's code build reads the 1-row
+    # result instead of re-executing the max — and the two generation
+    # landings are independent until the commits, so they run
+    # CONCURRENTLY (guide §2.6: overlap independent jobs; the second
+    # job's tasks back-fill the first's tail). The commits stay ordered
+    # afterwards: the log is still g1 = version 0, g2 = version 1.
+    # Values are identical to the per-generation _sq8_codes form: the
+    # conditional max over the full relation equals the max over the
+    # filtered relation, and the quantize expression is unchanged.
+    val = v.filter(F.col("e").isNotNull())
+    _maxabs = F.array_max(F.transform("e", F.abs))
+    scales = truncate_lineage(
+        val.agg(
+            F.max(F.when(F.expr("vec_id % 2 = 0"), _maxabs)).alias("s_g1"),
+            F.max(_maxabs).alias("s_g2"),
+        )
+    )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        g1 = pool.submit(
+            _land_single,
+            _sq8_codes_from_scale(
+                val.filter(F.expr("vec_id % 2 = 0")), scales, "s_g1"
+            ),
+            tdir / "codes_g1.parquet",
+        )
+        g2 = pool.submit(
+            _land_single,
+            _sq8_codes_from_scale(val, scales, "s_g2"),
+            tdir / "codes_g2.parquet",
+        )
+        g1.result()
+        g2.result()
     commit(
         tdir,
         adds=["codes_g1.parquet"],
@@ -1504,7 +1560,6 @@ def q_index_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=[["vec_id", "BIGINT"], ["codes", "ARRAY<INT>"], ["s", "DOUBLE"]],
         meta={"generation": 1, "scope": "even-vec_id backfill"},
     )
-    _land_single(_sq8_codes(v), tdir / "codes_g2.parquet")
     commit(
         tdir,
         adds=["codes_g2.parquet"],

@@ -197,7 +197,11 @@ def stage_far_future_sentinels(
     )
 
 
-def state_partitions_for(path: Path | str, bytes_per_partition: int = 64 << 20) -> int:
+def state_partitions_for(
+    spark: SparkSession,
+    path: Path | str,
+    bytes_per_partition: int = 64 << 20,
+) -> int:
     """State-store partition count derived from the INPUT VOLUME a
     stateful stream will consume — every state partition is a live store
     instance (RocksDB here) paying open/commit/changelog per micro-batch,
@@ -206,14 +210,21 @@ def state_partitions_for(path: Path | str, bytes_per_partition: int = 64 << 20) 
     6 MB fixture paying 32 idle RocksDB instances (measured 3-5 s/batch
     of pure commit machinery on s_ingest — 5 state rows!) and a 100 TB
     stream deriving the thousands of partitions its state actually
-    needs. ``path`` may be a file or a directory of part files."""
-    p = Path(path)
-    if p.is_dir():
-        total = sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
-    elif p.exists():
-        total = p.stat().st_size
-    else:
-        total = 0
+    needs. ``path`` may be a file or a directory of part files, on ANY
+    filesystem Spark itself can read (file:, hdfs://, s3a://, ...): the
+    volume comes from Hadoop's FileSystem listing, not the driver's
+    local disk (r14 VERDICT #3 — the local ``Path.stat`` form silently
+    returned 1 partition for a remote ``sf_dir``, the wrong direction at
+    100 TB). A path that does not exist raises instead of under-sizing."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(str(path))
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise FileNotFoundError(
+            f"state_partitions_for: input path does not exist on its "
+            f"filesystem: {path}"
+        )
+    total = fs.getContentSummary(hpath).getLength()
     return max(1, -(-total // bytes_per_partition))
 
 
@@ -221,7 +232,15 @@ def state_partitions_for(path: Path | str, bytes_per_partition: int = 64 << 20) 
 def sized_state(spark: SparkSession, n_partitions: int):
     """Set spark.sql.shuffle.partitions around a streaming START (the
     stateful operator reads it once, at first-batch planning) and restore
-    it for the rest of the session."""
+    it for the rest of the session.
+
+    SINGLE-THREADED-SESSION REQUIREMENT (r14 ADVICE): this mutates the
+    session-global conf for the duration of the with-block, so any OTHER
+    query planned on the same SparkSession inside the block (an
+    overlapping batch action, a second stream start) silently inherits
+    the tiny shuffle-partition count. Current call sites block on
+    run_to_memory single-threaded; a caller that needs concurrency must
+    scope the conf via a cloned session (spark.newSession()) instead."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
     try:

@@ -56,12 +56,13 @@ def s_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state partitions sized to the input volume, not the core count —
     # every state partition is a live RocksDB instance per micro-batch
     # (see pipeline.state_partitions_for; measured 3-5 s of commit
-    # machinery for 5 state rows at the session default)
-    from pathlib import Path as _P
-
+    # machinery for 5 state rows at the session default). The path is a
+    # plain string join, not pathlib (pathlib would collapse an
+    # hdfs://host double slash; the sizing helper lists it through
+    # Hadoop's FileSystem either way).
     from kinesis_test_spark.streaming.pipeline import sized_state, state_partitions_for
 
-    with sized_state(spark, state_partitions_for(_P(sf_dir) / "events.parquet")):
+    with sized_state(spark, state_partitions_for(spark, f"{sf_dir}/events.parquet")):
         run_to_memory(counts, name, d / "cp", output_mode="complete")
     return spark.table(name)
 
@@ -972,7 +973,15 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         # staged as one file per core, not the single file the global
         # row_number window leaves behind: the micro-batch scan's split
         # count IS the band-compute parallelism (the md5-heavy signature
-        # work otherwise serializes onto one task — guide §2.5 input skew)
+        # work otherwise serializes onto one task — guide §2.5 input skew).
+        # SINGLE-BATCH ASSUMPTION (r14 ADVICE): this round-robin
+        # repartition destroys the 'arrival ts monotone in doc_id'
+        # property — early-ts rows land in arbitrary files. Correct
+        # because the whole stage (~cores+1 files, no maxFilesPerTrigger
+        # set) is consumed in ONE AvailableNow micro-batch, so the 1-hour
+        # watermark only advances after every row is in state; if this
+        # source is ever split into multiple batches, rows older than
+        # watermark-1h would be dropped and winners would change.
     ).repartition(spark.sparkContext.defaultParallelism)
     sentinel = spark.createDataFrame(
         [(-(1 << 60), "wmsentinelxa wmsentinelxb wmsentinelxc",

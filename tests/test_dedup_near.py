@@ -118,3 +118,36 @@ def test_index_versioned_isolation_and_roundtrip(spark, tmp_path):
         got = [tuple(r) for r in back.orderBy("vec_id").collect()]
         want = [tuple(r) for r in direct.orderBy("vec_id").collect()]
         assert got == want and len(got) > 0
+
+
+def test_index_versioned_shared_scale_matches_per_generation_codes(spark):
+    """r15 optimization pin: q_index_versioned now computes both
+    generations' scales in ONE aggregate and builds codes via
+    _sq8_codes_from_scale (landed concurrently). The relation must be
+    row-identical to the serial per-generation _sq8_codes form for both
+    scopes — the conditional max over the full relation equals the max
+    over the filtered relation, and the quantize expression is shared."""
+    from pyspark.sql import functions as F
+
+    from kinesis_test_spark.operators.similarity import (
+        _sq8_codes,
+        _sq8_codes_from_scale,
+        _vectors,
+    )
+
+    v = _vectors(spark, SF_SRC).select("vec_id", "e")
+    val = v.filter(F.col("e").isNotNull())
+    maxabs = F.array_max(F.transform("e", F.abs))
+    scales = val.agg(
+        F.max(F.when(F.expr("vec_id % 2 = 0"), maxabs)).alias("s_g1"),
+        F.max(maxabs).alias("s_g2"),
+    )
+    pairs = (
+        (_sq8_codes(v.filter("vec_id % 2 = 0")),
+         _sq8_codes_from_scale(val.filter(F.expr("vec_id % 2 = 0")), scales, "s_g1")),
+        (_sq8_codes(v), _sq8_codes_from_scale(val, scales, "s_g2")),
+    )
+    for serial, shared in pairs:
+        assert shared.exceptAll(serial).count() == 0
+        assert serial.exceptAll(shared).count() == 0
+        assert serial.count() > 0

@@ -831,3 +831,23 @@ def test_two_streaming_sinks_one_table_concurrently(spark, sf_dir):
     ]
     zeroes = {m["sink"] for m in metas if m.get("batch_id") == 0}
     assert len(zeroes) == 2
+
+
+def test_state_partitions_for_lists_through_spark_filesystem(spark, sf_dir):
+    """r14 VERDICT #3: state sizing must come from Spark's own (Hadoop)
+    file listing, not the driver's local disk — a remote sf_dir
+    (hdfs://, s3a://) is invisible to local Path.stat and the old form
+    silently collapsed to 1 partition, the wrong direction at 100 TB.
+    Pins: the scheme'd URI and the bare path agree (the listing goes
+    through Hadoop's FileSystem either way), the byte total is real (a
+    1-byte target forces >1 partition), and a missing path raises
+    loudly instead of under-sizing."""
+    from kinesis_test_spark.streaming.pipeline import state_partitions_for
+
+    path = f"{sf_dir}/events.parquet"
+    n_plain = state_partitions_for(spark, path)
+    n_uri = state_partitions_for(spark, f"file:{path}")
+    assert n_plain == n_uri >= 1
+    assert state_partitions_for(spark, path, bytes_per_partition=1) > 1
+    with pytest.raises(FileNotFoundError):
+        state_partitions_for(spark, f"{sf_dir}/no_such_table.parquet")
