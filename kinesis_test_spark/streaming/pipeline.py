@@ -249,17 +249,40 @@ def sized_state(spark: SparkSession, n_partitions: int):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def run_to_memory(df: DataFrame, name: str, checkpoint: Path, output_mode: str = "append") -> None:
-    """Drain the stream (AvailableNow) into an in-memory sink table."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", str(checkpoint))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+def run_to_memory(
+    df: DataFrame,
+    name: str,
+    checkpoint: Path,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
+) -> None:
+    """Drain the stream (AvailableNow) into an in-memory sink table.
+
+    ``state_partitions`` (stateful streams): lock the state-store
+    partition count for this stream via ``sized_state`` — every state
+    partition is a live store instance (RocksDB) paying
+    open/commit/changelog per micro-batch, and the count locks into the
+    checkpoint at the first batch. Callers derive it from the input
+    volume (``state_partitions_for``), never from the session's core
+    count — see the r14 s_ingest measurement (3-5 s/batch of pure
+    commit machinery for 5 state rows at the 32-core default)."""
+
+    def _start() -> None:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", str(checkpoint))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    if state_partitions is not None:
+        with sized_state(df.sparkSession, state_partitions):
+            _start()
+    else:
+        _start()
 
 
 def partitioned_json_sink(df: DataFrame, out_dir: Path, checkpoint: Path) -> None:

@@ -34,13 +34,28 @@ from kinesis_test_spark.streaming.pipeline import (
     read_staged_stream,
     run_to_memory,
     scratch_dir,
+    sized_state,
     stage_events,
     stage_far_future_sentinels,
+    state_partitions_for,
 )
 
 
 def _mem_name(prefix: str) -> str:
     return f"{prefix}_{uuid.uuid4().hex[:8]}"
+
+
+def _evt_state_parts(spark: SparkSession, sf_dir: str) -> int:
+    """State-store partition count for a stateful stream consuming the
+    events table — derived from the INPUT VOLUME via Hadoop's FileSystem
+    listing (pipeline.state_partitions_for), never the session core
+    count. Round 15 extends the r14 s_ingest sizing to EVERY stateful
+    streaming operator: at fixture scale each stream runs one live
+    RocksDB instance instead of 32 idle ones per micro-batch (the
+    dominant per-drain cost — measured 3-5 s/batch of pure commit
+    machinery on 5 state rows), while a 100 TB stream derives the
+    thousands of partitions its state actually needs."""
+    return state_partitions_for(spark, f"{sf_dir}/events.parquet")
 
 
 @query(
@@ -92,7 +107,7 @@ def s_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    run_to_memory(win, name, d / "cp", output_mode="complete")
+    run_to_memory(win, name, d / "cp", output_mode="complete", state_partitions=_evt_state_parts(spark, sf_dir))
     return spark.table(name)
 
 
@@ -122,7 +137,7 @@ def s_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    run_to_memory(win, name, d / "cp", output_mode="complete")
+    run_to_memory(win, name, d / "cp", output_mode="complete", state_partitions=_evt_state_parts(spark, sf_dir))
     return spark.table(name)
 
 
@@ -166,7 +181,7 @@ def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    run_to_memory(win, name, d / "cp", output_mode="complete")
+    run_to_memory(win, name, d / "cp", output_mode="complete", state_partitions=_evt_state_parts(spark, sf_dir))
     return spark.table(name)
 
 
@@ -201,7 +216,7 @@ def s_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_id"])
         .select("event_id", "user_id", "event_type", "ts", "value")
     )
-    run_to_memory(deduped, name, d / "cp", output_mode="append")
+    run_to_memory(deduped, name, d / "cp", output_mode="append", state_partitions=_evt_state_parts(spark, sf_dir))
     return spark.table(name)
 
 
@@ -253,7 +268,7 @@ def s_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = scratch_dir("s_stateful")
     name = _mem_name("stateful")
     counts = read_events_stream(spark, sf_dir).groupBy("user_id").agg(F.count("*").alias("n"))
-    run_to_memory(counts, name, d / "cp", output_mode="update")
+    run_to_memory(counts, name, d / "cp", output_mode="update", state_partitions=_evt_state_parts(spark, sf_dir))
     return spark.table(name)
 
 
@@ -290,17 +305,18 @@ def s_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("window.start").alias("window_start"), "n")
     )
-    q = (
-        windowed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", str(d / "cp"))
-        .start()
-    )
-    q.processAllAvailable()
-    stage_events(spark, sf_dir, stage, "late", where=where_late)
-    q.processAllAvailable()
-    q.stop()
+    with sized_state(spark, _evt_state_parts(spark, sf_dir)):
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(d / "cp"))
+            .start()
+        )
+        q.processAllAvailable()
+        stage_events(spark, sf_dir, stage, "late", where=where_late)
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name)
 
 
@@ -401,7 +417,7 @@ def s_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         (F.sum(cents(finite("value"), 6).cast("decimal(18,0)")).cast("double") / F.lit(1000000.0)).alias("sum_value"),
     )
-    run_to_memory(agg, name, d / "cp", output_mode="complete")
+    run_to_memory(agg, name, d / "cp", output_mode="complete", state_partitions=_evt_state_parts(spark, sf_dir))
     return spark.table(name)
 
 
@@ -473,7 +489,7 @@ def s_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
-    run_to_memory(result, name, d / "cp", output_mode="update")
+    run_to_memory(result, name, d / "cp", output_mode="update", state_partitions=_evt_state_parts(spark, sf_dir))
     return spark.table(name)
 
 
@@ -500,7 +516,7 @@ def s_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         (F.sum(cents(finite("value"), 6).cast("decimal(18,0)")).cast("double") / F.lit(1000000.0)).alias("sum_value"),
     )
-    run_to_memory(agg, name, d / "cp", output_mode="complete")
+    run_to_memory(agg, name, d / "cp", output_mode="complete", state_partitions=_evt_state_parts(spark, sf_dir))
     return spark.table(name)
 
 
@@ -608,7 +624,7 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts_b") > F.col("ts_a"))
         & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
     ).select("a_event_id", "b_event_id", "user_id")
-    run_to_memory(joined, name, d / "cp", output_mode="append")
+    run_to_memory(joined, name, d / "cp", output_mode="append", state_partitions=_evt_state_parts(spark, sf_dir))
     return spark.table(name)
 
 
@@ -697,12 +713,15 @@ def s_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-    stage_events(spark, sf_dir, stage, "events")
-    run_once()
-    stage_sentinel("sentinel_1", hours_ahead=1)
-    run_once()
-    stage_sentinel("sentinel_2", hours_ahead=2)
-    run_once()
+    # stream-stream join = FOUR state stores per partition per batch; the
+    # count locks into the checkpoint at the first drain (_evt_state_parts)
+    with sized_state(spark, _evt_state_parts(spark, sf_dir)):
+        stage_events(spark, sf_dir, stage, "events")
+        run_once()
+        stage_sentinel("sentinel_1", hours_ahead=1)
+        run_once()
+        stage_sentinel("sentinel_2", hours_ahead=2)
+        run_once()
     # Sentinel scrub is by TIME, not id: sentinels sit ≥1h past the real
     # max ts, so "click_ts <= real max" keeps every legal click — including
     # negative-id ones a `click_id >= 0` scrub would silently drop
@@ -754,16 +773,20 @@ def s_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.format("clickstream_synth_stream").load()
     agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
     # processAllAvailable (not AvailableNow): the simple reader advances one
-    # offset-bounded read() per trigger; drain until the offset stops moving
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", str(d / "cp"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    # offset-bounded read() per trigger; drain until the offset stops moving.
+    # State sized to the source's own bounded domain (5 event-type keys over
+    # a fixed 1000-row generator — a constant of the operator, not of the
+    # submitting cluster): one live store instead of 32 per micro-batch.
+    with sized_state(spark, 1):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", str(d / "cp"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name)
 
 
@@ -815,7 +838,12 @@ def s_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id").isNotNull())  # identity quarantine (s_dedup)
         .dropDuplicates(["event_id"])  # record-level (vs consumer.py:292-303)
     )
-    partitioned_json_sink(stream, out, cp)
+    # the dedup is stateful — size its stores from the input volume; the
+    # sink's keyed repartition inside foreachBatch inherits the same
+    # count, which tracks the data in both directions (1 at fixture
+    # scale, thousands at 100 TB)
+    with sized_state(spark, _evt_state_parts(spark, sf_dir)):
+        partitioned_json_sink(stream, out, cp)
     back = spark.read.schema(
         T.StructType(
             schema.fields
@@ -892,7 +920,7 @@ def s_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", "value")
     )
-    run_to_memory(deduped, name, d / "cp", output_mode="append")
+    run_to_memory(deduped, name, d / "cp", output_mode="append", state_partitions=_evt_state_parts(spark, sf_dir))
     return spark.table(name)
 
 
@@ -1180,7 +1208,7 @@ def s_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_start")
         .agg(F.count("user_id").alias("n_users"))
     )
-    run_to_memory(counts, name, d / "cp", output_mode="complete")
+    run_to_memory(counts, name, d / "cp", output_mode="complete", state_partitions=_evt_state_parts(spark, sf_dir))
     return spark.table(name)
 
 
@@ -1228,7 +1256,7 @@ def s_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").start.alias("window_start"), "user_id")
         .agg(F.count("*").alias("n"))
     )
-    run_to_memory(counts, name, d / "cp", output_mode="complete")
+    run_to_memory(counts, name, d / "cp", output_mode="complete", state_partitions=_evt_state_parts(spark, sf_dir))
     from pyspark.sql import Window
 
     w = Window.partitionBy("window_start").orderBy(
@@ -1270,7 +1298,7 @@ def s_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("window.start").alias("window_start"), "event_type", "n")
     )
-    run_to_memory(win, name, d / "cp", output_mode="complete")
+    run_to_memory(win, name, d / "cp", output_mode="complete", state_partitions=_evt_state_parts(spark, sf_dir))
     return spark.table(name).filter(F.col("n") > ALERT_THRESHOLD)
 
 
@@ -1482,7 +1510,7 @@ def s_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = _mem_name("avro_ingest")
-    run_to_memory(stream, name, d / "cp", output_mode="complete")
+    run_to_memory(stream, name, d / "cp", output_mode="complete", state_partitions=_evt_state_parts(spark, sf_dir))
     return spark.table(name)
 
 
@@ -1537,7 +1565,7 @@ def s_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    run_to_memory(win, name, d / "cp", output_mode="complete")
+    run_to_memory(win, name, d / "cp", output_mode="complete", state_partitions=_evt_state_parts(spark, sf_dir))
     return spark.table(name)
 
 
@@ -1566,7 +1594,7 @@ def s_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    run_to_memory(merged, name, d / "cp", output_mode="complete")
+    run_to_memory(merged, name, d / "cp", output_mode="complete", state_partitions=_evt_state_parts(spark, sf_dir))
     return spark.table(name)
 
 
@@ -1806,12 +1834,18 @@ def s_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-    stage_events(spark, sf_dir, stage, "events")
-    run_once()
-    stage_sentinel("sentinel_1", hours_ahead=1)
-    run_once()
-    stage_sentinel("sentinel_2", hours_ahead=2)
-    run_once()
+    # state = one open session per active user — sized from the input
+    # volume (locks into the checkpoint at the first drain); the pandas
+    # state function also runs once per state PARTITION per batch, so the
+    # 32-partition default paid 3 drains × 32 Python-side state tasks for
+    # a handful of keys at fixture scale
+    with sized_state(spark, _evt_state_parts(spark, sf_dir)):
+        stage_events(spark, sf_dir, stage, "events")
+        run_once()
+        stage_sentinel("sentinel_1", hours_ahead=1)
+        run_once()
+        stage_sentinel("sentinel_2", hours_ahead=2)
+        run_once()
     # no read-back scrubbing needed: sentinel rows were never sessionized
     # (ignored out-of-band inside the stateful function), so every emitted
     # session is real data — including negative-id and NULL users. Explicit
