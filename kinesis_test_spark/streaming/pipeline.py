@@ -107,6 +107,20 @@ def read_staged_stream(spark: SparkSession, sf_dir: str, stage: Path, **options)
     return normalize_ts(raw)
 
 
+def local_rows(spark: SparkSession, rows, schema) -> DataFrame:
+    """Tiny driver-local relation in ONE partition.
+
+    ``createDataFrame(list, schema)`` pickles the rows into
+    ``defaultParallelism`` Python partitions (32 here), so every action
+    over a handful of staged rows pays 32 Python-worker tasks — measured
+    0.8 s per action on a quiet session and 3–9 s inside a streaming
+    drain (guide §4: the boundary cost is per TASK, not per row). A
+    1-slice RDD keeps the identical row-verification/conversion path
+    (``_createFromRDD``) at one task. For local literals only — never a
+    query-path relation."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def land_arrival(df: DataFrame, stage: Path, name: str) -> None:
     """Land a DataFrame in the staged source dir as ONE parquet file —
     one 'batch arrival' from the source's perspective."""
@@ -191,7 +205,7 @@ def stage_far_future_sentinels(
         far = max_ts + timedelta(hours=hours_ahead)
     rows = [(eid, far, uid, etype, 0.0, "{}") for eid, uid, etype in keys]
     land_arrival(
-        spark.createDataFrame(rows, schema=events_schema(spark, sf_dir)),
+        local_rows(spark, rows, events_schema(spark, sf_dir)),
         stage,
         name,
     )

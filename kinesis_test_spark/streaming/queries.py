@@ -31,6 +31,7 @@ from kinesis_test_spark.streaming.pipeline import (
     partitioned_json_sink,
     post_epoch,
     read_events_stream,
+    local_rows,
     read_staged_stream,
     run_to_memory,
     scratch_dir,
@@ -892,7 +893,7 @@ def s_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_pq = spark.read.parquet(str(pq)).count()
     n_js = spark.read.json(str(js)).count()
     rows = [("parquet", n_pq), ("json", n_js)]
-    return spark.createDataFrame(rows, "sink string, n long")
+    return local_rows(spark, rows, "sink string, n long")
 
 
 @query(
@@ -1011,7 +1012,8 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         # source is ever split into multiple batches, rows older than
         # watermark-1h would be dropped and winners would change.
     ).repartition(spark.sparkContext.defaultParallelism)
-    sentinel = spark.createDataFrame(
+    sentinel = local_rows(
+        spark,
         [(-(1 << 60), "wmsentinelxa wmsentinelxb wmsentinelxc",
           datetime(1970, 1, 1, tzinfo=timezone.utc)
           + timedelta(days=horizon_days + 2))],
@@ -1359,7 +1361,8 @@ def s_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_batches += 1
         n_rows += int(m["n"])
         total += Decimal(str(m["v"]))
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [(n_batches, n_rows, float(total) / 100.0)],
         "n_batches bigint, n_rows bigint, total_value double",
     )

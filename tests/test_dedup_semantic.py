@@ -13,6 +13,7 @@ fixture scale, a recall dial only on cells deeper than CAP ranks.
 import numpy as np
 import pytest
 
+from kinesis_test_spark.streaming.pipeline import local_rows
 from kinesis_test_spark.operators.dedup import (
     SEM_CELL_CAP,
     SEM_DUP_THRESHOLD,
@@ -27,8 +28,8 @@ def _assigned_frame(spark, rows):
         (int(vid), int(cid), float(cs), [float(x) for x in e], float(np.sqrt(np.dot(e, e))))
         for vid, cid, cs, e in rows
     ]
-    return spark.createDataFrame(
-        data, "vec_id bigint, cid bigint, cent_sim double, e array<double>, nrm double"
+    return local_rows(
+        spark, data, "vec_id bigint, cid bigint, cent_sim double, e array<double>, nrm double"
     )
 
 

@@ -62,6 +62,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from kinesis_test_spark.oracle import check_query
+from kinesis_test_spark.streaming.pipeline import local_rows
 
 pytestmark = pytest.mark.slow
 
@@ -215,7 +216,7 @@ def test_struct_max_places_null_fields_smallest(spark):
     from pyspark.sql import functions as F
 
     rows = [(1, None, 7), (1, 5, None), (1, 5, 3)]
-    df = spark.createDataFrame(rows, "k int, a int, b int")
+    df = local_rows(spark, rows, "k int, a int, b int")
     got = (
         df.groupBy("k")
         .agg(F.max(F.struct("a", "b")).alias("r"))

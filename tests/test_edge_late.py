@@ -37,6 +37,7 @@ from pyspark.sql.types import LongType
 from edge_rig import EVENT_COLS, append_events
 from kinesis_test_spark.streaming.pipeline import (
     events_schema,
+    local_rows,
     read_staged_stream,
     scratch_dir,
 )
@@ -141,9 +142,10 @@ def micro(spark, sf_dir):
     def stage_batch(name, rows):
         """rows: (event_id, ts_us, user_id, event_type) tuples."""
         tmp = stage.parent / f"_tmp_{name}"
-        spark.createDataFrame(
+        local_rows(
+            spark,
             [(eid, ts_val(us), uid, et, 0.0, "{}") for eid, us, uid, et in rows],
-            schema=schema,
+            schema,
         ).coalesce(1).write.mode("overwrite").parquet(str(tmp))
         part = next(Path(tmp).glob("part-*.parquet"))
         shutil.move(str(part), stage / f"{name}.parquet")

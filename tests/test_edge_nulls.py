@@ -31,6 +31,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from kinesis_test_spark.oracle import check_query
+from kinesis_test_spark.streaming.pipeline import local_rows
 
 SF_SRC = "/root/testdata/sf0.001"
 
@@ -182,8 +183,8 @@ def test_mod_slice_partitions_negative_and_null_keys(spark):
     found by the round-8 review pass. pmod closes it."""
     from kinesis_test_spark.streaming.pipeline import mod_slice
 
-    df = spark.createDataFrame(
-        [(i,) for i in [-7, -1, 0, 1, 5, None, -4]], "user_id long"
+    df = local_rows(
+        spark, [(i,) for i in [-7, -1, 0, 1, 5, None, -4]], "user_id long"
     )
     slices = [df.filter(mod_slice(4, i)).count() for i in range(4)]
     assert sum(slices) == df.count(), slices
@@ -223,7 +224,8 @@ def test_exact_records_preserves_int64_past_2_53(spark):
     )
 
     big = 9007199254740993  # 2^53 + 1: not representable as float64
-    df = spark.createDataFrame(
+    df = local_rows(
+        spark,
         [(1, big, "click", 1.0), (2, None, None, None)],
         "event_id long, user_id long, event_type string, value double",
     )

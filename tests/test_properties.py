@@ -11,6 +11,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from kinesis_test_spark.functions.porthash import spark_hex16, sql_hex16
+from kinesis_test_spark.streaming.pipeline import local_rows
 from kinesis_test_spark.oracle import NULL, canon_value
 
 
@@ -24,7 +25,7 @@ def test_portable_hash_cross_engine(spark):
     ]
     from pyspark.sql import functions as F
 
-    sdf = spark.createDataFrame([(w,) for w in words], "w string")
+    sdf = local_rows(spark, [(w,) for w in words], "w string")
     spark_vals = [r[0] for r in sdf.select(spark_hex16(F.col("w"))).collect()]
     con = duckdb.connect()
     duck_vals = [
@@ -75,7 +76,7 @@ def test_ngram_df_cap_bounds_hot_shingle(spark):
         rows.append((i, f"unique shingle {i}"))
     # one genuine near-dup pair sharing two sub-cap shingles
     rows += [(100, "dup a x"), (100, "dup b x"), (101, "dup a x"), (101, "dup b x")]
-    sh = spark.createDataFrame(rows, "doc_id long, s string")
+    sh = local_rows(spark, rows, "doc_id long, s string")
 
     uncapped = _jaccard_pairs(sh, df_cap=1_000_000)
     assert uncapped.count() == 60 * 59 // 2 + 1  # hot shingle pairs everything
@@ -358,7 +359,7 @@ def test_minhash_bucket_cap_bounds_skewed_bucket(spark):
         rows.append((d, f"uniq_{d}"))
     for d in range(100, 110):
         rows += [(d, f"other_{d}_{s}") for s in range(21)]
-    sh = spark.createDataFrame(rows, "doc_id long, s string")
+    sh = local_rows(spark, rows, "doc_id long, s string")
 
     exact = minhash_pairs(sh, threshold=0.5).collect()
     capped = minhash_pairs(sh, threshold=0.5, bucket_cap=8).collect()

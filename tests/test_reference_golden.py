@@ -11,12 +11,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from kinesis_test_spark.streaming.pipeline import local_rows
+
 GOLDEN_IN = "2019-05-28 12:25:03.000"
 GOLDEN_PREFIX = "y=2019/m=5/d=28/h=12"
 
 
 def test_s3_key_builtin_golden(spark):
-    df = spark.createDataFrame([(GOLDEN_IN,)], "event_date_time string").select(
+    df = local_rows(spark, [(GOLDEN_IN,)], "event_date_time string").select(
         F.to_timestamp("event_date_time", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts")
     )
     out = df.select(
@@ -30,7 +32,7 @@ def test_s3_key_builtin_golden(spark):
 def test_s3_key_udf_golden(spark):
     from kinesis_test_spark.operators.udx import _s3_key_udf
 
-    df = spark.createDataFrame([(GOLDEN_IN,)], "event_date_time string").select(
+    df = local_rows(spark, [(GOLDEN_IN,)], "event_date_time string").select(
         F.to_timestamp("event_date_time", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts")
     )
     assert df.select(_s3_key_udf("ts").alias("key")).first()["key"] == GOLDEN_PREFIX

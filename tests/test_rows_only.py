@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from kinesis_test_spark import registry
+from kinesis_test_spark.streaming.pipeline import local_rows
 
 registry.load_all()
 
@@ -86,7 +87,7 @@ def test_kmeans_converges_and_reduces_inertia(spark, sf_dir):
         (int(cid), [float(x) for x in final_pdf.loc[cid].tolist()])
         for cid in final_pdf.index
     ]
-    final = spark.createDataFrame(rows, "cid int, ce array<double>")
+    final = local_rows(spark, rows, "cid int, ce array<double>")
 
     def mean_best_cosine(cents):
         scored = v.crossJoin(F.broadcast(cents)).select(

@@ -445,6 +445,7 @@ def test_stream_join_left_watermark_boundary(spark, sf_dir):
 
     from kinesis_test_spark.streaming.pipeline import (
         events_schema,
+        local_rows,
         read_staged_stream,
         scratch_dir,
     )
@@ -470,9 +471,10 @@ def test_stream_join_left_watermark_boundary(spark, sf_dir):
 
         def stage_batch(name, rows):
             tmp = stage.parent / f"_tmp_{name}"
-            spark.createDataFrame(
+            local_rows(
+                spark,
                 [(eid, ts_val(us), uid, et, 0.0, "{}") for eid, us, uid, et in rows],
-                schema=schema,
+                schema,
             ).coalesce(1).write.mode("overwrite").parquet(str(tmp))
             part = next(Path(tmp).glob("part-*.parquet"))
             shutil.move(str(part), stage / f"{name}.parquet")
@@ -585,6 +587,7 @@ def test_state_ttl_expiry_fences_and_reemits(spark, sf_dir):
 
     from kinesis_test_spark.streaming.pipeline import (
         events_schema,
+        local_rows,
         read_staged_stream,
         scratch_dir,
     )
@@ -608,9 +611,10 @@ def test_state_ttl_expiry_fences_and_reemits(spark, sf_dir):
 
         def stage_batch(name, rows):
             tmp = stage.parent / f"_tmp_{name}"
-            spark.createDataFrame(
+            local_rows(
+                spark,
                 [(eid, ts_val(us), uid, "click", 0.0, "{}") for eid, us, uid in rows],
-                schema=schema,
+                schema,
             ).coalesce(1).write.mode("overwrite").parquet(str(tmp))
             part = next(Path(tmp).glob("part-*.parquet"))
             shutil.move(str(part), stage / f"{name}.parquet")

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 
+from kinesis_test_spark.streaming.pipeline import local_rows
 from kinesis_test_spark.sources.tablelog import commit, live_files
 
 
@@ -147,12 +148,12 @@ def test_schema_evolution_nulls_for_pre_evolution_files(spark, tmp_path):
     time-travel read projects the original narrow schema."""
     from kinesis_test_spark.sources.tablelog import commit, live_files, schema_ddl
 
-    spark.createDataFrame([(1,), (2,)], "x BIGINT").coalesce(1).write.mode(
+    local_rows(spark, [(1,), (2,)], "x BIGINT").coalesce(1).write.mode(
         "overwrite"
     ).parquet(str(tmp_path / "_t0"))
     next((tmp_path / "_t0").glob("part-*.parquet")).rename(tmp_path / "old.parquet")
     v0 = commit(tmp_path, adds=["old.parquet"], removes=[], schema=[["x", "BIGINT"]])
-    spark.createDataFrame([(3, "new")], "x BIGINT, y STRING").coalesce(
+    local_rows(spark, [(3, "new")], "x BIGINT, y STRING").coalesce(
         1
     ).write.mode("overwrite").parquet(str(tmp_path / "_t1"))
     next((tmp_path / "_t1").glob("part-*.parquet")).rename(tmp_path / "new.parquet")
@@ -194,9 +195,9 @@ def test_evolve_then_compact_preserves_time_travel(spark, tmp_path):
         df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
         next(tmp.glob("part-*.parquet")).rename(tmp_path / name)
 
-    land(spark.createDataFrame([(1,), (2,)], "x BIGINT"), "a.parquet")
+    land(local_rows(spark, [(1,), (2,)], "x BIGINT"), "a.parquet")
     v0 = commit(tmp_path, adds=["a.parquet"], removes=[], schema=[["x", "BIGINT"]])
-    land(spark.createDataFrame([(3, "n3")], "x BIGINT, y STRING"), "b.parquet")
+    land(local_rows(spark, [(3, "n3")], "x BIGINT, y STRING"), "b.parquet")
     v1 = commit(
         tmp_path,
         adds=["b.parquet"],
