@@ -151,3 +151,25 @@ def test_index_versioned_shared_scale_matches_per_generation_codes(spark):
         assert shared.exceptAll(serial).count() == 0
         assert serial.exceptAll(shared).count() == 0
         assert serial.count() > 0
+
+
+def test_rowlocal_bands_match_grouped_signature_bands(spark):
+    """r15 optimization pin: s_dedup_near's batch verdict side now derives
+    its band relation from the session-cached grouped signature
+    (minhash_bands over _spark_signatures) instead of re-running the
+    row-local md5 sweep. The two forms must be row-identical — same
+    shingles, same '{seed}|' salt, same positional band concat — or the
+    verdict join silently diverges from the streamed winners."""
+    from kinesis_test_spark.operators.dedup import (
+        _spark_signatures,
+        minhash_bands,
+        rowlocal_minhash_bands,
+    )
+    from kinesis_test_spark.sources import unique_docs
+
+    u = unique_docs(spark, SF_SRC, cols=["doc_id", "text"])
+    rl = rowlocal_minhash_bands(u).select("doc_id", "b", "bkey")
+    gr = minhash_bands(_spark_signatures(spark, SF_SRC)).select("doc_id", "b", "bkey")
+    assert rl.exceptAll(gr).count() == 0
+    assert gr.exceptAll(rl).count() == 0
+    assert rl.count() > 0
