@@ -299,6 +299,13 @@ def run_to_memory(
         _start()
 
 
+# partitioned-sink writer sizing (scale-adaptive, data-derived): ~64 MB of
+# JSON per writer task at this schema (~250 bytes/row), and at most ~48
+# partition dirs created serially by any one task.
+_SINK_ROWS_PER_WRITER = 250_000
+_SINK_DIRS_PER_WRITER = 48
+
+
 def partitioned_json_sink(df: DataFrame, out_dir: Path, checkpoint: Path) -> None:
     """The reference's S3 sink (consumer.py:221-249): event-time partitioned
     JSON, y/m/d/h — via foreachBatch so the layout matches exactly; Spark
@@ -314,8 +321,29 @@ def partitioned_json_sink(df: DataFrame, out_dir: Path, checkpoint: Path) -> Non
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # cluster rows by partition key before the write: without this every
         # task writes a file into every partition dir (tasks × partitions
-        # small files — the classic dynamic-partition-insert failure mode)
-        batch_df.repartition("y", "m", "d", "h").write.partitionBy(
+        # small files — the classic dynamic-partition-insert failure mode).
+        # The writer-task count is EXPLICIT and derived from the batch
+        # (guide §2.5/§6): a keyless keyed repartition lets AQE coalesce a
+        # small batch to ~1 task, which then creates every partition
+        # dir/file SERIALLY (measured 5.2 s vs 1.9 s for this fixture's
+        # 720 hourly dirs); the session core count is no better — it is
+        # wrong in both directions at scale. Rows bound bytes-per-task
+        # (~64 MB of JSON at this schema), dirs bound the serial
+        # file-creations any one task performs.
+        stats = (
+            batch_df.select("y", "m", "d", "h")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.count_distinct(F.struct("y", "m", "d", "h")).alias("dirs"),
+            )
+            .first()
+        )
+        n = max(
+            1,
+            -(-(stats["rows"] or 0) // _SINK_ROWS_PER_WRITER),
+            -(-(stats["dirs"] or 0) // _SINK_DIRS_PER_WRITER),
+        )
+        batch_df.repartition(n, "y", "m", "d", "h").write.partitionBy(
             "y", "m", "d", "h"
         ).mode("append").json(str(out_dir))
 
